@@ -1,0 +1,164 @@
+"""End-to-end rank identity: indexed paths == exhaustive DataFrame path
+== numpy brute-force oracle, on the deterministic Zipfian corpus.
+
+Query mix per FIXTURES.md §2: single head term, single tail term,
+all-tail conjunction, head+tail, absent term, term only in NULL-html
+docs, k=1, k > matches.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tlhop_library_spark import bm25
+from tlhop_library_spark.analyzer import py_tokens
+from tlhop_library_spark.corpus import build_vocab, generate_corpus
+from tlhop_library_spark.index.build import IndexBuilder
+from tlhop_library_spark.index.query import IndexReader, score_exhaustive
+
+
+def numpy_oracle(corpus, query, k):
+    """Brute-force BM25 on the raw corpus dict (independent impl)."""
+    docs = [
+        (d, py_tokens(t))
+        for d, t in zip(corpus["doc_id"], corpus["text"])
+        if t is not None
+    ]
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    qterms = sorted(set(py_tokens(query)))
+    df = {
+        q: sum(1 for _, t in docs if q in t) for q in qterms
+    }
+    out = []
+    for d, toks in docs:
+        dl = len(toks)
+        s = 0.0
+        hit = False
+        for q in qterms:
+            tf = toks.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            hit = True
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (bm25.K1 + 1) / (
+                tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl)
+            )
+        if hit:
+            out.append((d, round(s, bm25.ROUND_DIGITS)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, s) for i, (d, s) in enumerate(out[:k])]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(800)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    vocab = build_vocab()
+    head = vocab[10]  # frequent (skip accented seeds at 0-9)
+    tail = None
+    # find a df=1 term
+    from collections import Counter
+
+    c = Counter()
+    for t in corpus["text"]:
+        if t:
+            c.update(set(py_tokens(t)))
+    for w, n in c.items():
+        if n == 1:
+            tail = w
+            break
+    mid = next(w for w, n in c.items() if 5 <= n <= 20)
+    return [
+        (head, 10),
+        (tail, 10),
+        (f"{tail} {mid}", 10),
+        (f"{head} {tail}", 10),
+        ("zzzznotaterm", 10),
+        (f"{head} {mid}", 1),
+        (tail, 100),  # k > matches
+        (f"{head} {mid} {tail}", 25),
+        ("ação informação", 10),  # accented
+    ]
+
+
+def _rows(df):
+    return [(r["rank"], r["doc_id"], r["score"]) for r in df.orderBy("rank").collect()]
+
+
+def test_exhaustive_vs_numpy_oracle(spark, corpus_df, corpus, queries):
+    for q, k in queries:
+        got = _rows(score_exhaustive(corpus_df, q, k))
+        want = numpy_oracle(corpus, q, k)
+        assert got == pytest.approx(want), f"query={q!r} k={k}"
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw"])
+def test_indexed_vs_numpy_oracle(spark, index_dir, corpus, queries, mode):
+    reader = IndexReader(spark, index_dir)
+    for q, k in queries:
+        got = _rows(reader.search(q, k, mode=mode))
+        want = numpy_oracle(corpus, q, k)
+        assert got == pytest.approx(want), f"mode={mode} query={q!r} k={k}"
+
+
+def test_index_stats(spark, index_dir, corpus):
+    reader = IndexReader(spark, index_dir)
+    n_expected = sum(1 for t in corpus["text"] if t is not None)
+    assert reader.stats["n_docs"] == n_expected
+    assert reader.stats["analyzer"] == "v1"
+    # dictionary df matches brute force for a few terms
+    from collections import Counter
+
+    c = Counter()
+    for t in corpus["text"]:
+        if t:
+            c.update(set(py_tokens(t)))
+    some = list(c.items())[:20]
+    info = reader.lookup_terms([w for w, _ in some])
+    for w, n in some:
+        assert info[w][0] == n, w
+
+
+def test_manifest_metrics(spark, index_dir):
+    m = spark.read.parquet(f"{index_dir}/manifest")
+    rows = m.collect()
+    assert {r["status"] for r in rows} == {"complete"}
+    assert all(r["postings_written"] > 0 for r in rows)
+    assert all(r["skew_ratio"] >= 1.0 for r in rows)
+    assert all(r["bytes_written"] > 0 for r in rows)
+
+
+def test_resume_skips_completed_and_is_identical(
+    spark, corpus_df, index_dir, tmp_path
+):
+    """Kill-and-resume ≡ cold build (segment-group granularity)."""
+    import shutil
+
+    d2 = str(tmp_path / "idx2")
+    b = IndexBuilder(spark, d2, n_buckets=8, n_ranges=8, n_jobs=2)
+    b.build(corpus_df)
+    # simulate a crash after group_0: drop group_1 + its manifest rows
+    shutil.rmtree(f"{d2}/segments/bucket_group=1")
+    man = spark.read.parquet(f"{d2}/manifest").where(
+        F.col("segment_group") != "group_1"
+    )
+    pdf = man.toPandas()
+    shutil.rmtree(f"{d2}/manifest")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d2}/manifest")
+
+    b.build(corpus_df, resume=True)
+
+    cold = spark.read.parquet(f"{index_dir}/segments").select(
+        "term", "range_id", "n_postings", "doc_bytes", "tf_bytes"
+    )
+    warm = spark.read.parquet(f"{d2}/segments").select(
+        "term", "range_id", "n_postings", "doc_bytes", "tf_bytes"
+    )
+    assert cold.exceptAll(warm).count() == 0
+    assert warm.exceptAll(cold).count() == 0

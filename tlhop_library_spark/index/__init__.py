@@ -1,0 +1,4 @@
+from tlhop_library_spark.index.build import IndexBuilder, build_index
+from tlhop_library_spark.index.query import IndexReader, score_exhaustive
+
+__all__ = ["IndexBuilder", "build_index", "IndexReader", "score_exhaustive"]

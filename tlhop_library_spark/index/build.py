@@ -1,0 +1,341 @@
+"""Inverted-index build: docs → salted, block-max, varint segments.
+
+Dataflow (all shuffles explicit and skew-aware; design point 10^12 docs):
+
+  docs(doc_id, text)
+    │  JVM-side tokenize (analyzer v1) + dl            [no shuffle]
+    │  explode → (term, doc_id, dl)
+    ├─ groupBy(term, doc_id) → tf                      [shuffle 1: key
+    │     (term, doc_id) is skew-free even for head terms]
+    ├─ dictionary: groupBy(term) → df, cf              [shuffle 2: counts
+    │     only, map-side partial agg absorbs head-term volume]
+    └─ range_id = doc_id // range_size  ← THE SALT: a head term's
+       postings split across up to `n_ranges` groups, each a contiguous
+       doc_id range, so chunks concatenate into a globally sorted
+       posting list and block-max metadata stays doc-space aligned.
+       groupBy(term, range_id) → applyInPandas(encode)  [shuffle 3:
+       bounded group size ≤ range_size rows]
+       → segment rows written as parquet partitioned by
+         bucket = pmod(xxhash64(term), n_buckets)  (query-time pruning),
+         sortWithinPartitions(term) for parquet min/max row-group skipping.
+
+Segment-level checkpoint/resume: buckets are written in `n_jobs` groups;
+each completed group appends a manifest row (per-partition lineage +
+metrics: postings, bytes, skew ratio). A restarted build anti-joins the
+manifest and skips completed groups (reference analogue: RELEASE-file
+checkpoints + idempotent MERGE, /root/reference/tlhop/crawlers/nist_nvd.py:83-89,
+/root/reference/tlhop/converters/censys_dataset_manager.py:222-229).
+
+Posting-list construction parallels the reference's explode→join→regroup
+pattern (/root/reference/tlhop/algorithms/vulnerability_assessment.py:147-152)
+but replaces collect_list (unbounded agg buffer) with applyInPandas
+encoding over salted bounded groups.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tlhop_library_spark import bm25
+from tlhop_library_spark.analyzer import ANALYZER_VERSION, tokens_col
+from tlhop_library_spark.codecs import delta_encode, varint_encode
+
+#: postings per block inside a chunk (block = skippable scoring unit)
+BLOCK_SIZE = 128
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("range_id", IntegerType()),
+        StructField("n_postings", LongType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("doc_bytes", BinaryType()),
+        StructField("tf_bytes", BinaryType()),
+        StructField("dl_bytes", BinaryType()),
+        StructField("block_first_docs", ArrayType(LongType())),
+        StructField("block_last_docs", ArrayType(LongType())),
+        StructField("block_counts", ArrayType(IntegerType())),
+        StructField("block_doc_offsets", ArrayType(IntegerType())),
+        StructField("block_tf_offsets", ArrayType(IntegerType())),
+        StructField("block_dl_offsets", ArrayType(IntegerType())),
+        StructField("block_max_w", ArrayType(DoubleType())),
+        StructField("max_w", DoubleType()),
+    ]
+)
+
+
+def _make_encoder(avgdl: float, n_buckets: int):
+    """applyInPandas kernel: one (term, range_id) group → one segment row.
+
+    All-numpy: sorts by doc_id, computes float64 BM25 tf-weights
+    (idf excluded — applied at query time so the dictionary need not be
+    broadcast), splits into BLOCK_SIZE blocks with independent varint
+    restart points and per-block max weight.
+    """
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, range_id = key[0], int(key[1])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+        dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
+        n = len(doc_ids)
+        w = bm25.tf_weight_np(tfs, dls, avgdl)
+
+        n_blocks = math.ceil(n / BLOCK_SIZE)
+        doc_parts, tf_parts, dl_parts = [], [], []
+        b_first, b_last, b_counts = [], [], []
+        b_doc_off, b_tf_off, b_dl_off, b_max = [], [], [], []
+        doc_off = tf_off = dl_off = 0
+        for bi in range(n_blocks):
+            s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+            db = varint_encode(delta_encode(doc_ids[s:e]))
+            tb = varint_encode(tfs[s:e])
+            lb = varint_encode(dls[s:e])
+            b_doc_off.append(doc_off)
+            b_tf_off.append(tf_off)
+            b_dl_off.append(dl_off)
+            b_first.append(int(doc_ids[s]))
+            b_last.append(int(doc_ids[e - 1]))
+            b_counts.append(e - s)
+            b_max.append(float(w[s:e].max()))
+            doc_parts.append(db)
+            tf_parts.append(tb)
+            dl_parts.append(lb)
+            doc_off += len(db)
+            tf_off += len(tb)
+            dl_off += len(lb)
+
+        row = {
+            "term": term,
+            "bucket": int(pdf["bucket"].iloc[0]),
+            "range_id": range_id,
+            "n_postings": n,
+            "first_doc": int(doc_ids[0]),
+            "last_doc": int(doc_ids[-1]),
+            "doc_bytes": b"".join(doc_parts),
+            "tf_bytes": b"".join(tf_parts),
+            "dl_bytes": b"".join(dl_parts),
+            "block_first_docs": b_first,
+            "block_last_docs": b_last,
+            "block_counts": b_counts,
+            "block_doc_offsets": b_doc_off,
+            "block_tf_offsets": b_tf_off,
+            "block_dl_offsets": b_dl_off,
+            "block_max_w": b_max,
+            "max_w": float(w.max()),
+        }
+        return pd.DataFrame([row])
+
+    return encode
+
+
+class IndexBuilder:
+    """Builds (and resumes) an index at ``index_dir``.
+
+    Layout::
+
+        index_dir/
+          stats.json                 # N, avgdl, analyzer version, params
+          doc_lengths/               # parquet (doc_id, dl)
+          dictionary/                # parquet (term, df, cf, bucket)
+          segments/bucket_group=G/   # parquet segment rows (partitioned)
+          manifest/                  # parquet lineage+metrics, 1 row/group
+
+    ``n_buckets`` controls query-time file pruning; ``n_ranges`` is the
+    salt width (doc-space shards); ``n_jobs`` is the checkpoint
+    granularity (bucket groups written + manifested independently).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        n_buckets: int = 32,
+        n_ranges: int | None = None,
+        n_jobs: int = 4,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_buckets = n_buckets
+        self.n_ranges = n_ranges or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        self.n_jobs = n_jobs
+
+    # -- paths ---------------------------------------------------------
+    @property
+    def stats_path(self):
+        return os.path.join(self.index_dir, "stats.json")
+
+    @property
+    def dict_path(self):
+        return os.path.join(self.index_dir, "dictionary")
+
+    @property
+    def doclen_path(self):
+        return os.path.join(self.index_dir, "doc_lengths")
+
+    @property
+    def segments_path(self):
+        return os.path.join(self.index_dir, "segments")
+
+    @property
+    def manifest_path(self):
+        return os.path.join(self.index_dir, "manifest")
+
+    # -- build ---------------------------------------------------------
+    def build(self, docs: DataFrame, resume: bool = False) -> dict:
+        """docs must carry (doc_id long, text string). Returns stats."""
+        spark = self.spark
+        t0 = time.time()
+
+        docs = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ).where(F.col("text").isNotNull())
+        with_tokens = docs.select(
+            "doc_id", tokens_col(F.col("text")).alias("tokens")
+        ).withColumn("dl", F.size("tokens"))
+
+        # corpus stats (one pass; cached plan reused by postings below)
+        with_tokens = with_tokens.persist()
+        row = with_tokens.agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("sum_dl"),
+            F.max("doc_id").alias("max_doc"),
+        ).collect()[0]
+        n_docs, sum_dl, max_doc = row["n"], row["sum_dl"] or 0, row["max_doc"] or 0
+        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+        range_size = max(1, math.ceil((int(max_doc) + 1) / self.n_ranges))
+
+        completed = self._completed_groups() if resume else set()
+
+        # doc lengths table
+        if "doc_lengths" not in completed:
+            with_tokens.select("doc_id", "dl").write.mode("overwrite").parquet(
+                self.doclen_path
+            )
+
+        # (term, doc_id, tf, dl, bucket, range_id) — shuffle 1
+        postings = (
+            with_tokens.select(
+                "doc_id", "dl", F.explode("tokens").alias("term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            )
+            .withColumn(
+                "range_id",
+                (F.col("doc_id") / F.lit(range_size)).cast("int"),
+            )
+            .persist()
+        )
+
+        # dictionary — shuffle 2 (map-side partial agg)
+        if "dictionary" not in completed:
+            (
+                postings.groupBy("term", "bucket")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                .write.mode("overwrite")
+                .parquet(self.dict_path)
+            )
+
+        # segments per bucket group — shuffle 3, checkpointable
+        encoder = _make_encoder(avgdl, self.n_buckets)
+        group_of = lambda b: b % self.n_jobs  # noqa: E731
+        for g in range(self.n_jobs):
+            gname = f"group_{g}"
+            if gname in completed:
+                continue
+            part = postings.where(
+                F.pmod(F.col("bucket"), F.lit(self.n_jobs)) == g
+            )
+            seg = (
+                part.groupBy("term", "range_id")
+                .applyInPandas(encoder, schema=SEGMENT_SCHEMA)
+                .sortWithinPartitions("term")
+            )
+            gdir = os.path.join(self.segments_path, f"bucket_group={g}")
+            seg.write.mode("overwrite").parquet(gdir)
+            self._append_manifest(g, gdir)
+
+        stats = {
+            "analyzer": ANALYZER_VERSION,
+            "k1": bm25.K1,
+            "b": bm25.B,
+            "n_docs": int(n_docs),
+            "avgdl": avgdl,
+            "max_doc": int(max_doc),
+            "range_size": int(range_size),
+            "n_ranges": self.n_ranges,
+            "n_buckets": self.n_buckets,
+            "n_jobs": self.n_jobs,
+            "block_size": BLOCK_SIZE,
+            "build_sec": time.time() - t0,
+        }
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self.stats_path, "w") as f:
+            json.dump(stats, f, indent=2)
+        postings.unpersist()
+        with_tokens.unpersist()
+        return stats
+
+    # -- manifest / resume ---------------------------------------------
+    def _append_manifest(self, group: int, gdir: str) -> None:
+        seg = self.spark.read.parquet(gdir)
+        m = seg.agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("n_postings").alias("postings_written"),
+            F.sum(F.octet_length("doc_bytes")
+                  + F.octet_length("tf_bytes")
+                  + F.octet_length("dl_bytes")).alias("bytes_written"),
+            (F.max("n_postings") / F.avg("n_postings")).alias("skew_ratio"),
+        ).withColumns(
+            {
+                "segment_group": F.lit(f"group_{group}"),
+                "status": F.lit("complete"),
+                "checkpoint_ts": F.current_timestamp(),
+                "input_snapshot": F.lit(self.index_dir),
+            }
+        )
+        m.coalesce(1).write.mode("append").parquet(self.manifest_path)
+
+    def _completed_groups(self) -> set[str]:
+        try:
+            rows = (
+                self.spark.read.parquet(self.manifest_path)
+                .where(F.col("status") == "complete")
+                .select("segment_group")
+                .collect()
+            )
+            return {r["segment_group"] for r in rows}
+        except Exception:
+            return set()
+
+
+def build_index(spark: SparkSession, docs: DataFrame, index_dir: str, **kw) -> dict:
+    return IndexBuilder(spark, index_dir, **kw).build(docs)

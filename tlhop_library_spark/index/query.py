@@ -1,0 +1,350 @@
+"""BM25 top-k query engine.
+
+Two paths, asserted rank-identical by tests:
+
+1. ``score_exhaustive`` — pure declarative DataFrame plan over the raw
+   docs table (tokenize → explode → df/idf join → group-sum → window
+   top-k). This is the always-correct baseline and the shape the DuckDB
+   oracle replicates; Catalyst handles pushdown/partial-agg/AQE.
+
+2. ``IndexReader.search`` — over the built segments: dictionary lookup
+   (parquet filter pushdown on (bucket, term)) → per-doc-range scoring
+   with ``applyInPandas`` → global ``orderBy().limit(k)``. Only k rows
+   per range ever leave an executor, and only k reach the driver —
+   never a collect-then-finish (the reference's scale cliff at
+   /root/reference/tlhop/shodan_library.py:277-284 is deliberately NOT
+   reproduced).
+
+   Range-local scoring has two modes:
+   - ``exhaustive``: decode all blocks, vectorized numpy aggregation.
+   - ``bmw`` (default): block-max pruning — doc-space-aligned chunk
+     ranges let us compute, per block region, an upper bound
+     Σ_t idf_t · block_max_w; regions are processed in descending UB
+     order and the scan stops (exactly) once UB < the running k-th
+     score. Skipped blocks are never varint-decoded.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from tlhop_library_spark import bm25
+from tlhop_library_spark.analyzer import py_tokens, tokens_col
+from tlhop_library_spark.codecs import varint_decode
+
+#: two rounding ulps — see the block-max margin in _range_scorer
+_EPS = 2.0 * 10.0 ** (-bm25.ROUND_DIGITS)
+
+_SCORE_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("score", DoubleType())]
+)
+
+
+# ---------------------------------------------------------------------
+# Path 1: exhaustive declarative scorer (no index required)
+# ---------------------------------------------------------------------
+def score_exhaustive(
+    docs: DataFrame, query_text: str, k: int = 10, doc_col: str = "doc_id"
+) -> DataFrame:
+    """BM25 top-k via pure DataFrame ops. Returns (rank, doc_id, score)."""
+    terms = sorted(set(py_tokens(query_text)))
+    base = docs.where(F.col("text").isNotNull()).select(
+        F.col(doc_col).cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("tokens"),
+    )
+    base = base.withColumn("dl", F.size("tokens"))
+    stats = base.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+    tok = (
+        base.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    # df per query term (tiny → broadcast back into the scoring join)
+    dfreq = tok.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tok.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            (F.col("tf") * (bm25.K1 + 1.0))
+            / (
+                F.col("tf")
+                + bm25.K1
+                * (1.0 - bm25.B + bm25.B * (F.col("dl") / F.col("avgdl")))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * F.col("w")), bm25.ROUND_DIGITS).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )
+
+
+def oracle_sql_bm25(query_text: str, k: int = 10, table: str = "documents",
+                    doc_col: str = "doc_id") -> str:
+    """DuckDB SQL implementing the identical spec (oracle for the gate)."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------
+# Path 2: indexed reader
+# ---------------------------------------------------------------------
+def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
+    """applyInPandas kernel: all chunks of the query terms for ONE
+    doc-range → local top-k (doc_id, score)."""
+
+    def _decode_block(row, bi):
+        off_d = row["block_doc_offsets"]
+        off_t = row["block_tf_offsets"]
+        off_l = row["block_dl_offsets"]
+        cnt = row["block_counts"][bi]
+        d_end = off_d[bi + 1] if bi + 1 < len(off_d) else len(row["doc_bytes"])
+        t_end = off_t[bi + 1] if bi + 1 < len(off_t) else len(row["tf_bytes"])
+        l_end = off_l[bi + 1] if bi + 1 < len(off_l) else len(row["dl_bytes"])
+        gaps = varint_decode(row["doc_bytes"][off_d[bi]:d_end], cnt)
+        docs = np.cumsum(gaps, dtype=np.uint64)
+        tfs = varint_decode(row["tf_bytes"][off_t[bi]:t_end], cnt)
+        dls = varint_decode(row["dl_bytes"][off_l[bi]:l_end], cnt)
+        return docs.astype(np.int64), tfs, dls
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        avgdl = float(pdf["avgdl"].iloc[0])
+        # gather per-block tasks: (ub, chunk_row_idx, block_idx)
+        blocks = []
+        for ri in range(len(pdf)):
+            row = pdf.iloc[ri]
+            idf = idf_map[row["term"]]
+            bmax = row["block_max_w"]
+            for bi in range(len(bmax)):
+                blocks.append((idf * float(bmax[bi]), ri, bi))
+
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+
+        def _topk(doc_arr: np.ndarray, score_arr: np.ndarray) -> pd.DataFrame:
+            # select by the SAME ordering the oracle uses:
+            # round(score, ROUND_DIGITS) desc, doc_id asc
+            r = np.round(score_arr, bm25.ROUND_DIGITS)
+            order = np.lexsort((doc_arr, -r))[:k]
+            return pd.DataFrame(
+                {"doc_id": doc_arr[order].astype(np.int64),
+                 "score": r[order]}
+            )
+
+        if mode == "exhaustive":
+            parts_d, parts_s = [], []
+            for ub, ri, bi in blocks:
+                row = pdf.iloc[ri]
+                docs, tfs, dls = _decode_block(row, bi)
+                w = bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[row["term"]]
+                parts_d.append(docs)
+                parts_s.append(w)
+            if not parts_d:
+                return empty
+            alldocs = np.concatenate(parts_d)
+            allsc = np.concatenate(parts_s)
+            uniq, inv = np.unique(alldocs, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sums, inv, allsc)
+            return _topk(uniq, sums)
+
+        # --- bmw mode: exact prune-then-verify block-max scan ---------
+        # Within one doc range a term has exactly one chunk whose blocks
+        # partition its docs, so a doc appears in ≤ 1 block per term.
+        #
+        # Phase A (prune): consume blocks in descending UB = idf·block_max
+        # order, accumulating partial scores, until the k-th partial score
+        # θ ≥ ub_remaining, where ub_remaining = Σ_t (that term's best
+        # unprocessed block UB). Then any doc never seen has final score
+        # ≤ ub_remaining ≤ θ ≤ that doc's final k-th competitor — it
+        # cannot enter the top-k.
+        #
+        # Phase B (verify): candidates C = {seen d : acc(d) + ub_remaining
+        # ≥ θ} may still be missing contributions from skipped blocks of
+        # other terms; decode ONLY the skipped blocks whose [first_doc,
+        # last_doc] intersects C and add the contributions of C-members.
+        # Scores of C are then exact, and every non-candidate is provably
+        # below the final k-th score → exact top-k with exact scores.
+        blocks.sort(key=lambda x: -x[0])
+        terms_in_range = pdf["term"].tolist()
+        remaining: dict[str, list[float]] = {}
+        for ub, ri, bi in blocks:
+            remaining.setdefault(terms_in_range[ri], []).append(ub)
+        rem_best = {t: v[0] for t, v in remaining.items()}
+        consumed = {t: 0 for t in remaining}
+
+        acc: dict[int, float] = {}
+        processed = set()
+        for pos, (ub, ri, bi) in enumerate(blocks):
+            if len(acc) >= k:
+                theta = heapq.nlargest(k, acc.values())[-1]
+                # margin of 2 rounding ulps: a doc excluded here must
+                # round strictly below the k-th score, so rounding +
+                # doc_id tie-breaks can never resurrect it
+                if theta >= sum(rem_best.values()) + _EPS:
+                    break
+            row = pdf.iloc[ri]
+            term = terms_in_range[ri]
+            docs, tfs, dls = _decode_block(row, bi)
+            w = bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[term]
+            for d, s in zip(docs.tolist(), w.tolist()):
+                acc[d] = acc.get(d, 0.0) + s
+            processed.add((ri, bi))
+            consumed[term] += 1
+            tb = remaining[term]
+            rem_best[term] = tb[consumed[term]] if consumed[term] < len(tb) else 0.0
+
+        if not acc:
+            return empty
+
+        ub_remaining = sum(rem_best.values())
+        if ub_remaining > 0.0:
+            theta = (
+                heapq.nlargest(k, acc.values())[-1] if len(acc) >= k else 0.0
+            )
+            cand = {d for d, s in acc.items() if s + ub_remaining >= theta - _EPS}
+            if cand:
+                cand_arr = np.fromiter(cand, dtype=np.int64, count=len(cand))
+                cand_arr.sort()
+                lo, hi = int(cand_arr[0]), int(cand_arr[-1])
+                for ub, ri, bi in blocks:
+                    if (ri, bi) in processed:
+                        continue
+                    row = pdf.iloc[ri]
+                    if row["block_last_docs"][bi] < lo or row["block_first_docs"][bi] > hi:
+                        continue
+                    docs, tfs, dls = _decode_block(row, bi)
+                    sel = np.isin(docs, cand_arr)
+                    if not sel.any():
+                        continue
+                    w = (
+                        bm25.tf_weight_np(tfs[sel], dls[sel], avgdl)
+                        * idf_map[terms_in_range[ri]]
+                    )
+                    for d, s in zip(docs[sel].tolist(), w.tolist()):
+                        acc[d] += s
+            # restrict output to candidates (non-candidates may have
+            # inexact partials; they are provably out of the top-k)
+            acc = {d: s for d, s in acc.items() if d in cand}
+            if not acc:
+                return empty
+
+        doc_arr = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+        score_arr = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+        return _topk(doc_arr, score_arr)
+
+    return score_range
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self._dict = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, bucket); parquet filter pushdown on term."""
+        rows = (
+            self._dict.where(F.col("term").isin(terms))
+            .select("term", "df", "bucket")
+            .collect()
+        )
+        return {r["term"]: (r["df"], r["bucket"]) for r in rows}
+
+    def search(self, query_text: str, k: int = 10, mode: str = "bmw") -> DataFrame:
+        """Returns (rank int, doc_id long, score double), rank ≤ k."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        idf_map = {t: bm25.idf(n_docs, df) for t, (df, _) in info.items()}
+        buckets = sorted({b for _, b in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(info))
+        ).withColumn("avgdl", F.lit(avgdl))
+        scorer = _range_scorer(idf_map, k, mode)
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("rank", "doc_id", "score")
+        )
