@@ -1,38 +1,662 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a thin wrapper over the
+``tlhop_library_spark`` operator library; ``oracle_sql()`` carries the
+DuckDB-equivalent ANSI SQL run on the same parquet tables. Column
+names/types are aligned pairwise (the driver value-hash compares
+columns sorted by name). Floating outputs are rounded to 4 digits on
+BOTH sides so cross-engine float64 summation-order noise cannot flip
+the hash.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tlhop_library_spark import bm25  # noqa: E402
+from tlhop_library_spark.analyzer import tokens_col  # noqa: E402
+from tlhop_library_spark.index.query import (  # noqa: E402
+    oracle_sql_bm25,
+    score_exhaustive,
+)
+from tlhop_library_spark.operators import dedup, relational, similarity, text  # noqa: E402
+
+# Deterministic ANN query vector (dim 64) — embedded in the oracle SQL too
+import numpy as np  # noqa: E402
+
+_QV = [round(float(x), 6) for x in np.random.default_rng(123).standard_normal(64)]
+_QN = float(np.sqrt(sum(x * x for x in _QV)))
+
+BM25_QUERY_1 = "spark join filter"
+BM25_QUERY_2 = "the"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------
+# entry: flagship — BM25 top-k over the documents table
+# ---------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return score_exhaustive(docs, BM25_QUERY_1, k=10)
 
 
+# ---------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- full-text retrieval (the engine core) ----
+    q["bm25_topk"] = lambda s, d: score_exhaustive(
+        _t(s, d, "documents"), BM25_QUERY_1, k=10
+    )
+    q["bm25_topk_head"] = lambda s, d: score_exhaustive(
+        _t(s, d, "documents"), BM25_QUERY_2, k=15
+    )
+
+    def term_df(s, d):
+        docs = _t(s, d, "documents").where(F.col("text").isNotNull())
+        return (
+            docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        )
+
+    q["term_df"] = term_df
+
+    q["doc_lengths"] = lambda s, d: (
+        _t(s, d, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("dl"),
+        )
+    )
+
+    def term_topk_freq(s, d):
+        docs = _t(s, d, "documents").where(F.col("text").isNotNull())
+        counts = (
+            docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.orderBy(F.desc("n"), F.asc("term"))
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 20)
+            .select("rank", "term", "n")
+        )
+
+    q["term_topk_freq"] = term_topk_freq
+
+    q["boolean_and"] = lambda s, d: (
+        _t(s, d, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .where(
+            F.array_contains("toks", "spark") & F.array_contains("toks", "join")
+        )
+        .select("doc_id")
+    )
+
+    q["boolean_any"] = lambda s, d: (
+        _t(s, d, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .where(
+            F.arrays_overlap(
+                "toks", F.array(F.lit("vector"), F.lit("stream"))
+            )
+        )
+        .select("doc_id")
+    )
+
+    # ---- text analysis ----
+    q["token_stats"] = lambda s, d: text.token_stats(_t(s, d, "documents"))
+    q["text_quality"] = lambda s, d: text.quality_score(_t(s, d, "documents"))
+    q["lang_id"] = lambda s, d: text.lang_id(_t(s, d, "documents"))
+    q["doc_fingerprint"] = lambda s, d: text.doc_fingerprint(
+        _t(s, d, "documents")
+    )
+
+    # ---- dedup ----
+    q["dedup_exact"] = lambda s, d: dedup.dedup_exact(_t(s, d, "documents"))
+
+    q["dup_groups"] = lambda s, d: (
+        dedup.exact_dup_groups(_t(s, d, "documents")).select(
+            "text_hash",
+            "n_docs",
+            F.array_min("doc_ids").alias("min_doc"),
+            F.array_max("doc_ids").alias("max_doc"),
+        )
+    )
+
+    q["ngram_jaccard_pairs"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents"), n=3, threshold=0.3
+    )
+
+    q["minhash_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_candidates(
+        _t(s, d, "documents"), n=3
+    )
+
+    # ---- similarity search ----
+    q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _t(s, d, "embeddings"), _QV, k=20
+    )
+
+    # ---- relational (SURVEY §2 parity over TPC-H-ish tables) ----
+    def q1(s, d):
+        li = _t(s, d, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                    ),
+                    4,
+                ).alias("sum_charge"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q1
+
+    q["top1_order_per_cust"] = lambda s, d: relational.top1_per_group(
+        _t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        "o_totalprice",
+        "o_orderkey",
+    )
+
+    def nation_revenue(s, d):
+        li = _t(s, d, "lineitem")
+        sup = _t(s, d, "supplier")
+        nat = _t(s, d, "nation")
+        return (
+            li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    4,
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q["nation_revenue"] = nation_revenue
+
+    q["multi_distinct_orders"] = lambda s, d: relational.multi_distinct(
+        _t(s, d, "orders"),
+        "o_orderstatus",
+        ["o_custkey", "o_orderpriority"],
+    )
+
+    q["cdf_order_priority"] = lambda s, d: relational.cdf_pdf(
+        _t(s, d, "orders"), "o_orderpriority"
+    )
+
+    q["null_profile_orders"] = lambda s, d: relational.null_profile(
+        _t(s, d, "orders")
+    )
+
+    def range_join_qty(s, d):
+        li = _t(s, d, "lineitem")
+        buckets = s.createDataFrame(
+            [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 100.0)],
+            "bucket string, lo double, hi double",
+        )
+        joined = relational.range_join(
+            li.select("l_orderkey", "l_quantity"), buckets, "l_quantity"
+        )
+        return joined.groupBy("bucket").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+
+    q["range_join_qty"] = range_join_qty
+
+    def case_map_events(s, d):
+        ev = _t(s, d, "events")
+        band = relational.when_case_map(
+            F.col("value"),
+            [
+                (F.col("value") < 50, F.lit("small")),
+                (F.col("value") < 150, F.lit("medium")),
+            ],
+            F.lit("large"),
+        )
+        return (
+            ev.withColumn("band", band)
+            .groupBy("event_type", "band")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["case_map_events"] = case_map_events
+
+    def pivot_events(s, d):
+        ev = _t(s, d, "events").withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        return relational.pivot_counts(
+            ev,
+            F.col("day"),
+            "event_type",
+            ["click", "error", "purchase", "signup", "view"],
+        )
+
+    q["pivot_events"] = pivot_events
+
+    q["hourly_events"] = lambda s, d: (
+        _t(s, d, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+    def props_extract(s, d):
+        ev = _t(s, d, "events")
+        return (
+            ev.withColumn(
+                "k", F.regexp_extract("props", r"\d+", 0).cast("long")
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("k").alias("sum_k"),
+                F.round(F.avg("k"), 4).alias("avg_k"),
+            )
+        )
+
+    q["props_extract"] = props_extract
+
+    def semi_filter_customers(s, d):
+        cust = _t(s, d, "customer")
+        orders = _t(s, d, "orders")
+        active = relational.semi_filter(
+            cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+        )
+        return active.groupBy("c_nationkey").agg(
+            F.count("*").alias("n_active_customers")
+        )
+
+    q["semi_filter_customers"] = semi_filter_customers
+
+    def topn_orders(s, d):
+        w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            _t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 15)
+        )
+
+    q["topn_orders"] = topn_orders
+
+    def explode_regroup_docs(s, d):
+        docs = _t(s, d, "documents").where(F.col("text").isNotNull())
+        toks = docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        ).distinct()
+        hot = (
+            toks.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") >= 100)
+        )
+        joined = toks.join(hot, "term")
+        return joined.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("term")).alias("hot_terms"),
+            F.count("*").alias("n_hot"),
+        ).select("doc_id", F.array_join("hot_terms", ",").alias("hot_terms"), "n_hot")
+
+    q["explode_regroup_docs"] = explode_regroup_docs
+
+    return q
+
+
+# ---------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------
+_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),"
+    " t -> length(t) >= 3)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["bm25_topk"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
+    o["bm25_topk_head"] = oracle_sql_bm25(BM25_QUERY_2, k=15)
+
+    o["term_df"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+"""
+
+    o["doc_lengths"] = f"""
+SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS dl
+FROM documents WHERE text IS NOT NULL
+"""
+
+    o["term_topk_freq"] = f"""
+WITH tok AS (
+  SELECT unnest({_TOKENS}) AS term FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT term, count(*) AS n FROM tok GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank,
+       term, n
+FROM c QUALIFY rank <= 20
+"""
+
+    o["boolean_and"] = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+) WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+"""
+
+    o["boolean_any"] = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+) WHERE list_contains(toks, 'vector') OR list_contains(toks, 'stream')
+"""
+
+    o["token_stats"] = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks)
+             END, 4) AS avg_token_len
+FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL)
+"""
+
+    o["text_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKENS} AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), feat AS (
+  SELECT doc_id, n_chars, n_tokens,
+    CASE WHEN n_tokens > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE)/n_tokens ELSE 0.0 END AS uq,
+    CASE WHEN n_chars > 0 THEN CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/n_chars ELSE 0.0 END AS dr,
+    CASE WHEN n_chars > 0 THEN CAST(n_chars - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/n_chars ELSE 0.0 END AS sr,
+    least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) AS ls
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(uq, 4) AS unique_ratio,
+       round(dr, 4) AS digit_ratio,
+       round(sr, 4) AS space_ratio,
+       round(0.4*ls + 0.4*uq + 0.2*(1.0-dr), 4) AS quality
+FROM feat
+"""
+
+    hits, greatest, whens = text.lang_markers_sql_case("toks")
+    o["lang_id"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT doc_id, {greatest} AS __best,
+         {', '.join(f"{expr} AS __h_{lang}" for lang, expr in hits.items())}
+  FROM base
+)
+SELECT doc_id,
+       CASE {' '.join(f"WHEN __h_{lang} = __best AND __best > 0 THEN '{lang}'" for lang in sorted(hits))}
+            ELSE 'und' END AS lang_pred,
+       CAST(__best AS BIGINT) AS lang_hits
+FROM h
+"""
+
+    o["doc_fingerprint"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKENS})), ' ')) AS fingerprint
+FROM documents WHERE text IS NOT NULL
+"""
+
+    o["dedup_exact"] = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+"""
+
+    o["dup_groups"] = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents WHERE text IS NOT NULL
+GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+"""
+
+    o["minhash_lsh_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), perms AS (
+  SELECT doc_id, i AS sig_i, shingle
+  FROM sh, (SELECT unnest(range(0, {dedup.MINHASH_PERMS})) AS i)
+), sig AS (
+  SELECT doc_id, sig_i,
+         min(md5(CAST(sig_i AS VARCHAR) || '|' || shingle)) AS min_hash
+  FROM perms GROUP BY doc_id, sig_i
+), banded AS (
+  SELECT doc_id, CAST(sig_i // {dedup.MINHASH_PERMS // dedup.LSH_BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(sig_i AS VARCHAR) || ':' || min_hash)), ',')) AS bucket
+  FROM sig GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+    qv_sql = "[" + ", ".join(f"{x}" for x in _QV) + "]::DOUBLE[]"
+    o["cosine_topk"] = f"""
+WITH scored AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         round(
+           list_dot_product(CAST(embedding AS DOUBLE[]), {qv_sql}) /
+           (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {_QN!r})
+         , 4) AS cosine
+  FROM embeddings
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, cosine
+FROM scored QUALIFY rank <= 20
+"""
+
+    o["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["top1_order_per_cust"] = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+    o["nation_revenue"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    o["multi_distinct_orders"] = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS nd_o_custkey,
+       count(DISTINCT o_orderpriority) AS nd_o_orderpriority,
+       count(*) AS n_rows
+FROM orders GROUP BY o_orderstatus
+"""
+
+    o["cdf_order_priority"] = """
+WITH c AS (
+  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+), t AS (SELECT sum(n) AS total FROM c)
+SELECT o_orderpriority, n,
+       round(CAST(n AS DOUBLE) / total, 4) AS pdf,
+       round(sum(n) OVER (ORDER BY o_orderpriority ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(total AS DOUBLE), 4) AS cdf
+FROM c, t
+"""
+
+    o["null_profile_orders"] = """
+SELECT sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS o_orderkey,
+       sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS o_custkey,
+       sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS o_orderstatus,
+       sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS o_totalprice,
+       sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS o_orderdate,
+       sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS o_orderpriority
+FROM orders
+"""
+
+    o["range_join_qty"] = """
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 100.0)
+)
+SELECT bucket, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY bucket
+"""
+
+    o["case_map_events"] = """
+SELECT event_type,
+       CASE WHEN value < 50 THEN 'small'
+            WHEN value < 150 THEN 'medium'
+            ELSE 'large' END AS band,
+       count(*) AS n
+FROM events GROUP BY event_type, band
+"""
+
+    o["pivot_events"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS row_key,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+    o["hourly_events"] = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+    o["props_extract"] = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS sum_k,
+       round(avg(CAST(regexp_extract(props, '\\d+') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+    o["semi_filter_customers"] = """
+SELECT c_nationkey, count(*) AS n_active_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+    o["topn_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+FROM orders QUALIFY rank <= 15
+"""
+
+    o["explode_regroup_docs"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), hot AS (
+  SELECT term, count(*) AS df FROM tok GROUP BY term HAVING count(*) >= 100
+)
+SELECT doc_id,
+       array_to_string(list_sort(list(tok.term)), ',') AS hot_terms,
+       count(*) AS n_hot
+FROM tok JOIN hot ON tok.term = hot.term
+GROUP BY doc_id
+"""
+
+    return o

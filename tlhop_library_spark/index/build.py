@@ -84,68 +84,87 @@ SEGMENT_SCHEMA = StructType(
 )
 
 
-def _make_encoder(avgdl: float, n_buckets: int):
-    """applyInPandas kernel: one (term, range_id) group → one segment row.
+def _encode_one(term, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
+    """Encode one (term, range) posting run (already doc_id-sorted)."""
+    n = len(doc_ids)
+    n_blocks = math.ceil(n / BLOCK_SIZE)
+    doc_parts, tf_parts, dl_parts = [], [], []
+    b_first, b_last, b_counts = [], [], []
+    b_doc_off, b_tf_off, b_dl_off, b_max = [], [], [], []
+    doc_off = tf_off = dl_off = 0
+    for bi in range(n_blocks):
+        s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        db = varint_encode(delta_encode(doc_ids[s:e]))
+        tb = varint_encode(tfs[s:e])
+        lb = varint_encode(dls[s:e])
+        b_doc_off.append(doc_off)
+        b_tf_off.append(tf_off)
+        b_dl_off.append(dl_off)
+        b_first.append(int(doc_ids[s]))
+        b_last.append(int(doc_ids[e - 1]))
+        b_counts.append(e - s)
+        b_max.append(float(w[s:e].max()))
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        dl_parts.append(lb)
+        doc_off += len(db)
+        tf_off += len(tb)
+        dl_off += len(lb)
+    return {
+        "term": term,
+        "bucket": bucket,
+        "range_id": range_id,
+        "n_postings": n,
+        "first_doc": int(doc_ids[0]),
+        "last_doc": int(doc_ids[-1]),
+        "doc_bytes": b"".join(doc_parts),
+        "tf_bytes": b"".join(tf_parts),
+        "dl_bytes": b"".join(dl_parts),
+        "block_first_docs": b_first,
+        "block_last_docs": b_last,
+        "block_counts": b_counts,
+        "block_doc_offsets": b_doc_off,
+        "block_tf_offsets": b_tf_off,
+        "block_dl_offsets": b_dl_off,
+        "block_max_w": b_max,
+        "max_w": float(max(b_max)),
+    }
 
-    All-numpy: sorts by doc_id, computes float64 BM25 tf-weights
-    (idf excluded — applied at query time so the dictionary need not be
-    broadcast), splits into BLOCK_SIZE blocks with independent varint
-    restart points and per-block max weight.
+
+def _make_encoder(avgdl: float, n_buckets: int):
+    """applyInPandas kernel: one (bucket, range_id) group → one segment
+    row PER TERM in the group.
+
+    Grouping at (bucket, range_id) granularity (not (term, range_id))
+    keeps the number of Python invocations at n_buckets × n_ranges —
+    a few hundred — instead of |vocab| × n_ranges (tens of thousands of
+    sub-millisecond calls, which dominated wall-clock in v0). Term runs
+    inside the group are found with vectorized numpy boundary detection
+    after one lexsort. Group size stays bounded: it is the postings of
+    one term-hash bucket restricted to one doc range.
     """
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, range_id = key[0], int(key[1])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        bucket, range_id = int(key[0]), int(key[1])
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((docs, terms))
+        terms = terms[order]
+        docs = docs[order].astype(np.uint64)
         tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
         dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
-        n = len(doc_ids)
         w = bm25.tf_weight_np(tfs, dls, avgdl)
-
-        n_blocks = math.ceil(n / BLOCK_SIZE)
-        doc_parts, tf_parts, dl_parts = [], [], []
-        b_first, b_last, b_counts = [], [], []
-        b_doc_off, b_tf_off, b_dl_off, b_max = [], [], [], []
-        doc_off = tf_off = dl_off = 0
-        for bi in range(n_blocks):
-            s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
-            db = varint_encode(delta_encode(doc_ids[s:e]))
-            tb = varint_encode(tfs[s:e])
-            lb = varint_encode(dls[s:e])
-            b_doc_off.append(doc_off)
-            b_tf_off.append(tf_off)
-            b_dl_off.append(dl_off)
-            b_first.append(int(doc_ids[s]))
-            b_last.append(int(doc_ids[e - 1]))
-            b_counts.append(e - s)
-            b_max.append(float(w[s:e].max()))
-            doc_parts.append(db)
-            tf_parts.append(tb)
-            dl_parts.append(lb)
-            doc_off += len(db)
-            tf_off += len(tb)
-            dl_off += len(lb)
-
-        row = {
-            "term": term,
-            "bucket": int(pdf["bucket"].iloc[0]),
-            "range_id": range_id,
-            "n_postings": n,
-            "first_doc": int(doc_ids[0]),
-            "last_doc": int(doc_ids[-1]),
-            "doc_bytes": b"".join(doc_parts),
-            "tf_bytes": b"".join(tf_parts),
-            "dl_bytes": b"".join(dl_parts),
-            "block_first_docs": b_first,
-            "block_last_docs": b_last,
-            "block_counts": b_counts,
-            "block_doc_offsets": b_doc_off,
-            "block_tf_offsets": b_tf_off,
-            "block_dl_offsets": b_dl_off,
-            "block_max_w": b_max,
-            "max_w": float(w.max()),
-        }
-        return pd.DataFrame([row])
+        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(terms)]))
+        rows = [
+            _encode_one(
+                terms[s], bucket, range_id,
+                docs[s:e], tfs[s:e], dls[s:e], w[s:e],
+            )
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame(rows)
 
     return encode
 
@@ -265,7 +284,6 @@ class IndexBuilder:
 
         # segments per bucket group — shuffle 3, checkpointable
         encoder = _make_encoder(avgdl, self.n_buckets)
-        group_of = lambda b: b % self.n_jobs  # noqa: E731
         for g in range(self.n_jobs):
             gname = f"group_{g}"
             if gname in completed:
@@ -274,7 +292,7 @@ class IndexBuilder:
                 F.pmod(F.col("bucket"), F.lit(self.n_jobs)) == g
             )
             seg = (
-                part.groupBy("term", "range_id")
+                part.groupBy("bucket", "range_id")
                 .applyInPandas(encoder, schema=SEGMENT_SCHEMA)
                 .sortWithinPartitions("term")
             )

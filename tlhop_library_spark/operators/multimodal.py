@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extraction run as Arrow-batched kernels over
+``mapInPandas`` so one batch holds many payloads and heavy decoders
+amortize per batch. The decode itself is STUBBED in this container
+(no image/audio libs): ``decode_image_stub`` produces a deterministic
+fake (seeded by payload hash) with the real schema, partitioning and
+batch shape, and ``NotImplementedError`` marks where a real decoder
+(PIL/ffmpeg) plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload_sha", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+REAL_DECODE = False  # flip when a real decoder is available
+
+
+def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for a decoded-content feature vector."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return [round(float(x), 6) for x in rng.standard_normal(dim)]
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Where PIL.Image.open(BytesIO(payload)) would go."""
+    raise NotImplementedError(
+        "image decoding requires PIL/ffmpeg — not available in this "
+        "container; use extract_features (deterministic fake) instead"
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas featurizer: real plumbing, stubbed decode.
+
+    Batch shape: each pandas batch carries many payloads; a real
+    decoder would vectorize across the batch exactly like the fake.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "payload_bytes": payloads.map(len).astype("int64"),
+                    "feature": payloads.map(
+                        lambda b: _fake_feature(bytes(b), dim)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts).
+
+    The expensive decode stays in extract_features; this derives the
+    sampling grid JVM-side so the shuffle/explode cost is visible to
+    Catalyst and the decoder only sees the frames it must touch.
+    """
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def make_media_df(spark, n: int = 64, seed: int = 11) -> DataFrame:
+    """Deterministic synthetic media table (binary payloads + metadata)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.integers(16, 1920)) if kind == "image" else None,
+                int(rng.integers(16, 1080)) if kind == "image" else None,
+                int(rng.integers(1000, 60000)) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

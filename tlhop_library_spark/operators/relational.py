@@ -1,0 +1,159 @@
+"""Relational operator library — SURVEY.md §2 parity, Spark-first.
+
+Each function is the idiomatic declarative re-expression of a
+reference operator family (citations inline). All return DataFrames
+(pure logical-plan building; Catalyst owns the physical strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def frequency(df: DataFrame, col: str, top: int | None = None) -> DataFrame:
+    """A1 — groupBy().count() ordered desc
+    (ref /root/reference/tlhop/shodan_library.py:277-280). Deterministic
+    tie-break on the key for stable top-N."""
+    out = (
+        df.groupBy(col)
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc(col))
+    )
+    return out.limit(top) if top else out
+
+
+def top1_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, tie_col: str
+) -> DataFrame:
+    """W1 — row_number over (partitionBy group, orderBy desc) == 1
+    (ref /root/reference/tlhop/algorithms/vulnerability_assessment.py:233-250)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdf_pdf(df: DataFrame, col: str) -> DataFrame:
+    """A7 — distribution → PDF/CDF, fully distributed (the reference
+    pulls to pandas and cumsums on the driver,
+    /root/reference/tlhop/shodan_library.py:262-299 — the scale cliff
+    this engine avoids): value counts + running-sum window over the
+    count-ordered axis."""
+    counts = df.groupBy(col).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = (
+        Window.orderBy(F.asc(col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("pdf", F.round(F.col("n") / F.col("total"), 4))
+        .withColumn(
+            "cdf", F.round(F.sum("n").over(w) / F.col("total"), 4)
+        )
+        .select(col, "n", "pdf", "cdf")
+    )
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """P13 — single-pass per-column non-null counts
+    (ref /root/reference/tlhop/library.py:310-325)."""
+    aggs = [
+        F.sum(F.col(c).isNotNull().cast("long")).alias(c)
+        for c in df.columns
+    ]
+    return df.agg(*aggs)
+
+
+def explode_join_regroup(
+    fact: DataFrame,
+    array_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    group_key: str,
+) -> DataFrame:
+    """J2 — explode array → equi-join dim → regroup with sorted
+    collect_list (ref /root/reference/tlhop/algorithms/
+    vulnerability_assessment.py:144-152). Sorted re-nest keeps the
+    result deterministic (the reference's collect_list is not)."""
+    exploded = fact.select(
+        group_key, F.explode(array_col).alias(dim_key)
+    )
+    joined = exploded.join(dim, dim_key, "inner")
+    other = [c for c in dim.columns if c != dim_key]
+    return joined.groupBy(group_key).agg(
+        F.sort_array(F.collect_list(dim_key)).alias("matched_keys"),
+        F.count("*").alias("n_matches"),
+        *[F.sum(c).alias(f"sum_{c}") for c in other if c != dim_key],
+    )
+
+
+def efficient_join(
+    big: DataFrame, small: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J5 — the reference hand-rolls dynamic partition pruning by
+    collecting small-side keys into an isin filter
+    (/root/reference/tlhop/shodan_library.py:375-396). Spark does this
+    natively (DPP/AQE) when the join is declared plainly + the small
+    side is broadcast — so the idiomatic form IS the optimization."""
+    return big.join(F.broadcast(small), keys, "inner")
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """J7 — value BETWEEN lo AND hi against a small ranges dim
+    (ref /root/reference/tlhop/crawlers/rdap.py:187-272's IntervalTree,
+    re-expressed as a broadcast range join; for large dims, bucket both
+    sides by floor(value/step) first)."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(value_col) <= F.col(hi_col)
+    )
+    return facts.join(F.broadcast(ranges), cond, "inner")
+
+
+def semi_filter(df: DataFrame, keys_df: DataFrame, key: str) -> DataFrame:
+    """J6 — join-for-filter as a proper left_semi
+    (ref examples/tutorial_use_case_1.ipynb cell 14 uses inner)."""
+    return df.join(keys_df, key, "left_semi")
+
+
+def multi_distinct(df: DataFrame, group: str, cols: list[str]) -> DataFrame:
+    """A2 — several countDistinct in one agg (ref
+    /root/reference/tlhop/algorithms/vulnerability_assessment.py:195-200)."""
+    return df.groupBy(group).agg(
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        F.count("*").alias("n_rows"),
+    )
+
+
+def when_case_map(col: Column, mapping: list[tuple], default) -> Column:
+    """P10 — multi-branch when/otherwise chain
+    (ref /root/reference/tlhop/shodan_library.py:97-101)."""
+    out = None
+    for cond, val in mapping:
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(default)
+
+
+def pivot_counts(
+    df: DataFrame, row_key: Column, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """A10 — groupBy().pivot().count() with an explicit value list
+    (never let pivot scan for values at scale)."""
+    return (
+        df.groupBy(row_key.alias("row_key"))
+        .pivot(pivot_col, values)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

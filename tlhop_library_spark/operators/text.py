@@ -1,0 +1,160 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+Re-expressions of the reference's text pipeline (SURVEY.md §2.8) plus
+the training-data-pipeline text ops (language ID, quality scoring,
+token counting, fingerprinting). Everything is JVM-side builtins —
+whole-stage-codegen friendly, no Python on the hot path.
+
+Reference parity notes:
+- token counting ← get_sorted_tokens (/root/reference/tlhop/library.py:557-571)
+- language ID    ← language detection via lang attr + ISO mapping
+  (/root/reference/tlhop/library.py:407-483, shodan_library.py:118-131);
+  here a deterministic stopword-overlap n-gram heuristic instead of an
+  attribute regex (no HTML attrs in the driver table).
+- fingerprinting ← fingerprints.py's banner hashing, here an
+  order-insensitive md5 document fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.analyzer import tokens_col
+
+# Tiny deterministic per-language marker sets (frozen; shared w/ oracle)
+LANG_MARKERS = {
+    "en": ["the", "and", "for", "with", "that", "this", "from"],
+    "pt": ["que", "para", "com", "uma", "não", "por", "mais"],
+    "es": ["que", "para", "con", "una", "los", "por", "como"],
+    "de": ["der", "und", "die", "das", "mit", "von", "für"],
+}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_unique_tokens, avg_token_len)."""
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique_tokens"),
+        F.round(
+            F.when(
+                F.size("toks") > 0,
+                F.aggregate(
+                    F.transform("toks", lambda x: F.length(x).cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.size("toks"),
+            ).otherwise(F.lit(None)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score per doc.
+
+    Features are cheap JVM expressions: length, token count, unique
+    ratio, whitespace ratio, digit ratio. The composite is a frozen
+    linear formula so the oracle can replicate it exactly.
+    """
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "text",
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    n_chars = F.length("text")
+    n_tokens = F.size("toks")
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct("toks")) / n_tokens
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace("text", r"[0-9]", ""))) / n_chars,
+    ).otherwise(F.lit(0.0))
+    space_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace("text", r"\s", ""))) / n_chars,
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (
+        0.4 * len_score + 0.4 * uniq_ratio + 0.2 * (1.0 - digit_ratio)
+    )
+    return t.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("unique_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(space_ratio, 4).alias("space_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic stopword-overlap language guess.
+
+    (doc_id, lang_pred, lang_hits) — lang with the most marker-token
+    hits; ties and zero hits → 'und'. Tie-break: language code asc.
+    """
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    hit_cols = [
+        F.size(
+            F.array_intersect(
+                F.array_distinct("toks"),
+                F.array(*[F.lit(w) for w in words]),
+            )
+        ).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    t = t.select("doc_id", *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # iterate reversed so earlier (asc) languages win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return t.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (doc_id, fingerprint)."""
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    return t.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+        ).alias("fingerprint"),
+    )
+
+
+def lang_markers_sql_case(tokens_expr: str) -> str:
+    """DuckDB CASE expression mirroring lang_id (for oracles)."""
+    hits = {
+        lang: (
+            f"len(list_intersect(list_distinct({tokens_expr}), "
+            f"[{', '.join(repr(w) for w in words)}]))"
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {h} = __best AND __best > 0 THEN '{lang}'"
+        for lang, h in hits.items()
+    )
+    return hits, greatest, whens
