@@ -1,0 +1,145 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the engine's
+own index-build + indexed-BM25-query benchmark on the deterministic
+synthetic corpus, and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "index": {"build_docs_per_sec": ..., "query_p50_sec": ...}}
+
+The N-vs-4N scaling study (local[8] vs local[32]) is a separate,
+longer run: tools/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod
+from tlhop_library_spark.session import get_spark
+
+HEADLINE = [
+    "bm25_topk",
+    "bm25_topk_head",
+    "term_df",
+    "term_topk_freq",
+    "doc_lengths",
+    "token_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "q1_pricing_summary",
+    "top1_order_per_cust",
+    "nation_revenue",
+    "multi_distinct_orders",
+    "range_join_qty",
+    "pivot_events",
+    "hourly_events",
+    "semi_filter_customers",
+    "topn_orders",
+    "explode_regroup_docs",
+]
+
+BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+BENCH_QUERIES = [
+    ("bace cada", 10),
+    ("informação segurança", 10),
+    ("dadu cadi bace", 10),
+    ("tesa", 10),
+    ("bace cada dade lano", 20),
+    ("coração", 5),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        n = len(qs[name](spark, sf_dir).collect())
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    # index build + query benchmark on the deterministic corpus
+    import shutil
+    import tempfile
+
+    from tlhop_library_spark.corpus import write_corpus_parquet
+    from tlhop_library_spark.index import IndexReader, build_index
+
+    workdir = tempfile.mkdtemp(prefix="tlhop_bench_")
+    try:
+        corpus_path = os.path.join(workdir, "docs.parquet")
+        write_corpus_parquet(corpus_path, n_docs=BENCH_CORPUS_DOCS)
+        docs = spark.read.parquet(corpus_path)
+        t0 = time.time()
+        stats = build_index(
+            spark, docs, os.path.join(workdir, "idx"), n_jobs=2
+        )
+        build_sec = time.time() - t0
+        docs_per_sec = stats["n_docs"] / build_sec
+        per_query["index_build"] = round(build_sec, 3)
+        total += build_sec
+        print(
+            f"# index_build: {build_sec:.2f}s "
+            f"({docs_per_sec:.0f} docs/sec, {stats['n_docs']} docs)",
+            file=sys.stderr,
+        )
+
+        reader = IndexReader(spark, os.path.join(workdir, "idx"))
+        lat = []
+        reader.search("warmup", 10).collect()
+        for q, k in BENCH_QUERIES:
+            t0 = time.time()
+            reader.search(q, k).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        per_query["index_query_p50"] = round(p50, 3)
+        total += sum(lat)
+        print(f"# index_query latencies: {[round(x,2) for x in lat]}", file=sys.stderr)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_index_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "index": {
+                    "corpus_docs": stats["n_docs"],
+                    "build_docs_per_sec": round(docs_per_sec, 1),
+                    "query_p50_sec": round(p50, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
