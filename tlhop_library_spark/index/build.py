@@ -67,6 +67,7 @@ SEGMENT_SCHEMA = StructType(
         StructField("bucket", IntegerType()),
         StructField("range_id", IntegerType()),
         StructField("n_postings", LongType()),
+        StructField("sum_tf", LongType()),
         StructField("first_doc", LongType()),
         StructField("last_doc", LongType()),
         StructField("doc_bytes", BinaryType()),
@@ -115,6 +116,7 @@ def _encode_one(term, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
         "bucket": bucket,
         "range_id": range_id,
         "n_postings": n,
+        "sum_tf": int(tfs.sum()),
         "first_doc": int(doc_ids[0]),
         "last_doc": int(doc_ids[-1]),
         "doc_bytes": b"".join(doc_parts),
@@ -132,29 +134,49 @@ def _encode_one(term, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
 
 
 def _make_encoder(avgdl: float, n_buckets: int):
-    """applyInPandas kernel: one (bucket, range_id) group → one segment
-    row PER TERM in the group.
+    """applyInPandas kernel: one (bucket, range_id) group of RAW token
+    instances → one segment row PER TERM in the group.
+
+    Input rows are (term, doc_id, dl), one per token occurrence — tf is
+    computed here by run-length encoding the (term, doc_id)-sorted
+    group, so the build needs no (term, doc_id) pre-aggregation shuffle.
 
     Grouping at (bucket, range_id) granularity (not (term, range_id))
     keeps the number of Python invocations at n_buckets × n_ranges —
     a few hundred — instead of |vocab| × n_ranges (tens of thousands of
     sub-millisecond calls, which dominated wall-clock in v0). Term runs
     inside the group are found with vectorized numpy boundary detection
-    after one lexsort. Group size stays bounded: it is the postings of
-    one term-hash bucket restricted to one doc range.
+    after one lexsort. Group size stays bounded: it is the token
+    instances of one term-hash bucket restricted to one doc range.
     """
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket, range_id = int(key[0]), int(key[1])
-        terms = pdf["term"].to_numpy()
-        docs = pdf["doc_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((docs, terms))
-        terms = terms[order]
-        docs = docs[order].astype(np.uint64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
+        if len(pdf) == 0:
+            return pd.DataFrame([], columns=[f.name for f in SEGMENT_SCHEMA])
+        # factorize → int codes so the big lexsort never compares Python
+        # strings (6-7× faster than an object-dtype sort)
+        codes0, uniques = pd.factorize(pdf["term"])
+        docs0 = pdf["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((docs0, codes0))
+        codes0 = codes0[order]
+        docs0 = docs0[order]
+        dls0 = pdf["dl"].to_numpy()[order].astype(np.uint64)
+
+        # run-length: one posting per (term, doc_id) run; tf = run length
+        new_run = np.empty(len(codes0), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (codes0[1:] != codes0[:-1]) | (docs0[1:] != docs0[:-1])
+        run_starts = np.nonzero(new_run)[0]
+        run_ends = np.concatenate((run_starts[1:], [len(codes0)]))
+        codes = codes0[run_starts]
+        terms = np.asarray(uniques, dtype=object)[codes]
+        docs = docs0[run_starts].astype(np.uint64)
+        tfs = (run_ends - run_starts).astype(np.uint64)
+        dls = dls0[run_starts]
         w = bm25.tf_weight_np(tfs, dls, avgdl)
-        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+
+        change = np.nonzero(codes[1:] != codes[:-1])[0] + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(terms)]))
         rows = [
@@ -184,6 +206,11 @@ class IndexBuilder:
     ``n_buckets`` controls query-time file pruning; ``n_ranges`` is the
     salt width (doc-space shards); ``n_jobs`` is the checkpoint
     granularity (bucket groups written + manifested independently).
+    Tradeoff: each group job re-scans + re-tokenizes the corpus (cached
+    when it fits) and keeps 1/n_jobs of the tokens, so n_jobs=J costs
+    ~J× tokenize compute in exchange for J-way resume granularity.
+    Default 1 (fastest cold build; resume skips the whole segments job
+    when its manifest row exists).
     """
 
     def __init__(
@@ -192,7 +219,7 @@ class IndexBuilder:
         index_dir: str,
         n_buckets: int = 32,
         n_ranges: int | None = None,
-        n_jobs: int = 4,
+        n_jobs: int = 1,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -228,6 +255,14 @@ class IndexBuilder:
         """docs must carry (doc_id long, text string). Returns stats."""
         spark = self.spark
         t0 = time.time()
+        phases: dict[str, float] = {}
+        last = t0
+
+        def mark(name: str) -> None:
+            nonlocal last
+            now = time.time()
+            phases[name] = round(now - last, 3)
+            last = now
 
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -243,6 +278,7 @@ class IndexBuilder:
             F.sum("dl").alias("sum_dl"),
             F.max("doc_id").alias("max_doc"),
         ).collect()[0]
+        mark("tokenize_stats")
         n_docs, sum_dl, max_doc = row["n"], row["sum_dl"] or 0, row["max_doc"] or 0
         avgdl = float(sum_dl) / n_docs if n_docs else 0.0
         range_size = max(1, math.ceil((int(max_doc) + 1) / self.n_ranges))
@@ -254,14 +290,17 @@ class IndexBuilder:
             with_tokens.select("doc_id", "dl").write.mode("overwrite").parquet(
                 self.doclen_path
             )
+        mark("doc_lengths")
 
-        # (term, doc_id, tf, dl, bucket, range_id) — shuffle 1
-        postings = (
+        # raw token instances (term, doc_id, dl, bucket, range_id) —
+        # tf is computed INSIDE the encoder (run-length over the sorted
+        # group), so the whole build has exactly ONE shuffle: the
+        # groupBy(bucket, range_id) below. No (term, doc_id) pre-agg,
+        # no postings persist.
+        exploded = (
             with_tokens.select(
                 "doc_id", "dl", F.explode("tokens").alias("term")
             )
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
             .withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
@@ -270,25 +309,15 @@ class IndexBuilder:
                 "range_id",
                 (F.col("doc_id") / F.lit(range_size)).cast("int"),
             )
-            .persist()
         )
 
-        # dictionary — shuffle 2 (map-side partial agg)
-        if "dictionary" not in completed:
-            (
-                postings.groupBy("term", "bucket")
-                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-                .write.mode("overwrite")
-                .parquet(self.dict_path)
-            )
-
-        # segments per bucket group — shuffle 3, checkpointable
+        # segments per bucket group — the one shuffle, checkpointable
         encoder = _make_encoder(avgdl, self.n_buckets)
         for g in range(self.n_jobs):
             gname = f"group_{g}"
             if gname in completed:
                 continue
-            part = postings.where(
+            part = exploded.where(
                 F.pmod(F.col("bucket"), F.lit(self.n_jobs)) == g
             )
             seg = (
@@ -298,7 +327,25 @@ class IndexBuilder:
             )
             gdir = os.path.join(self.segments_path, f"bucket_group={g}")
             seg.write.mode("overwrite").parquet(gdir)
+            mark(f"segments_g{g}")
             self._append_manifest(g, gdir)
+            mark(f"manifest_g{g}")
+
+        # dictionary derived from the written segments: a column-pruned
+        # parquet read of (term, bucket, n_postings, sum_tf) only — no
+        # extra shuffle over raw postings
+        if "dictionary" not in completed:
+            (
+                spark.read.parquet(self.segments_path)
+                .groupBy("term", "bucket")
+                .agg(
+                    F.sum("n_postings").alias("df"),
+                    F.sum("sum_tf").alias("cf"),
+                )
+                .write.mode("overwrite")
+                .parquet(self.dict_path)
+            )
+        mark("dictionary")
 
         stats = {
             "analyzer": ANALYZER_VERSION,
@@ -313,11 +360,11 @@ class IndexBuilder:
             "n_jobs": self.n_jobs,
             "block_size": BLOCK_SIZE,
             "build_sec": time.time() - t0,
+            "phases": phases,
         }
         os.makedirs(self.index_dir, exist_ok=True)
         with open(self.stats_path, "w") as f:
             json.dump(stats, f, indent=2)
-        postings.unpersist()
         with_tokens.unpersist()
         return stats
 

@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # scan-parallelism floor: small local inputs (one parquet file)
+        # must still fan out across cores — the reference sets the same
+        # knob (shodan_dataset_manager.py:60-61, 6×parallelism)
+        .config("spark.sql.files.minPartitionNum", str(3 * shuffle_partitions))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
