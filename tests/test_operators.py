@@ -1,0 +1,173 @@
+"""Operator-library tests over driver testdata + synthetic corpus."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tlhop_library_spark.operators import (
+    dedup,
+    fingerprints,
+    multimodal,
+    relational,
+    similarity,
+)
+from tlhop_library_spark.operators import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_frequency_top(spark, docs):
+    out = relational.frequency(docs, "lang", top=3).collect()
+    assert len(out) == 3
+    assert out[0]["count"] >= out[1]["count"] >= out[2]["count"]
+
+
+def test_cdf_pdf_sums_to_one(spark, docs):
+    out = relational.cdf_pdf(docs, "lang").orderBy("lang").collect()
+    assert abs(sum(r["pdf"] for r in out) - 1.0) < 1e-2
+    assert abs(out[-1]["cdf"] - 1.0) < 1e-3
+
+
+def test_null_profile(spark, docs):
+    row = relational.null_profile(docs).collect()[0]
+    assert row["doc_id"] == docs.count()
+
+
+def test_top1_per_group_deterministic(spark, docs):
+    out = relational.top1_per_group(
+        docs.select("lang", "doc_id", "n_chars"), ["lang"], "n_chars", "doc_id"
+    )
+    pdf = out.toPandas()
+    assert pdf["lang"].is_unique
+
+
+def test_exact_dedup_consistency(spark, docs):
+    base = docs.where(F.col("text").isNotNull())
+    kept = dedup.dedup_exact(docs).count()
+    n_distinct_hash = base.select(F.md5("text")).distinct().count()
+    assert kept == n_distinct_hash
+
+
+def test_jaccard_pairs_symmetric_bounds(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.1 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_lsh_contains_exact_dups(spark):
+    # identical texts share all bands → must appear as candidates
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",
+                "totally different words here now folks",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cand = dedup.minhash_lsh_candidates(df, n=3).collect()
+    assert any(
+        r["doc_a"] == 1 and r["doc_b"] == 2 and r["n_bands"] == dedup.LSH_BANDS
+        for r in cand
+    )
+
+
+def test_simhash_identical_and_distinct(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta",
+                "alpha beta gamma delta",
+                "omega psi chi phi",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=0).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    first = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = similarity.cosine_topk(emb, [float(x) for x in first], k=3).collect()
+    assert out[0]["vec_id"] == 0
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_knn_join_matches_cosine_topk(spark, emb):
+    first = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    kn = similarity.knn_join(emb, [(7, first)], k=5).collect()
+    ct = similarity.cosine_topk(emb, first, k=5).collect()
+    assert [r["vec_id"] for r in kn] == [r["vec_id"] for r in ct]
+
+
+def test_lang_id_markers(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog ran for this house with that toy",
+                "não vou para casa com uma pessoa que por mais",
+                "xyzzy plugh foobar",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r["lang_pred"]
+        for r in text_ops.lang_id(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "pt"
+    assert out[3] == "und"
+
+
+def test_fingerprints_expr_vs_arrow(spark, docs):
+    pats = fingerprints.DEFAULT_PATTERNS
+    a = fingerprints.match_expr(
+        docs.select("doc_id", "text"), "text", pats
+    ).select("doc_id", "fingerprints")
+    b = fingerprints.match_arrow(docs, "text", pats)
+    pa = {
+        r["doc_id"]: sorted(x["name"] for x in r["fingerprints"])
+        for r in a.collect()
+    }
+    pb = {
+        r["doc_id"]: sorted(x["name"] for x in r["fingerprints"])
+        for r in b.collect()
+    }
+    assert pa == pb
+    assert any(pa.values())  # some docs match something
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.make_media_df(spark, 16)
+    f1 = multimodal.extract_features(media).orderBy("media_id").collect()
+    f2 = multimodal.extract_features(media).orderBy("media_id").collect()
+    assert [r["feature"] for r in f1] == [r["feature"] for r in f2]
+    assert all(r["payload_bytes"] > 0 for r in f1)
+
+
+def test_extension_accessor(spark, docs):
+    from tlhop_library_spark.extension import install
+
+    install()
+    out = docs.tlhop.frequency("lang", top=2).collect()
+    assert len(out) == 2
+    topk = docs.tlhop.bm25_topk("spark join", k=5).collect()
+    assert len(topk) == 5

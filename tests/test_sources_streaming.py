@@ -1,0 +1,147 @@
+"""Converter, catalog IO, and streaming tests."""
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tlhop_library_spark.sources.catalog import TableCatalog, read_csv, read_jsonl
+from tlhop_library_spark.sources.converter import convert_dump, normalize, read_dump
+from tlhop_library_spark.streaming.events import (
+    sessionize_batch,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def dump_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("dump") / "pages.jsonl"
+    rows = [
+        {
+            "url": f"https://ex{i}.test/p",
+            "warc_ts": f"2025-02-0{1 + i % 9} 10:0{i % 6}:00",
+            "html": f"<html><body><p>page {i} words here</p></body></html>",
+            "lang": "en",
+        }
+        for i in range(20)
+    ]
+    rows.append({"url": "", "warc_ts": "2025-02-01 00:00:00", "html": "x", "lang": ""})
+    rows.append({"url": "https://nots.test/", "warc_ts": None, "html": "y", "lang": "en"})
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def test_convert_dump_idempotent(spark, dump_path, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "warehouse"))
+    n1 = convert_dump(spark, dump_path, cat)
+    assert n1 == 20  # empty-url and null-ts rows dropped
+    n2 = convert_dump(spark, dump_path, cat)  # resume/idempotency
+    assert n2 == 0
+    out = cat.read("documents")
+    assert out.count() == 20
+    row = out.where(F.col("url") == "https://ex3.test/p").collect()[0]
+    assert row["text"] == "page 3 words here"
+    assert row["year"] == 2025
+    assert row["doc_id"] is not None
+
+
+def test_normalize_empty_to_null(spark, dump_path):
+    raw = read_dump(spark, dump_path)
+    assert raw.count() == 22
+    norm = normalize(raw)
+    assert norm.count() == 20
+    assert norm.columns[:6] == ["doc_id", "url", "warc_ts", "html", "text", "lang"]
+
+
+def test_read_dump_two_pass(spark, dump_path):
+    df = read_dump(spark, dump_path, fast_mode=False)
+    # two-pass demotes everything to string (strings-as-JSON escape hatch)
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+
+def test_catalog_partitioned_write_prunes(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    df = spark.range(100).withColumn("part", (F.col("id") % 4).cast("int"))
+    cat.write_partitioned(df, "t1", ["part"], mode="overwrite")
+    back = cat.read("t1").where(F.col("part") == 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 25
+    # partition filter must reach the scan (pruned directories)
+    assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_catalog_compact(spark, tmp_path):
+    import os
+
+    cat = TableCatalog(spark, str(tmp_path))
+    df = spark.range(1000).repartition(16)
+    cat.write_partitioned(df, "t2", [], mode="overwrite")
+    cat.compact("t2", target_files=2)
+    files = [f for f in os.listdir(tmp_path / "t2") if f.endswith(".parquet")]
+    assert len(files) <= 2
+    assert cat.read("t2").count() == 1000
+
+
+def test_read_csv_and_jsonl(spark, tmp_path):
+    csv = tmp_path / "x.csv"
+    csv.write_text("a;b\n1;x\n2;y\n# comment\n")
+    df = read_csv(spark, str(csv), sep=";", comment="#")
+    assert df.count() == 2
+    jl = tmp_path / "x.jsonl"
+    jl.write_text('{"a": 1}\n{"a": 2}\n')
+    assert read_jsonl(spark, str(jl)).count() == 2
+
+
+def test_windowed_counts_batch(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = windowed_counts(ev, window="1 hour")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    """Same op on a real stream: file source → memory sink."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        windowed_counts(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")  # requires the watermark path
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only closed windows; completeness is the batch
+    # test's job — here we assert the streaming plan runs end-to-end
+    assert spark.table("win_counts").columns == [
+        "window_start", "window_end", "event_type", "n", "sum_value"
+    ]
+
+
+def test_sessionize_batch(spark):
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",
+                    "2024-01-01 10:10:00",
+                    "2024-01-01 12:00:00",
+                    "2024-01-01 09:00:00",
+                ]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = sessionize_batch(spark.createDataFrame(pdf), gap_minutes=30)
+    rows = sorted(
+        [(r["user_id"], r["n_events"], r["total_value"]) for r in out.collect()]
+    )
+    assert rows == [(1, 1, 3.0), (1, 2, 3.0), (2, 1, 4.0)]

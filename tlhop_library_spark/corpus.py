@@ -173,8 +173,13 @@ CORPUS_ARROW_SCHEMA = pa.schema(
 
 
 def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
-    """Write the corpus as a single parquet file; returns path."""
+    """Write the corpus as a single parquet file; returns path.
+
+    Small row groups (4096 rows) so Spark can split the scan — a
+    single-row-group file serializes the whole tokenize stage into one
+    task (observed: 200k docs, zero scan parallelism at local[32]).
+    """
     cols = generate_corpus(n_docs, seed)
     table = pa.table(cols, schema=CORPUS_ARROW_SCHEMA)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=4096)
     return path

@@ -267,6 +267,13 @@ class IndexBuilder:
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), "text"
         ).where(F.col("text").isNotNull())
+        # scan-parallelism safety net: unsplittable inputs (one parquet
+        # row group, gzip json, ...) would serialize tokenization into a
+        # single task; one explicit up-front shuffle is far cheaper than
+        # an unparallelized scan. No-op on properly-split inputs.
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < parallelism:
+            docs = docs.repartition(2 * parallelism)
         with_tokens = docs.select(
             "doc_id", tokens_col(F.col("text")).alias("tokens")
         ).withColumn("dl", F.size("tokens"))

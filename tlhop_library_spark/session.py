@@ -40,9 +40,20 @@ def get_spark(
         # knob (shodan_dataset_manager.py:60-61, 6×parallelism)
         .config("spark.sql.files.minPartitionNum", str(3 * shuffle_partitions))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g sweet spot: ≥48g heaps trigger a severe GC/paging pathology
+        # in this sandbox's JVM at 32 threads (measured 4× slowdown)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle scratch on tmpfs when available — the sandbox's /tmp sits
+    # on a slow virtio disk that serializes the shuffle at high
+    # parallelism (on a real cluster this is per-executor local SSD)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark_local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
