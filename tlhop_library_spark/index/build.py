@@ -220,6 +220,7 @@ class IndexBuilder:
         n_buckets: int = 32,
         n_ranges: int | None = None,
         n_jobs: int = 1,
+        encode_parts: int | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -228,6 +229,7 @@ class IndexBuilder:
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
         self.n_jobs = n_jobs
+        self.encode_parts = encode_parts
 
     # -- paths ---------------------------------------------------------
     @property
@@ -318,8 +320,18 @@ class IndexBuilder:
             )
         )
 
-        # segments per bucket group — the one shuffle, checkpointable
-        encoder = _make_encoder(avgdl, self.n_buckets)
+        # segments per bucket group — the one shuffle, checkpointable.
+        # repartition pins (bucket, range_id) groups to partitions; the
+        # sort happens ONCE, JVM-side (Tungsten, spillable); the Arrow
+        # stream encoder never materializes term strings per row.
+        from tlhop_library_spark.index.encode_stream import (
+            make_stream_encoder,
+        )
+
+        encoder = make_stream_encoder(avgdl, SEGMENT_SCHEMA, _encode_one)
+        n_encode_parts = self.encode_parts or 4 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         for g in range(self.n_jobs):
             gname = f"group_{g}"
             if gname in completed:
@@ -328,9 +340,9 @@ class IndexBuilder:
                 F.pmod(F.col("bucket"), F.lit(self.n_jobs)) == g
             )
             seg = (
-                part.groupBy("bucket", "range_id")
-                .applyInPandas(encoder, schema=SEGMENT_SCHEMA)
-                .sortWithinPartitions("term")
+                part.repartition(n_encode_parts, "bucket", "range_id")
+                .sortWithinPartitions("bucket", "range_id", "term", "doc_id")
+                .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
             )
             gdir = os.path.join(self.segments_path, f"bucket_group={g}")
             seg.write.mode("overwrite").parquet(gdir)

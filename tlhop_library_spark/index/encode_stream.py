@@ -1,0 +1,138 @@
+"""Streaming Arrow posting encoder (mapInArrow).
+
+The v1 encoder (applyInPandas) paid for: Spark's implicit group sort,
+a second numpy lexsort in Python, and materializing every term as a
+Python string object (30M+ allocations per 200k docs) — all memory-
+bandwidth, which is precisely the scarce resource at high parallelism.
+
+v2 contract with the planner::
+
+    exploded.repartition(P, "bucket", "range_id")
+            .sortWithinPartitions("bucket", "range_id", "term", "doc_id")
+            .mapInArrow(make_stream_encoder(avgdl), SEGMENT_SCHEMA)
+
+- the ONE sort happens JVM-side (Tungsten binary format, spillable);
+- term comparison in Python uses Arrow dictionary indices (C++ kernel),
+  never materialized strings — only one string per posting RUN crosses
+  into Python (it is needed for the output row anyway);
+- a run spanning Arrow batch boundaries is carried forward, so memory
+  is bounded by the largest single (term, range) run, itself bounded
+  by range_size docs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tlhop_library_spark import bm25
+
+
+def _arrow_schema(spark_schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def make_stream_encoder(avgdl: float, spark_schema, encode_one,
+                        out_batch_rows: int = 512):
+    """Returns the mapInArrow function. `encode_one` is
+    build._encode_one (shared with v1 so both paths stay identical)."""
+    arrow_schema = _arrow_schema(spark_schema)
+
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out_rows: list[dict] = []
+        # carry: (bucket, range_id, term_str, docs, dls) of the
+        # unfinished tail run of the previous batch
+        carry = None
+
+        def flush_run(bucket, range_id, term, docs, dls):
+            # docs ascending; duplicates = same doc repeated tf times
+            n = len(docs)
+            if n == 0:
+                return
+            new_doc = np.empty(n, dtype=bool)
+            new_doc[0] = True
+            np.not_equal(docs[1:], docs[:-1], out=new_doc[1:])
+            starts = np.nonzero(new_doc)[0]
+            ends = np.concatenate((starts[1:], [n]))
+            uniq = docs[starts].astype(np.uint64)
+            tfs = (ends - starts).astype(np.uint64)
+            dlr = dls[starts].astype(np.uint64)
+            w = bm25.tf_weight_np(tfs, dlr, avgdl)
+            out_rows.append(
+                encode_one(term, int(bucket), int(range_id), uniq, tfs, dlr, w)
+            )
+
+        def maybe_yield(force=False):
+            if out_rows and (force or len(out_rows) >= out_batch_rows):
+                batch = pa.RecordBatch.from_pylist(
+                    [_normalize_row(r) for r in out_rows], schema=arrow_schema
+                )
+                out_rows.clear()
+                return batch
+            return None
+
+        for batch in batches:
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            r = batch.column("range_id").to_numpy(zero_copy_only=False)
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            dl = batch.column("dl").to_numpy(zero_copy_only=False)
+            term_col = batch.column("term")
+            dict_arr = pc.dictionary_encode(term_col)
+            if isinstance(dict_arr, pa.ChunkedArray):
+                dict_arr = dict_arr.combine_chunks()
+            idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+            n = len(b)
+            if n == 0:
+                continue
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (
+                (b[1:] != b[:-1]) | (r[1:] != r[:-1]) | (idx[1:] != idx[:-1])
+            )
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [n]))
+            # term string only at run boundaries
+            run_terms = term_col.take(pa.array(starts)).to_pylist()
+
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                key = (int(b[s]), int(r[s]), run_terms[i])
+                docs_se, dls_se = d[s:e], dl[s:e]
+                if carry is not None:
+                    if carry[0] == key:
+                        docs_se = np.concatenate((carry[1], docs_se))
+                        dls_se = np.concatenate((carry[2], dls_se))
+                        carry = None
+                    else:
+                        flush_run(carry[0][0], carry[0][1], carry[0][2],
+                                  carry[1], carry[2])
+                        carry = None
+                if i == len(starts) - 1:
+                    carry = (key, docs_se.copy(), dls_se.copy())
+                else:
+                    flush_run(key[0], key[1], key[2], docs_se, dls_se)
+            out = maybe_yield()
+            if out is not None:
+                yield out
+
+        if carry is not None:
+            flush_run(carry[0][0], carry[0][1], carry[0][2], carry[1], carry[2])
+        out = maybe_yield(force=True)
+        if out is not None:
+            yield out
+
+    return encode
+
+
+def _normalize_row(row: dict) -> dict:
+    # pa.RecordBatch.from_pylist needs plain python types for binary
+    out = dict(row)
+    for k in ("doc_bytes", "tf_bytes", "dl_bytes"):
+        v = out[k]
+        if not isinstance(v, bytes):
+            out[k] = bytes(v)
+    return out
