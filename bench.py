@@ -108,7 +108,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-        reader = IndexReader(spark, os.path.join(workdir, "idx"))
+        reader = IndexReader(spark, os.path.join(workdir, "idx")).cache()
         lat = []
         reader.search("warmup", 10).collect()
         for q, k in BENCH_QUERIES:
@@ -120,6 +120,15 @@ def main() -> None:
         per_query["index_query_p50"] = round(p50, 3)
         total += sum(lat)
         print(f"# index_query latencies: {[round(x,2) for x in lat]}", file=sys.stderr)
+
+        batch_in = [(i, q, k) for i, (q, k) in enumerate(BENCH_QUERIES)]
+        t0 = time.time()
+        reader.search_many(batch_in).collect()
+        batch_sec = time.time() - t0
+        per_query["index_query_batch"] = round(batch_sec, 3)
+        total += batch_sec
+        qps = len(BENCH_QUERIES) / batch_sec
+        print(f"# batch mode: {qps:.1f} queries/sec", file=sys.stderr)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -125,6 +125,20 @@ def test_index_stats(spark, index_dir, corpus):
         assert info[w][0] == n, w
 
 
+def test_search_many_equals_sequential(spark, index_dir, queries):
+    reader = IndexReader(spark, index_dir)
+    batch_in = [(i, q, k) for i, (q, k) in enumerate(queries)]
+    rows = reader.search_many(batch_in).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for i, (q, k) in enumerate(queries):
+        seq = _rows(reader.search(q, k))
+        assert sorted(got.get(i, [])) == sorted(seq), f"query={q!r}"
+
+
 def test_manifest_metrics(spark, index_dir):
     m = spark.read.parquet(f"{index_dir}/manifest")
     rows = m.collect()

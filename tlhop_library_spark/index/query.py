@@ -348,3 +348,78 @@ class IndexReader:
             .where(F.col("rank") <= k)
             .select("rank", "doc_id", "score")
         )
+
+    def cache(self) -> "IndexReader":
+        """Pin segments + dictionary in executor memory for a query
+        session (cold parquet reads dominate repeated-query latency)."""
+        self._segments = self._segments.persist()
+        self._dict = self._dict.persist()
+        return self
+
+    def search_many(
+        self, queries: list[tuple[int, str, int]], mode: str = "bmw"
+    ) -> DataFrame:
+        """Batch search: [(query_id, query_text, k)] → one Spark job
+        producing (query_id, rank, doc_id, score).
+
+        All queries' chunks are scanned in one pass (filter pushed as a
+        single term-set disjunction), scored per (query_id, range), then
+        top-k'd per query — amortizing job/scan overhead across the set.
+        """
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        per_q = {}
+        all_terms: set[str] = set()
+        for qid, text, k in queries:
+            terms = sorted(set(py_tokens(text)))
+            per_q[qid] = (terms, k)
+            all_terms.update(terms)
+        info = self.lookup_terms(sorted(all_terms))
+        empty = self.spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        idf_map = {t: bm25.idf(n_docs, df) for t, (df, _) in info.items()}
+        buckets = sorted({b for _, b in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(info))
+        ).withColumn("avgdl", F.lit(avgdl))
+        # fan out chunks to the queries that want them
+        q_of_term: dict[str, list[int]] = {}
+        for qid, (terms, _) in per_q.items():
+            for t in terms:
+                if t in info:
+                    q_of_term.setdefault(t, []).append(qid)
+        mapping = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in q_of_term]),
+            F.array(
+                *[
+                    F.array(*[F.lit(q) for q in qs])
+                    for qs in q_of_term.values()
+                ]
+            ),
+        )
+        fanned = seg.withColumn(
+            "query_id", F.explode(mapping.getItem(F.col("term")))
+        )
+        k_max = max(k for _, (_, k) in per_q.items())
+        scorer = _range_scorer(idf_map, k_max, mode)
+        local = fanned.groupBy("query_id", "range_id").applyInPandas(
+            lambda key, pdf: scorer((key[1],), pdf).assign(query_id=key[0]),
+            schema="doc_id long, score double, query_id long",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+        )
+        k_map = F.map_from_arrays(
+            F.array(*[F.lit(q) for q in per_q]),
+            F.array(*[F.lit(k) for _, (_, k) in per_q.items()]),
+        )
+        return ranked.where(
+            F.col("rank") <= k_map.getItem(F.col("query_id"))
+        ).select("query_id", "rank", "doc_id", "score")
