@@ -169,10 +169,10 @@ def test_resume_skips_completed_and_is_identical(
     b.build(corpus_df, resume=True)
 
     cold = spark.read.parquet(f"{index_dir}/segments").select(
-        "term", "range_id", "n_postings", "doc_bytes", "tf_bytes"
+        "tid", "range_id", "n_postings", "doc_bytes", "tf_bytes"
     )
     warm = spark.read.parquet(f"{d2}/segments").select(
-        "term", "range_id", "n_postings", "doc_bytes", "tf_bytes"
+        "tid", "range_id", "n_postings", "doc_bytes", "tf_bytes"
     )
     assert cold.exceptAll(warm).count() == 0
     assert warm.exceptAll(cold).count() == 0

@@ -66,13 +66,14 @@ def test_index_query_bucket_pruning(spark, index_dir):
     terms = ["bace"]
     info = reader.lookup_terms(terms)
     assert info
-    buckets = sorted({b for _, b in info.values()})
+    buckets = sorted({b for _, b, _ in info.values()})
+    tids = sorted({t for _, _, t in info.values()})
     seg = reader._segments.where(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
     )
     p = plan_of(seg)
     assert "PushedFilters" in p
-    assert "In(term" in p or "EqualTo(term" in p
+    assert "In(tid" in p or "EqualTo(tid" in p
 
 
 def test_whole_stage_codegen_on_relational(spark):
@@ -114,7 +115,8 @@ def test_build_single_wide_shuffle(spark, corpus_df, tmp_path):
     ).withColumn("dl", F.size("tokens"))
     exploded = (
         wt.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(8)).cast("int"))
+        .withColumn("tid", F.xxhash64("term"))
+        .withColumn("bucket", F.pmod(F.col("tid"), F.lit(8)).cast("int"))
         .withColumn("range_id", (F.col("doc_id") / F.lit(100)).cast("int"))
     )
     from tlhop_library_spark.index.build import (
@@ -124,8 +126,9 @@ def test_build_single_wide_shuffle(spark, corpus_df, tmp_path):
     from tlhop_library_spark.index.encode_stream import make_stream_encoder
 
     seg = (
-        exploded.repartition(16, "bucket", "range_id")
-        .sortWithinPartitions("bucket", "range_id", "term", "doc_id")
+        exploded.select("tid", "doc_id", "dl", "bucket", "range_id")
+        .repartition(16, "bucket", "range_id")
+        .sortWithinPartitions("bucket", "range_id", "tid", "doc_id")
         .mapInArrow(
             make_stream_encoder(100.0, SEGMENT_SCHEMA, _encode_one),
             schema=SEGMENT_SCHEMA,

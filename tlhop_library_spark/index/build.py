@@ -4,20 +4,25 @@ Dataflow (all shuffles explicit and skew-aware; design point 10^12 docs):
 
   docs(doc_id, text)
     │  JVM-side tokenize (analyzer v1) + dl            [no shuffle]
-    │  explode → (term, doc_id, dl)
-    ├─ groupBy(term, doc_id) → tf                      [shuffle 1: key
-    │     (term, doc_id) is skew-free even for head terms]
-    ├─ dictionary: groupBy(term) → df, cf              [shuffle 2: counts
-    │     only, map-side partial agg absorbs head-term volume]
-    └─ range_id = doc_id // range_size  ← THE SALT: a head term's
-       postings split across up to `n_ranges` groups, each a contiguous
-       doc_id range, so chunks concatenate into a globally sorted
-       posting list and block-max metadata stays doc-space aligned.
-       groupBy(term, range_id) → applyInPandas(encode)  [shuffle 3:
-       bounded group size ≤ range_size rows]
+    │  explode → (tid=xxhash64(term), doc_id, dl)      terms are
+    │     dictionary-encoded to int64 BEFORE the wide shuffle: ~30%
+    │     less shuffle volume and a fixed-width int sort instead of a
+    │     string sort (the memory-bandwidth hot spot); the (tid→term)
+    │     names table is vocabulary-sized, aggregated with map-side
+    │     combine, and collision-checked
+    ├─ range_id = doc_id // range_size  ← THE SALT: a head term's
+    │     postings split across up to `n_ranges` groups, each a
+    │     contiguous doc_id range, so chunks concatenate into a
+    │     globally sorted posting list and block-max metadata stays
+    │     doc-space aligned
+    └─ THE ONE WIDE SHUFFLE: repartition(P, bucket, range_id) →
+       sortWithinPartitions(bucket, range_id, tid, doc_id) [Tungsten]
+       → mapInArrow streaming encoder (tf by run-length; per-block
+       varint restart points + float64 block-max weights)
        → segment rows written as parquet partitioned by
-         bucket = pmod(xxhash64(term), n_buckets)  (query-time pruning),
-         sortWithinPartitions(term) for parquet min/max row-group skipping.
+         bucket = pmod(tid, n_buckets)  (query-time pruning),
+         sortWithinPartitions(tid) for parquet min/max row-group
+         skipping; queries prune on the int tid column.
 
 Segment-level checkpoint/resume: buckets are written in `n_jobs` groups;
 each completed group appends a manifest row (per-partition lineage +
@@ -63,7 +68,7 @@ BLOCK_SIZE = 128
 
 SEGMENT_SCHEMA = StructType(
     [
-        StructField("term", StringType()),
+        StructField("tid", LongType()),
         StructField("bucket", IntegerType()),
         StructField("range_id", IntegerType()),
         StructField("n_postings", LongType()),
@@ -85,7 +90,7 @@ SEGMENT_SCHEMA = StructType(
 )
 
 
-def _encode_one(term, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
+def _encode_one(tid, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
     """Encode one (term, range) posting run (already doc_id-sorted)."""
     n = len(doc_ids)
     n_blocks = math.ceil(n / BLOCK_SIZE)
@@ -112,7 +117,7 @@ def _encode_one(term, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
         tf_off += len(tb)
         dl_off += len(lb)
     return {
-        "term": term,
+        "tid": int(tid),
         "bucket": bucket,
         "range_id": range_id,
         "n_postings": n,
@@ -131,64 +136,6 @@ def _encode_one(term, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
         "block_max_w": b_max,
         "max_w": float(max(b_max)),
     }
-
-
-def _make_encoder(avgdl: float, n_buckets: int):
-    """applyInPandas kernel: one (bucket, range_id) group of RAW token
-    instances → one segment row PER TERM in the group.
-
-    Input rows are (term, doc_id, dl), one per token occurrence — tf is
-    computed here by run-length encoding the (term, doc_id)-sorted
-    group, so the build needs no (term, doc_id) pre-aggregation shuffle.
-
-    Grouping at (bucket, range_id) granularity (not (term, range_id))
-    keeps the number of Python invocations at n_buckets × n_ranges —
-    a few hundred — instead of |vocab| × n_ranges (tens of thousands of
-    sub-millisecond calls, which dominated wall-clock in v0). Term runs
-    inside the group are found with vectorized numpy boundary detection
-    after one lexsort. Group size stays bounded: it is the token
-    instances of one term-hash bucket restricted to one doc range.
-    """
-
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket, range_id = int(key[0]), int(key[1])
-        if len(pdf) == 0:
-            return pd.DataFrame([], columns=[f.name for f in SEGMENT_SCHEMA])
-        # factorize → int codes so the big lexsort never compares Python
-        # strings (6-7× faster than an object-dtype sort)
-        codes0, uniques = pd.factorize(pdf["term"])
-        docs0 = pdf["doc_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((docs0, codes0))
-        codes0 = codes0[order]
-        docs0 = docs0[order]
-        dls0 = pdf["dl"].to_numpy()[order].astype(np.uint64)
-
-        # run-length: one posting per (term, doc_id) run; tf = run length
-        new_run = np.empty(len(codes0), dtype=bool)
-        new_run[0] = True
-        new_run[1:] = (codes0[1:] != codes0[:-1]) | (docs0[1:] != docs0[:-1])
-        run_starts = np.nonzero(new_run)[0]
-        run_ends = np.concatenate((run_starts[1:], [len(codes0)]))
-        codes = codes0[run_starts]
-        terms = np.asarray(uniques, dtype=object)[codes]
-        docs = docs0[run_starts].astype(np.uint64)
-        tfs = (run_ends - run_starts).astype(np.uint64)
-        dls = dls0[run_starts]
-        w = bm25.tf_weight_np(tfs, dls, avgdl)
-
-        change = np.nonzero(codes[1:] != codes[:-1])[0] + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(terms)]))
-        rows = [
-            _encode_one(
-                terms[s], bucket, range_id,
-                docs[s:e], tfs[s:e], dls[s:e], w[s:e],
-            )
-            for s, e in zip(starts, ends)
-        ]
-        return pd.DataFrame(rows)
-
-    return encode
 
 
 class IndexBuilder:
@@ -239,6 +186,10 @@ class IndexBuilder:
     @property
     def dict_path(self):
         return os.path.join(self.index_dir, "dictionary")
+
+    @property
+    def names_path(self):
+        return os.path.join(self.index_dir, "term_names")
 
     @property
     def doclen_path(self):
@@ -301,24 +252,44 @@ class IndexBuilder:
             )
         mark("doc_lengths")
 
-        # raw token instances (term, doc_id, dl, bucket, range_id) —
-        # tf is computed INSIDE the encoder (run-length over the sorted
-        # group), so the whole build has exactly ONE shuffle: the
-        # groupBy(bucket, range_id) below. No (term, doc_id) pre-agg,
-        # no postings persist.
+        # raw token instances, dictionary-encoded to int64 BEFORE the
+        # wide shuffle (smaller rows, int sort) — tf is computed INSIDE
+        # the encoder (run-length over the sorted group), so the whole
+        # build has exactly ONE wide shuffle.
         exploded = (
             with_tokens.select(
                 "doc_id", "dl", F.explode("tokens").alias("term")
             )
+            .withColumn("tid", F.xxhash64("term"))
             .withColumn(
                 "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+                F.pmod(F.col("tid"), F.lit(self.n_buckets)).cast("int"),
             )
             .withColumn(
                 "range_id",
                 (F.col("doc_id") / F.lit(range_size)).cast("int"),
             )
         )
+
+        # (tid → term) names table: vocabulary-sized, map-side combined;
+        # collision check makes the 64-bit hash safe to rely on
+        if "term_names" not in completed:
+            names = exploded.select("tid", "term").distinct()
+            names.write.mode("overwrite").parquet(self.names_path)
+            names_back = spark.read.parquet(self.names_path)
+            collisions = (
+                names_back.groupBy("tid")
+                .agg(F.countDistinct("term").alias("n"))
+                .where(F.col("n") > 1)
+                .count()
+            )
+            if collisions:
+                raise RuntimeError(
+                    f"{collisions} xxhash64 term collisions — rebuild "
+                    "with a 128-bit term id (tid = xxhash64(term), "
+                    "xxhash64(reverse(term)))"
+                )
+        mark("term_names")
 
         # segments per bucket group — the one shuffle, checkpointable.
         # repartition pins (bucket, range_id) groups to partitions; the
@@ -340,9 +311,11 @@ class IndexBuilder:
                 F.pmod(F.col("bucket"), F.lit(self.n_jobs)) == g
             )
             seg = (
-                part.repartition(n_encode_parts, "bucket", "range_id")
-                .sortWithinPartitions("bucket", "range_id", "term", "doc_id")
+                part.select("tid", "doc_id", "dl", "bucket", "range_id")
+                .repartition(n_encode_parts, "bucket", "range_id")
+                .sortWithinPartitions("bucket", "range_id", "tid", "doc_id")
                 .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+                .sortWithinPartitions("tid")
             )
             gdir = os.path.join(self.segments_path, f"bucket_group={g}")
             seg.write.mode("overwrite").parquet(gdir)
@@ -350,17 +323,21 @@ class IndexBuilder:
             self._append_manifest(g, gdir)
             mark(f"manifest_g{g}")
 
-        # dictionary derived from the written segments: a column-pruned
-        # parquet read of (term, bucket, n_postings, sum_tf) only — no
-        # extra shuffle over raw postings
+        # dictionary derived from the written segments (column-pruned
+        # read of tid/bucket/n_postings/sum_tf) joined with the names
+        # table to restore term strings — both sides vocabulary-sized
         if "dictionary" not in completed:
-            (
+            seg_stats = (
                 spark.read.parquet(self.segments_path)
-                .groupBy("term", "bucket")
+                .groupBy("tid", "bucket")
                 .agg(
                     F.sum("n_postings").alias("df"),
                     F.sum("sum_tf").alias("cf"),
                 )
+            )
+            names = spark.read.parquet(self.names_path).select("tid", "term")
+            (
+                seg_stats.join(names, "tid")
                 .write.mode("overwrite")
                 .parquet(self.dict_path)
             )
@@ -392,7 +369,7 @@ class IndexBuilder:
         seg = self.spark.read.parquet(gdir)
         m = seg.agg(
             F.count("*").alias("n_chunks"),
-            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("tid").alias("n_terms"),
             F.sum("n_postings").alias("postings_written"),
             F.sum(F.octet_length("doc_bytes")
                   + F.octet_length("tf_bytes")

@@ -8,13 +8,13 @@ bandwidth, which is precisely the scarce resource at high parallelism.
 v2 contract with the planner::
 
     exploded.repartition(P, "bucket", "range_id")
-            .sortWithinPartitions("bucket", "range_id", "term", "doc_id")
+            .sortWithinPartitions("bucket", "range_id", "tid", "doc_id")
             .mapInArrow(make_stream_encoder(avgdl), SEGMENT_SCHEMA)
 
-- the ONE sort happens JVM-side (Tungsten binary format, spillable);
-- term comparison in Python uses Arrow dictionary indices (C++ kernel),
-  never materialized strings — only one string per posting RUN crosses
-  into Python (it is needed for the output row anyway);
+- terms arrive already dictionary-encoded as int64 ``tid`` (no Python
+  string ever materializes here);
+- the ONE sort happens JVM-side (Tungsten binary format, spillable) on
+  fixed-width int keys;
 - a run spanning Arrow batch boundaries is carried forward, so memory
   is bounded by the largest single (term, range) run, itself bounded
   by range_size docs.
@@ -26,7 +26,6 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from tlhop_library_spark import bm25
 
@@ -45,11 +44,11 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
 
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         out_rows: list[dict] = []
-        # carry: (bucket, range_id, term_str, docs, dls) of the
+        # carry: ((bucket, range_id, tid), docs, dls) of the
         # unfinished tail run of the previous batch
         carry = None
 
-        def flush_run(bucket, range_id, term, docs, dls):
+        def flush_run(bucket, range_id, tid, docs, dls):
             # docs ascending; duplicates = same doc repeated tf times
             n = len(docs)
             if n == 0:
@@ -64,7 +63,7 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
             dlr = dls[starts].astype(np.uint64)
             w = bm25.tf_weight_np(tfs, dlr, avgdl)
             out_rows.append(
-                encode_one(term, int(bucket), int(range_id), uniq, tfs, dlr, w)
+                encode_one(tid, int(bucket), int(range_id), uniq, tfs, dlr, w)
             )
 
         def maybe_yield(force=False):
@@ -81,26 +80,20 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
             r = batch.column("range_id").to_numpy(zero_copy_only=False)
             d = batch.column("doc_id").to_numpy(zero_copy_only=False)
             dl = batch.column("dl").to_numpy(zero_copy_only=False)
-            term_col = batch.column("term")
-            dict_arr = pc.dictionary_encode(term_col)
-            if isinstance(dict_arr, pa.ChunkedArray):
-                dict_arr = dict_arr.combine_chunks()
-            idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+            tid = batch.column("tid").to_numpy(zero_copy_only=False)
             n = len(b)
             if n == 0:
                 continue
             change = np.empty(n, dtype=bool)
             change[0] = True
             change[1:] = (
-                (b[1:] != b[:-1]) | (r[1:] != r[:-1]) | (idx[1:] != idx[:-1])
+                (b[1:] != b[:-1]) | (r[1:] != r[:-1]) | (tid[1:] != tid[:-1])
             )
             starts = np.nonzero(change)[0]
             ends = np.concatenate((starts[1:], [n]))
-            # term string only at run boundaries
-            run_terms = term_col.take(pa.array(starts)).to_pylist()
 
             for i, (s, e) in enumerate(zip(starts, ends)):
-                key = (int(b[s]), int(r[s]), run_terms[i])
+                key = (int(b[s]), int(r[s]), int(tid[s]))
                 docs_se, dls_se = d[s:e], dl[s:e]
                 if carry is not None:
                     if carry[0] == key:

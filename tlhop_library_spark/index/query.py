@@ -179,7 +179,7 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
         blocks = []
         for ri in range(len(pdf)):
             row = pdf.iloc[ri]
-            idf = idf_map[row["term"]]
+            idf = idf_map[row["tid"]]
             bmax = row["block_max_w"]
             for bi in range(len(bmax)):
                 blocks.append((idf * float(bmax[bi]), ri, bi))
@@ -203,7 +203,7 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
             for ub, ri, bi in blocks:
                 row = pdf.iloc[ri]
                 docs, tfs, dls = _decode_block(row, bi)
-                w = bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[row["term"]]
+                w = bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[row["tid"]]
                 parts_d.append(docs)
                 parts_s.append(w)
             if not parts_d:
@@ -233,7 +233,7 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
         # Scores of C are then exact, and every non-candidate is provably
         # below the final k-th score → exact top-k with exact scores.
         blocks.sort(key=lambda x: -x[0])
-        terms_in_range = pdf["term"].tolist()
+        terms_in_range = pdf["tid"].tolist()
         remaining: dict[str, list[float]] = {}
         for ub, ri, bi in blocks:
             remaining.setdefault(terms_in_range[ri], []).append(ub)
@@ -312,14 +312,14 @@ class IndexReader:
         self._dict = spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
 
-    def lookup_terms(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term → (df, bucket); parquet filter pushdown on term."""
+    def lookup_terms(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
+        """term → (df, bucket, tid); parquet filter pushdown on term."""
         rows = (
             self._dict.where(F.col("term").isin(terms))
-            .select("term", "df", "bucket")
+            .select("term", "df", "bucket", "tid")
             .collect()
         )
-        return {r["term"]: (r["df"], r["bucket"]) for r in rows}
+        return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
 
     def search(self, query_text: str, k: int = 10, mode: str = "bmw") -> DataFrame:
         """Returns (rank int, doc_id long, score double), rank ≤ k."""
@@ -332,10 +332,13 @@ class IndexReader:
             return empty
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]
-        idf_map = {t: bm25.idf(n_docs, df) for t, (df, _) in info.items()}
-        buckets = sorted({b for _, b in info.values()})
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted(idf_map)
         seg = self._segments.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(list(info))
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
         ).withColumn("avgdl", F.lit(avgdl))
         scorer = _range_scorer(idf_map, k, mode)
         local = seg.groupBy("range_id").applyInPandas(
@@ -380,28 +383,31 @@ class IndexReader:
         )
         if not info:
             return empty
-        idf_map = {t: bm25.idf(n_docs, df) for t, (df, _) in info.items()}
-        buckets = sorted({b for _, b in info.values()})
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
         seg = self._segments.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(list(info))
+            F.col("bucket").isin(buckets)
+            & F.col("tid").isin(sorted(idf_map))
         ).withColumn("avgdl", F.lit(avgdl))
         # fan out chunks to the queries that want them
-        q_of_term: dict[str, list[int]] = {}
+        q_of_tid: dict[int, list[int]] = {}
         for qid, (terms, _) in per_q.items():
             for t in terms:
                 if t in info:
-                    q_of_term.setdefault(t, []).append(qid)
+                    q_of_tid.setdefault(info[t][2], []).append(qid)
         mapping = F.map_from_arrays(
-            F.array(*[F.lit(t) for t in q_of_term]),
+            F.array(*[F.lit(t) for t in q_of_tid]),
             F.array(
                 *[
                     F.array(*[F.lit(q) for q in qs])
-                    for qs in q_of_term.values()
+                    for qs in q_of_tid.values()
                 ]
             ),
         )
         fanned = seg.withColumn(
-            "query_id", F.explode(mapping.getItem(F.col("term")))
+            "query_id", F.explode(mapping.getItem(F.col("tid")))
         )
         k_max = max(k for _, (_, k) in per_q.items())
         scorer = _range_scorer(idf_map, k_max, mode)
