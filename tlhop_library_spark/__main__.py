@@ -1,0 +1,98 @@
+"""CLI entry for spark-submit runs.
+
+    spark-submit --py-files tlhop.zip -m ...   (or)
+    spark-submit --py-files tlhop.zip cli.py build --docs ... --index ...
+
+Subcommands:
+    gen     — write the deterministic corpus parquet
+    build   — build (or resume) an index over a documents table
+    search  — run BM25 top-k against a built index
+    bench   — one-line JSON build+query benchmark (see bench.py for the
+              driver-contract variant)
+    report  — corpus report suite
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tlhop_library_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=10000)
+    g.add_argument("--seed", type=int, default=42)
+
+    b = sub.add_parser("build")
+    b.add_argument("--docs", required=True, help="documents parquet/table path")
+    b.add_argument("--index", required=True)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--ranges", type=int, default=None)
+    b.add_argument("--jobs", type=int, default=1)
+    b.add_argument("--resume", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", choices=["bmw", "exhaustive"], default="bmw")
+
+    r = sub.add_parser("report")
+    r.add_argument("--docs", required=True)
+    r.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from tlhop_library_spark.corpus import write_corpus_parquet
+
+        write_corpus_parquet(args.out, args.docs, args.seed)
+        print(json.dumps({"written": args.out, "docs": args.docs}))
+        return 0
+
+    from tlhop_library_spark.session import get_spark
+
+    spark = get_spark("tlhop-cli")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "build":
+        from tlhop_library_spark.index.build import IndexBuilder
+
+        docs = spark.read.parquet(args.docs)
+        t0 = time.time()
+        stats = IndexBuilder(
+            spark, args.index, n_buckets=args.buckets,
+            n_ranges=args.ranges, n_jobs=args.jobs,
+        ).build(docs, resume=args.resume)
+        stats["docs_per_sec"] = round(stats["n_docs"] / (time.time() - t0), 1)
+        print(json.dumps(stats))
+    elif args.cmd == "search":
+        from tlhop_library_spark.index.query import IndexReader
+
+        reader = IndexReader(spark, args.index)
+        rows = reader.search(args.query, args.k, mode=args.mode).collect()
+        print(
+            json.dumps(
+                [
+                    {"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
+                    for r in rows
+                ]
+            )
+        )
+    elif args.cmd == "report":
+        from tlhop_library_spark.reports import CorpusReport
+
+        docs = spark.read.parquet(args.docs)
+        out = CorpusReport(spark, args.out).run_all(docs)
+        print(json.dumps({k: v.count() for k, v in out.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -146,6 +146,44 @@ def when_case_map(col: Column, mapping: list[tuple], default) -> Column:
     return out.otherwise(default)
 
 
+def prefix_match_join(
+    facts: DataFrame,
+    fact_key: str,
+    patterns: DataFrame,
+    pattern_col: str,
+    sep: str = ":",
+    max_depth: int = 6,
+) -> DataFrame:
+    """J9 — prefix-containment join without a theta join.
+
+    The reference matches CPE identifiers by prefix containment inside
+    a scalar UDF over a crossed array (/root/reference/tlhop/library.py:
+    870-923). Scalable re-expression: explode each fact key into its
+    `sep`-separated prefixes (bounded by max_depth) and equi-join the
+    pattern table on the prefix — shuffle key = prefix, no cross
+    product, AQE handles hot prefixes.
+
+    Returns facts ⋈ patterns rows where `pattern_col` is a prefix of
+    `fact_key` (on separator boundaries).
+    """
+    idx = F.sequence(F.lit(1), F.least(
+        F.size(F.split(F.col(fact_key), sep)), F.lit(max_depth)
+    ))
+    prefixes = F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(F.split(F.col(fact_key), sep), 1, i), sep
+        ),
+    )
+    exploded = facts.withColumn("__prefix", F.explode(prefixes))
+    return (
+        exploded.join(
+            patterns, exploded["__prefix"] == patterns[pattern_col], "inner"
+        )
+        .drop("__prefix")
+    )
+
+
 def pivot_counts(
     df: DataFrame, row_key: Column, pivot_col: str, values: list[str]
 ) -> DataFrame:

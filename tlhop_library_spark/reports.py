@@ -1,0 +1,121 @@
+"""Corpus report suite — the reference's batch-report lifecycle.
+
+Parity with ``ShodanVulnerabilitiesBanners`` (/root/reference/tlhop/
+algorithms/vulnerability_assessment.py:58-491): a compute step builds
+an enriched intermediate table once, then saved-query methods derive
+report tables from it, each written coalesced. Differences by design:
+
+- no driver-side pandas finishing (the reference's `gen_query_*` pull
+  collected results; here every report reduces distributively);
+- explicit small `coalesce` only on the final, already-small outputs
+  (the reference's `repartition(k*cores)` mid-plan tuning is left to
+  AQE).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.analyzer import tokens_col
+from tlhop_library_spark.operators import dedup, relational
+from tlhop_library_spark.operators import text as text_ops
+
+
+class CorpusReport:
+    """compute_base() once → gen_* report tables (parquet outputs)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+
+    def _write(self, df: DataFrame, name: str, n_files: int = 1) -> DataFrame:
+        df.coalesce(n_files).write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, name)
+        )
+        return self.spark.read.parquet(os.path.join(self.out_dir, name))
+
+    def compute_base(self, docs: DataFrame) -> DataFrame:
+        """Enriched per-doc table (the reference's converted+joined
+        intermediate, vulnerability_assessment.py:97-163)."""
+        base = (
+            docs.where(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                "lang",
+                tokens_col(F.col("text")).alias("toks"),
+                F.md5("text").alias("text_hash"),
+            )
+            .withColumn("dl", F.size("toks"))
+            .withColumn("n_unique", F.size(F.array_distinct("toks")))
+        )
+        return self._write(base, "base", n_files=4)
+
+    # -- saved queries (each reads the base back, like the reference) --
+    def gen_summary(self) -> DataFrame:
+        base = self.spark.read.parquet(os.path.join(self.out_dir, "base"))
+        out = base.agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_distinct_texts"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("dl"), 4).alias("avg_dl"),
+            F.min("dl").alias("min_dl"),
+            F.max("dl").alias("max_dl"),
+        )
+        return self._write(out, "summary")
+
+    def gen_lang_distribution(self) -> DataFrame:
+        base = self.spark.read.parquet(os.path.join(self.out_dir, "base"))
+        return self._write(relational.cdf_pdf(base, "lang"), "lang_dist")
+
+    def gen_top_terms(self, top: int = 100) -> DataFrame:
+        base = self.spark.read.parquet(os.path.join(self.out_dir, "base"))
+        counts = (
+            base.select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc("n"), F.asc("term"))
+        out = (
+            counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= top)
+        )
+        return self._write(out, "top_terms")
+
+    def gen_dup_summary(self) -> DataFrame:
+        base = self.spark.read.parquet(os.path.join(self.out_dir, "base"))
+        groups = (
+            base.groupBy("text_hash")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep"))
+        )
+        out = groups.agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias(
+                "n_dup_groups"
+            ),
+            F.sum(F.col("n") - 1).alias("n_redundant_docs"),
+        )
+        return self._write(out, "dup_summary")
+
+    def gen_quality_histogram(self, docs: DataFrame) -> DataFrame:
+        q = text_ops.quality_score(docs)
+        out = (
+            q.withColumn("bin", F.floor(F.col("quality") * 10).cast("int"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+        return self._write(out, "quality_hist")
+
+    def run_all(self, docs: DataFrame) -> dict[str, DataFrame]:
+        self.compute_base(docs)
+        return {
+            "summary": self.gen_summary(),
+            "lang_dist": self.gen_lang_distribution(),
+            "top_terms": self.gen_top_terms(),
+            "dup_summary": self.gen_dup_summary(),
+            "quality_hist": self.gen_quality_histogram(docs),
+        }
