@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _QV, k=20
     )
 
+    q["embedding_near_dup"] = lambda s, d: similarity.embedding_near_dup_exact(
+        _t(s, d, "embeddings"), threshold=0.5
+    )
+
     # ---- relational (SURVEY §2 parity over TPC-H-ish tables) ----
     def q1(s, d):
         li = _t(s, d, "lineitem")
@@ -597,6 +601,18 @@ WITH scored AS (
 SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
        vec_id, cosine
 FROM scored QUALIFY rank <= 20
+"""
+
+    o["embedding_near_dup"] = """
+WITH norm AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vid AS vec_a, b.vid AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+FROM norm a JOIN norm b ON a.vid < b.vid
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.5
 """
 
     o["q1_pricing_summary"] = """

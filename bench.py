@@ -50,6 +50,9 @@ HEADLINE = [
     "semi_filter_customers",
     "topn_orders",
     "explode_regroup_docs",
+    "sessionize_events",
+    "corr_lineitem",
+    "embedding_near_dup",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

@@ -130,6 +130,92 @@ def lsh_bucketed_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def embedding_near_dup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (vec_a, vec_b, cosine ≥ t).
+
+    Self-join + JVM cosine. Correctness baseline (oracle-checkable);
+    |n|² pair space — use the LSH variant beyond ~10^5 vectors.
+    """
+    norm = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = norm.alias("a")
+    b = norm.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: multi-table random-hyperplane LSH candidate pairs →
+    exact cosine verification. Candidate generation is |bucket|² per
+    bucket per table, never |n|²; recall grows with n_tables (a pair at
+    cosine c collides per table with prob (1 - acos(c)/π)^n_planes)."""
+    cands = None
+    for t in range(n_tables):
+        sig = hyperplane_signature(
+            embeddings, n_planes, dim, seed=7 + t,
+            vec_col=vec_col, id_col=id_col,
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    norm = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    na = norm.alias("na")
+    nb = norm.alias("nb")
+    return (
+        cands.join(na, F.col("vec_a") == F.col("na.vid"))
+        .join(nb, F.col("vec_b") == F.col("nb.vid"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("na.v"), F.col("nb.v"))
+                / (F.col("na.nrm") * F.col("nb.nrm")),
+                4,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def knn_join(
     items: DataFrame,
     queries: list[tuple[int, list[float]]],
