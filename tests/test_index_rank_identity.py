@@ -176,3 +176,33 @@ def test_resume_skips_completed_and_is_identical(
     )
     assert cold.exceptAll(warm).count() == 0
     assert warm.exceptAll(cold).count() == 0
+
+
+def test_bmw_pruning_engages_on_deep_chunks(spark, tmp_path):
+    """With one doc range (deepest chunks), the bmw scan must skip a
+    nonzero fraction of blocks on a high-df query, while staying
+    rank-identical to the exhaustive mode."""
+    from tlhop_library_spark.corpus import write_corpus_parquet
+
+    p = str(tmp_path / "docs8k.parquet")
+    write_corpus_parquet(p, n_docs=8000)
+    docs = spark.read.parquet(p)
+    d = str(tmp_path / "deep_idx")
+    IndexBuilder(spark, d, n_buckets=8, n_ranges=1).build(docs)
+    reader = IndexReader(spark, d)
+    # 'coração' is among the Zipf-head seeds → large df, deep chunks
+    q = "coração tesa"
+    bmw = _rows(reader.search(q, k=5, mode="bmw", with_pruning_stats=True))
+    stats = reader.last_pruning_stats()
+    ex = _rows(reader.search(q, k=5, mode="exhaustive"))
+    assert bmw == ex
+    assert stats["blocks_total"] > 50
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+
+
+def test_auto_mode_identical(spark, index_dir, queries):
+    reader = IndexReader(spark, index_dir)
+    for q, k in queries:
+        assert _rows(reader.search(q, k, mode="auto")) == _rows(
+            reader.search(q, k, mode="exhaustive")
+        ), q

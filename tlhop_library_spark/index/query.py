@@ -155,11 +155,17 @@ ORDER BY rank
 # ---------------------------------------------------------------------
 # Path 2: indexed reader
 # ---------------------------------------------------------------------
-def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
+def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
+                  acc_decoded=None, acc_total=None):
     """applyInPandas kernel: all chunks of the query terms for ONE
-    doc-range → local top-k (doc_id, score)."""
+    doc-range → local top-k (doc_id, score).
+
+    Optional accumulators count decoded vs total blocks — the BMW
+    pruning-effectiveness metric surfaced in bench/tests."""
 
     def _decode_block(row, bi):
+        if acc_decoded is not None:
+            acc_decoded.add(1)
         off_d = row["block_doc_offsets"]
         off_t = row["block_tf_offsets"]
         off_l = row["block_dl_offsets"]
@@ -183,6 +189,14 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
             bmax = row["block_max_w"]
             for bi in range(len(bmax)):
                 blocks.append((idf * float(bmax[bi]), ri, bi))
+        if acc_total is not None:
+            acc_total.add(len(blocks))
+
+        # auto: block-max pruning only pays when the range is deep
+        # enough that skipping beats the vectorized full scan
+        local_mode = mode
+        if mode == "auto":
+            local_mode = "bmw" if len(blocks) >= 64 else "exhaustive"
 
         empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float64"}
@@ -198,7 +212,7 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
                  "score": r[order]}
             )
 
-        if mode == "exhaustive":
+        if local_mode == "exhaustive":
             parts_d, parts_s = [], []
             for ub, ri, bi in blocks:
                 row = pdf.iloc[ri]
@@ -304,16 +318,44 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str):
 
 
 class IndexReader:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str,
+        preload_dictionary: int | None = 2_000_000,
+    ):
+        """``preload_dictionary``: pull the dictionary into driver
+        memory when it has at most this many terms (one parquet read
+        replaces a Spark job per query — at 1e8+-term scale pass None
+        and lookups stay pushdown-filtered Spark jobs)."""
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self._dict = spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+        self._dict_mem: dict[str, tuple[int, int, int]] | None = None
+        if preload_dictionary:
+            try:
+                import pyarrow.dataset as ds
+
+                tbl = ds.dataset(
+                    os.path.join(index_dir, "dictionary"), format="parquet"
+                ).to_table(columns=["term", "df", "bucket", "tid"])
+                if tbl.num_rows <= preload_dictionary:
+                    cols = [c.to_pylist() for c in tbl.columns]
+                    self._dict_mem = {
+                        t: (d, b, i)
+                        for t, d, b, i in zip(*cols)
+                    }
+            except Exception:
+                self._dict_mem = None
 
     def lookup_terms(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
-        """term → (df, bucket, tid); parquet filter pushdown on term."""
+        """term → (df, bucket, tid); driver-memory map when preloaded,
+        else a parquet read with filter pushdown on term."""
+        if self._dict_mem is not None:
+            return {
+                t: self._dict_mem[t] for t in terms if t in self._dict_mem
+            }
         rows = (
             self._dict.where(F.col("term").isin(terms))
             .select("term", "df", "bucket", "tid")
@@ -321,8 +363,14 @@ class IndexReader:
         )
         return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
 
-    def search(self, query_text: str, k: int = 10, mode: str = "bmw") -> DataFrame:
-        """Returns (rank int, doc_id long, score double), rank ≤ k."""
+    def search(
+        self, query_text: str, k: int = 10, mode: str = "auto",
+        with_pruning_stats: bool = False,
+    ) -> DataFrame:
+        """Returns (rank int, doc_id long, score double), rank ≤ k.
+
+        ``with_pruning_stats=True`` attaches accumulators; after the
+        query is collected, read ``reader.last_pruning_stats()``."""
         terms = sorted(set(py_tokens(query_text)))
         info = self.lookup_terms(terms)
         empty = self.spark.createDataFrame(
@@ -340,7 +388,12 @@ class IndexReader:
         seg = self._segments.where(
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
         ).withColumn("avgdl", F.lit(avgdl))
-        scorer = _range_scorer(idf_map, k, mode)
+        acc_d = acc_t = None
+        if with_pruning_stats:
+            sc = self.spark.sparkContext
+            acc_d, acc_t = sc.accumulator(0), sc.accumulator(0)
+            self._acc = (acc_d, acc_t)
+        scorer = _range_scorer(idf_map, k, mode, acc_d, acc_t)
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
@@ -352,6 +405,17 @@ class IndexReader:
             .select("rank", "doc_id", "score")
         )
 
+    def last_pruning_stats(self) -> dict:
+        """(blocks decoded, total blocks) of the last stats-enabled
+        search, after its action completed."""
+        acc_d, acc_t = self._acc
+        total = acc_t.value
+        return {
+            "blocks_decoded": acc_d.value,
+            "blocks_total": total,
+            "decode_fraction": acc_d.value / total if total else None,
+        }
+
     def cache(self) -> "IndexReader":
         """Pin segments + dictionary in executor memory for a query
         session (cold parquet reads dominate repeated-query latency)."""
@@ -360,7 +424,7 @@ class IndexReader:
         return self
 
     def search_many(
-        self, queries: list[tuple[int, str, int]], mode: str = "bmw"
+        self, queries: list[tuple[int, str, int]], mode: str = "auto"
     ) -> DataFrame:
         """Batch search: [(query_id, query_text, k)] → one Spark job
         producing (query_id, rank, doc_id, score).
