@@ -132,6 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
 
+    q["token_count_bpe"] = lambda s, d: text.token_count_bpe(
+        _t(s, d, "documents")
+    )
+
     # ---- dedup ----
     q["dedup_exact"] = lambda s, d: dedup.dedup_exact(_t(s, d, "documents"))
 
@@ -520,6 +524,13 @@ FROM h
     o["doc_fingerprint"] = f"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOKENS})), ' ')) AS fingerprint
+FROM documents WHERE text IS NOT NULL
+"""
+
+    o["token_count_bpe"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
 FROM documents WHERE text IS NOT NULL
 """
 

@@ -206,3 +206,25 @@ def test_auto_mode_identical(spark, index_dir, queries):
         assert _rows(reader.search(q, k, mode="auto")) == _rows(
             reader.search(q, k, mode="exhaustive")
         ), q
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_random_seed_corpora_rank_identity(spark, tmp_path, seed):
+    """FIXTURES §4 property check: on random seeded corpora,
+    index(query) ≡ numpy oracle."""
+    from tlhop_library_spark.corpus import generate_corpus, write_corpus_parquet
+
+    p = str(tmp_path / f"c{seed}.parquet")
+    write_corpus_parquet(p, n_docs=400, seed=seed)
+    corpus = generate_corpus(400, seed=seed)
+    docs = spark.read.parquet(p)
+    d = str(tmp_path / f"i{seed}")
+    IndexBuilder(spark, d, n_buckets=4, n_ranges=4).build(docs)
+    reader = IndexReader(spark, d)
+    # derive two queries from the corpus itself
+    toks = py_tokens(corpus["text"][10])[:3]
+    queries = [" ".join(toks), toks[0], "coração " + toks[-1]]
+    for q in queries:
+        got = _rows(reader.search(q, 10))
+        want = numpy_oracle(corpus, q, 10)
+        assert got == pytest.approx(want), f"seed={seed} q={q!r}"

@@ -55,6 +55,28 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the
+#: RE2-compatible subset — no lookahead — so the DuckDB oracle can run
+#: the identical pattern): letter runs, digit runs, punctuation runs,
+#: each with optional leading space.
+BPE_ISH_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace count vs the
+    BPE-ish pre-tokenizer count (JVM regexp_count, zero Python)."""
+    t = docs.where(F.col("text").isNotNull())
+    return t.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+", -1)).cast("long").alias(
+            "n_ws_tokens"
+        ),
+        F.regexp_count("text", F.lit(BPE_ISH_RE)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score per doc.
 
