@@ -113,12 +113,11 @@ def test_build_single_wide_shuffle(spark, corpus_df, tmp_path):
         F.col("doc_id").cast("long").alias("doc_id"),
         tokens_col(F.col("text")).alias("tokens"),
     ).withColumn("dl", F.size("tokens"))
-    exploded = (
-        wt.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .withColumn("tid", F.xxhash64("term"))
-        .withColumn("bucket", F.pmod(F.col("tid"), F.lit(8)).cast("int"))
-        .withColumn("range_id", (F.col("doc_id") / F.lit(100)).cast("int"))
-    )
+    exploded = wt.select(
+        "doc_id", "dl", F.explode("tokens").alias("term")
+    ).withColumn("tid", F.xxhash64("term"))
+    bucket_expr = F.pmod(F.col("tid"), F.lit(8)).cast("int")
+    range_expr = (F.col("doc_id") / F.lit(100)).cast("int")
     from tlhop_library_spark.index.build import (
         SEGMENT_SCHEMA,
         _encode_one,
@@ -126,11 +125,14 @@ def test_build_single_wide_shuffle(spark, corpus_df, tmp_path):
     from tlhop_library_spark.index.encode_stream import make_stream_encoder
 
     seg = (
-        exploded.select("tid", "doc_id", "dl", "bucket", "range_id")
-        .repartition(16, "bucket", "range_id")
-        .sortWithinPartitions("bucket", "range_id", "tid", "doc_id")
+        exploded.select("tid", "doc_id", "dl")
+        .repartition(16, bucket_expr, range_expr)
+        .sortWithinPartitions(bucket_expr, range_expr, "tid", "doc_id")
         .mapInArrow(
-            make_stream_encoder(100.0, SEGMENT_SCHEMA, _encode_one),
+            make_stream_encoder(
+                100.0, SEGMENT_SCHEMA, _encode_one,
+                n_buckets=8, range_size=100,
+            ),
             schema=SEGMENT_SCHEMA,
         )
     )

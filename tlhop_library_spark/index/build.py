@@ -255,21 +255,15 @@ class IndexBuilder:
         # raw token instances, dictionary-encoded to int64 BEFORE the
         # wide shuffle (smaller rows, int sort) — tf is computed INSIDE
         # the encoder (run-length over the sorted group), so the whole
-        # build has exactly ONE wide shuffle.
-        exploded = (
-            with_tokens.select(
-                "doc_id", "dl", F.explode("tokens").alias("term")
-            )
-            .withColumn("tid", F.xxhash64("term"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.col("tid"), F.lit(self.n_buckets)).cast("int"),
-            )
-            .withColumn(
-                "range_id",
-                (F.col("doc_id") / F.lit(range_size)).cast("int"),
-            )
-        )
+        # build has exactly ONE wide shuffle. bucket and range_id are
+        # pure functions of (tid, doc_id): they partition and sort as
+        # EXPRESSIONS but are never shuffled as columns (20 B/row vs
+        # 28 B — the shuffle is the scale bottleneck, SCALE_DESIGN.md).
+        exploded = with_tokens.select(
+            "doc_id", "dl", F.explode("tokens").alias("term")
+        ).withColumn("tid", F.xxhash64("term"))
+        bucket_expr = F.pmod(F.col("tid"), F.lit(self.n_buckets)).cast("int")
+        range_expr = (F.col("doc_id") / F.lit(range_size)).cast("int")
 
         # (tid → term) names table: vocabulary-sized, map-side combined;
         # collision check makes the 64-bit hash safe to rely on
@@ -299,7 +293,10 @@ class IndexBuilder:
             make_stream_encoder,
         )
 
-        encoder = make_stream_encoder(avgdl, SEGMENT_SCHEMA, _encode_one)
+        encoder = make_stream_encoder(
+            avgdl, SEGMENT_SCHEMA, _encode_one,
+            n_buckets=self.n_buckets, range_size=range_size,
+        )
         n_encode_parts = self.encode_parts or 4 * int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
@@ -308,12 +305,12 @@ class IndexBuilder:
             if gname in completed:
                 continue
             part = exploded.where(
-                F.pmod(F.col("bucket"), F.lit(self.n_jobs)) == g
+                F.pmod(bucket_expr, F.lit(self.n_jobs)) == g
             )
             seg = (
-                part.select("tid", "doc_id", "dl", "bucket", "range_id")
-                .repartition(n_encode_parts, "bucket", "range_id")
-                .sortWithinPartitions("bucket", "range_id", "tid", "doc_id")
+                part.select("tid", "doc_id", "dl")
+                .repartition(n_encode_parts, bucket_expr, range_expr)
+                .sortWithinPartitions(bucket_expr, range_expr, "tid", "doc_id")
                 .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
                 .sortWithinPartitions("tid")
             )

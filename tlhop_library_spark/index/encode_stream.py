@@ -37,9 +37,13 @@ def _arrow_schema(spark_schema):
 
 
 def make_stream_encoder(avgdl: float, spark_schema, encode_one,
+                        n_buckets: int = 32, range_size: int = 1,
                         out_batch_rows: int = 512):
     """Returns the mapInArrow function. `encode_one` is
-    build._encode_one (shared with v1 so both paths stay identical)."""
+    build._encode_one. bucket/range_id are DERIVED here from
+    (tid, doc_id) — they partition and sort upstream as expressions but
+    are never shuffled as columns (numpy `%` on int64 matches Spark
+    pmod for negative tids)."""
     arrow_schema = _arrow_schema(spark_schema)
 
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -76,24 +80,21 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
             return None
 
         for batch in batches:
-            b = batch.column("bucket").to_numpy(zero_copy_only=False)
-            r = batch.column("range_id").to_numpy(zero_copy_only=False)
             d = batch.column("doc_id").to_numpy(zero_copy_only=False)
             dl = batch.column("dl").to_numpy(zero_copy_only=False)
             tid = batch.column("tid").to_numpy(zero_copy_only=False)
-            n = len(b)
+            n = len(d)
             if n == 0:
                 continue
+            r = d // range_size
             change = np.empty(n, dtype=bool)
             change[0] = True
-            change[1:] = (
-                (b[1:] != b[:-1]) | (r[1:] != r[:-1]) | (tid[1:] != tid[:-1])
-            )
+            change[1:] = (r[1:] != r[:-1]) | (tid[1:] != tid[:-1])
             starts = np.nonzero(change)[0]
             ends = np.concatenate((starts[1:], [n]))
 
             for i, (s, e) in enumerate(zip(starts, ends)):
-                key = (int(b[s]), int(r[s]), int(tid[s]))
+                key = (int(tid[s]) % n_buckets, int(r[s]), int(tid[s]))
                 docs_se, dls_se = d[s:e], dl[s:e]
                 if carry is not None:
                     if carry[0] == key:
