@@ -1,0 +1,83 @@
+"""End-to-end demo: corpus → convert → index → query → dedup → report.
+
+Run locally:          PYTHONPATH=. python examples/demo.py
+Run on a cluster:     zip -r tlhop.zip tlhop_library_spark
+                      spark-submit --py-files tlhop.zip examples/demo.py
+"""
+
+import json
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.corpus import write_corpus_parquet
+from tlhop_library_spark.extension import install
+from tlhop_library_spark.index import IndexReader, build_index, score_exhaustive
+from tlhop_library_spark.operators import dedup, similarity
+from tlhop_library_spark.reports import CorpusReport
+from tlhop_library_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="tlhop_demo_")
+    print(f"workdir: {work}")
+
+    # 1. deterministic Common-Crawl-style corpus (url, warc_ts, html, text, lang)
+    corpus = f"{work}/documents.parquet"
+    write_corpus_parquet(corpus, n_docs=5000)
+    docs = spark.read.parquet(corpus)
+    print(f"corpus: {docs.count()} docs")
+
+    # 2. verify the extraction invariant on a sample (html -> text)
+    from tlhop_library_spark.extract import extract_text_udf
+
+    mismatches = (
+        docs.where(F.col("html").isNotNull())
+        .withColumn("extracted", extract_text_udf(F.col("html")))
+        .where(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    print(f"extraction byte-identity mismatches: {mismatches}")
+
+    # 3. build the inverted index (salted, block-max, varint)
+    t0 = time.time()
+    stats = build_index(spark, docs, f"{work}/idx")
+    print(
+        f"index built: {stats['n_docs'] / (time.time() - t0):.0f} docs/sec, "
+        f"phases={json.dumps(stats['phases'])}"
+    )
+
+    # 4. query: indexed block-max vs exhaustive (rank-identical)
+    reader = IndexReader(spark, f"{work}/idx").cache()
+    q = "informação segurança"
+    print(f"\ntop-5 for {q!r}:")
+    idx_rows = reader.search(q, k=5).collect()
+    for r in idx_rows:
+        print(f"  #{r['rank']}: doc {r['doc_id']} score {r['score']}")
+    ex_rows = score_exhaustive(docs, q, 5).collect()
+    assert [(r["doc_id"], r["score"]) for r in idx_rows] == [
+        (r["doc_id"], r["score"]) for r in ex_rows
+    ], "index and exhaustive paths disagree!"
+    print("  (identical to the exhaustive declarative scorer)")
+
+    # 5. the tlhop-style extension accessor
+    install()
+    print("\nlanguage frequency (df.tlhop.frequency):")
+    for r in docs.tlhop.frequency("lang", top=3).collect():
+        print(f"  {r['lang']}: {r['count']}")
+
+    # 6. dedup: exact + near-dup
+    n_exact = dedup.exact_dup_groups(docs).count()
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).count()
+    print(f"\nexact dup groups: {n_exact}; jaccard>=0.8 pairs: {pairs}")
+
+    # 7. corpus report suite
+    rep = CorpusReport(spark, f"{work}/report").run_all(docs)
+    print("\nreport summary:", rep["summary"].collect()[0].asDict())
+
+
+if __name__ == "__main__":
+    main()
