@@ -398,6 +398,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bucket_discount"] = bucket_discount
 
+    def asof_signup(s, d):
+        ev = _t(s, d, "events")
+        dim = (
+            ev.where(F.col("event_type") == "signup")
+            .select("user_id", "ts", F.col("value").alias("signup_value"))
+        )
+        facts = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        out = relational.asof_join(
+            facts, dim, key="user_id", ts_col="ts", dim_cols=["signup_value"]
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(F.coalesce("signup_value", F.lit(-1.0)), 4).alias(
+                "signup_value"
+            ),
+        )
+
+    q["asof_signup"] = asof_signup
+
     def lag_lead_events(s, d):
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         ev = _t(s, d, "events")
@@ -812,6 +835,16 @@ SELECT CASE WHEN l_discount IS NULL THEN NULL
             ELSE '0.0-0.1' END AS b,
        count(*) AS n
 FROM lineitem GROUP BY b
+"""
+
+    o["asof_signup"] = """
+SELECT f.event_id, f.user_id, round(f.value, 4) AS value,
+       round(coalesce(d.signup_value, -1.0), 4) AS signup_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') f
+ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events
+                WHERE event_type = 'signup') d
+  ON f.user_id = d.user_id AND f.ts >= d.ts
 """
 
     o["lag_lead_events"] = """

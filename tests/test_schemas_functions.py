@@ -133,3 +133,23 @@ def test_truncate_preview(spark):
     df = spark.createDataFrame([("x" * 1000,)], "s string")
     got = df.select(S.truncate_preview(F.col("s")).alias("t")).collect()[0]["t"]
     assert len(got) == 500
+
+
+def test_asof_join_semantics(spark):
+    from tlhop_library_spark.operators.relational import asof_join
+
+    facts = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 5, 50.0)],
+        "k int, ts int, fval double",
+    )
+    dim = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 9, "c")],
+        "k int, ts int, state string",
+    )
+    out = {
+        (r["k"], r["ts"]): r["state"]
+        for r in asof_join(facts, dim, "k", "ts", ["state"]).collect()
+    }
+    assert out[(1, 10)] == "a"   # same-instant dim visible (tie rule)
+    assert out[(1, 20)] == "b"   # latest dim <= ts
+    assert out[(2, 5)] is None   # no dim yet -> NULL

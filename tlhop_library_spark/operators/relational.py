@@ -146,6 +146,46 @@ def when_case_map(col: Column, mapping: list[tuple], default) -> Column:
     return out.otherwise(default)
 
 
+def asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """As-of join: each fact row gets the dim row with the greatest
+    dim.ts ≤ fact.ts for the same key (no dim match → NULLs).
+
+    Declarative composition (no range explosion, no per-row Python):
+    union the tagged sources, sort within the key by time, and
+    carry the last dim values forward with last(..., ignorenulls) over
+    an unbounded-preceding window — one shuffle on the key, linear
+    work, skew handled by AQE. (Spark lacks a native ASOF JOIN; DuckDB
+    has one, which the oracle uses — a cross-engine check of this
+    composition.) Ties on timestamp: the dim row sorts before the fact
+    row, so a same-instant dim value IS visible to the fact.
+    """
+    f = facts.withColumn("__src", F.lit(1))
+    d = dim.select(
+        key, ts_col, *[F.col(c).alias(f"__d_{c}") for c in dim_cols]
+    ).withColumn("__src", F.lit(0))
+    unioned = f.unionByName(d, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc(ts_col), F.asc("__src"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned
+    for c in dim_cols:
+        carried = carried.withColumn(
+            f"__d_{c}", F.last(f"__d_{c}", ignorenulls=True).over(w)
+        )
+    out = carried.where(F.col("__src") == 1).drop("__src")
+    for c in dim_cols:
+        out = out.withColumnRenamed(f"__d_{c}", c)
+    return out
+
+
 def prefix_match_join(
     facts: DataFrame,
     fact_key: str,

@@ -30,7 +30,7 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
         vals = []
         for v in row:
             if isinstance(v, float):
-                vals.append(round(v, 4))
+                vals.append(None if v != v else round(v, 4))
             elif hasattr(v, "isoformat"):
                 vals.append(v.isoformat())
             elif v is None or v != v:
