@@ -421,6 +421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_signup"] = asof_signup
 
+    q["rollup_events"] = lambda s, d: relational.time_rollup(
+        _t(s, d, "events"), "ts", "value"
+    )
+
     def lag_lead_events(s, d):
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         ev = _t(s, d, "events")
@@ -845,6 +849,17 @@ FROM (SELECT event_id, user_id, ts, value FROM events
 ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events
                 WHERE event_type = 'signup') d
   ON f.user_id = d.user_id AND f.ts >= d.ts
+"""
+
+    o["rollup_events"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(extract(hour FROM ts) AS INT) AS hour,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       CAST(grouping(strftime(date_trunc('day', ts), '%Y-%m-%d')) * 2
+            + grouping(CAST(extract(hour FROM ts) AS INT)) AS INT) AS grain
+FROM events
+GROUP BY ROLLUP (1, 2)
 """
 
     o["lag_lead_events"] = """

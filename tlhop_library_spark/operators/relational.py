@@ -146,6 +146,32 @@ def when_case_map(col: Column, mapping: list[tuple], default) -> Column:
     return out.otherwise(default)
 
 
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass produces
+    (day, hour[, group]) aggregates plus the day-level and grand
+    totals via ROLLUP — Catalyst expands the grouping sets, partial
+    aggregation keeps it a single shuffle. (The reference computes
+    each granularity as a separate job; SURVEY §2.4 notes it never
+    uses rollup/cube.) NULL grouping columns on subtotal rows follow
+    SQL semantics; `grain` disambiguates them from genuine NULLs."""
+    day = F.date_format(F.date_trunc("day", ts_col), "yyyy-MM-dd").alias("day")
+    hour = F.hour(ts_col).alias("hour")
+    cols = [day, hour] + ([F.col(group_col)] if group_col else [])
+    return (
+        df.rollup(*cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+            F.grouping_id().cast("int").alias("grain"),
+        )
+    )
+
+
 def asof_join(
     facts: DataFrame,
     dim: DataFrame,
