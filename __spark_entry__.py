@@ -35,6 +35,19 @@ import numpy as np  # noqa: E402
 _QV = [round(float(x), 6) for x in np.random.default_rng(123).standard_normal(64)]
 _QN = float(np.sqrt(sum(x * x for x in _QV)))
 
+#: deterministic KNN query set (query_id, 64-dim vector)
+_KNN_QUERIES = [
+    (i, [round(float(x), 6) for x in np.random.default_rng(500 + i).standard_normal(64)])
+    for i in range(3)
+]
+
+#: LSH parameters shared by the Spark queries and their oracles.
+#: 4 planes × 8 tables: per-table collision prob for cosine c is
+#: (1 - acos(c)/π)^4 (≈0.2 at c=0.5), so 8 tables give ~0.83 recall at
+#: the 0.5 gate threshold — and the known sf0.01 near-dup pair IS
+#: recalled, keeping the gate's verify path exercised end to end.
+_LSH_PLANES, _LSH_TABLES, _EMB_DIM = 4, 8, 64
+
 BM25_QUERY_1 = "spark join filter"
 BM25_QUERY_2 = "the"
 
@@ -93,12 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("term")
             .agg(F.count("*").alias("n"))
         )
-        w = Window.orderBy(F.desc("n"), F.asc("term"))
-        return (
-            counts.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= 20)
-            .select("rank", "term", "n")
-        )
+        return relational.ranked_topk(
+            counts, [F.desc("n"), F.asc("term")], 20
+        ).select("rank", "term", "n")
 
     q["term_topk_freq"] = term_topk_freq
 
@@ -152,8 +162,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), n=3, threshold=0.3
     )
 
+    # skew-guarded variant: boilerplate shingles (df > 50) dropped
+    # before the self-join — the at-scale shape (VERDICT r1 fix #2)
+    q["ngram_jaccard_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents"), n=3, threshold=0.3, max_shingle_df=50
+    )
+
     q["minhash_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_candidates(
         _t(s, d, "documents"), n=3
+    )
+
+    # rows-only gate (SimHash is not SQL-portable): exact pairs at
+    # Hamming ≤ 3 via 4-band pigeonhole join + popcount verify
+    q["simhash_pairs"] = lambda s, d: dedup.simhash_near_dup_pairs(
+        _t(s, d, "documents"), max_hamming=3
     )
 
     # ---- similarity search ----
@@ -161,8 +183,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _QV, k=20
     )
 
-    q["embedding_near_dup"] = lambda s, d: similarity.embedding_near_dup_exact(
-        _t(s, d, "embeddings"), threshold=0.5
+    # the SCALE path is the gated representative (round 2): multi-table
+    # hyperplane-LSH candidates → exact cosine verify, no driver
+    # collect anywhere in the plan; the collect-based exact variant is
+    # demoted to pytest-oracle duty (tests/test_similarity.py)
+    q["embedding_near_dup"] = lambda s, d: similarity.embedding_near_dup_lsh(
+        _t(s, d, "embeddings"),
+        threshold=0.5,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+        dim=_EMB_DIM,
+    )
+
+    q["lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
+        _t(s, d, "embeddings"), _QV, k=15, n_planes=_LSH_PLANES, seed=7,
+        multiprobe_hamming=1,
+    )
+
+    q["knn_join_topk"] = lambda s, d: similarity.knn_join(
+        _t(s, d, "embeddings"), _KNN_QUERIES, k=5
     )
 
     # ---- relational (SURVEY §2 parity over TPC-H-ish tables) ----
@@ -318,12 +357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semi_filter_customers"] = semi_filter_customers
 
     def topn_orders(s, d):
-        w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        return (
-            _t(s, d, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice")
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= 15)
+        return relational.ranked_topk(
+            _t(s, d, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            [F.desc("o_totalprice"), F.asc("o_orderkey")],
+            15,
         )
 
     q["topn_orders"] = topn_orders
@@ -354,6 +393,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sessionize_events"] = sessionized
+
+    def corr_matrix_lineitem(s, d):
+        """A9 full-parity: n×n Pearson matrix via VectorAssembler +
+        ml.stat.Correlation (reference shape:
+        /root/reference/tlhop/shodan_library.py:426-441), flattened to
+        upper-triangle (col_a, col_b, corr) rows. The matrix itself is
+        m×m (m = 4 columns) — collecting it is an aggregate result, not
+        a data pull."""
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.stat import Correlation
+
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        vec = (
+            VectorAssembler(inputCols=cols, outputCol="v")
+            .transform(_t(s, d, "lineitem").select(*cols))
+            .select("v")
+        )
+        m = Correlation.corr(vec, "v").head()[0].toArray()
+        rows = [
+            (cols[i], cols[j], round(float(m[i][j]), 4))
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+        return s.createDataFrame(
+            rows, "col_a string, col_b string, corr double"
+        )
+
+    q["corr_matrix_lineitem"] = corr_matrix_lineitem
+
+    def extract_html_info(s, d):
+        """Gates the HTML-extraction pipeline (extract.py — the
+        per-row byte-identity invariant) under the DuckDB oracle:
+        deterministic html is synthesized from `text` with SQL-
+        expressible escaping on BOTH sides, the real Arrow-batched
+        parser runs on the Spark side, and the oracle computes the
+        expected body/code lengths + meta description from the spec
+        (reference semantics: /root/reference/tlhop/library.py:494-537)."""
+        from tlhop_library_spark.extract import html_info_udf
+
+        esc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        )
+        html = F.concat(
+            F.lit('<html><head><meta name="description" content="synthetic doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('"/></head><body><p>'),
+            esc,
+            F.lit("</p><div> tail "),
+            F.col("doc_id").cast("string"),
+            F.lit(" </div></body></html>"),
+        )
+        docs = _t(s, d, "documents").where(F.col("text").isNotNull())
+        with_info = docs.select(
+            "doc_id", html_info_udf(html).alias("info")
+        )
+        return with_info.select(
+            "doc_id",
+            F.col("info.code_length").alias("code_length"),
+            F.col("info.body_length").alias("body_length"),
+            F.col("info.description").alias("description"),
+        )
+
+    q["extract_html_info"] = extract_html_info
 
     q["corr_lineitem"] = lambda s, d: _t(s, d, "lineitem").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
@@ -456,6 +564,22 @@ _TOKENS = (
 )
 
 
+def _sql_arr(vals) -> str:
+    """DuckDB DOUBLE[] literal from a float sequence."""
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+def _bucket_sql(planes, vexpr: str) -> str:
+    """DuckDB expression for the hyperplane sign-bucket of vector
+    `vexpr` — mirrors similarity.hyperplane_signature bit for bit."""
+    bits = [
+        f"(CASE WHEN list_dot_product({vexpr}, {_sql_arr(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -469,7 +593,7 @@ WITH tok AS (
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
 )
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
 """
 
     o["doc_lengths"] = f"""
@@ -598,6 +722,35 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
 """
 
+    o["ngram_jaccard_capped"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+"""
+
     o["minhash_lsh_pairs"] = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
@@ -641,16 +794,85 @@ SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
 FROM scored QUALIFY rank <= 20
 """
 
-    o["embedding_near_dup"] = """
-WITH norm AS (
-  SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    from tlhop_library_spark.operators.similarity import lsh_planes
+
+    table_buckets = [
+        _bucket_sql(lsh_planes(_LSH_PLANES, _EMB_DIM, seed=7 + t), "v")
+        for t in range(_LSH_TABLES)
+    ]
+    bucket_cols = ", ".join(
+        f"{expr} AS b{t}" for t, expr in enumerate(table_buckets)
+    )
+    band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_LSH_TABLES))
+    o["embedding_near_dup"] = f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
+), sig AS (
+  SELECT vid, v, {bucket_cols} FROM v
+), cand AS (
+  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+  FROM sig a JOIN sig b ON a.vid < b.vid AND ({band_match})
+), norm AS (
+  SELECT vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM v
 )
-SELECT a.vid AS vec_a, b.vid AS vec_b,
-       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-FROM norm a JOIN norm b ON a.vid < b.vid
-WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.5
+SELECT vec_a, vec_b,
+       round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) AS cosine
+FROM cand
+JOIN norm na ON na.vid = vec_a
+JOIN norm nb ON nb.vid = vec_b
+WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) >= 0.5
+"""
+
+    # probe set: buckets within Hamming ≤ 1 of the query's bucket —
+    # deterministic, computed the same way the Spark path computes it
+    planes7 = lsh_planes(_LSH_PLANES, _EMB_DIM, seed=7)
+    qv_np = np.asarray(_QV, dtype=np.float64)
+    qbits = int(
+        sum((1 << i) for i in range(_LSH_PLANES) if planes7[i] @ qv_np > 0)
+    )
+    probes = sorted(
+        b for b in range(1 << _LSH_PLANES)
+        if bin(b ^ qbits).count("1") <= 1
+    )
+    o["lsh_topk"] = f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), cand AS (
+  SELECT vec_id, v FROM v
+  WHERE {_bucket_sql(planes7, "v")} IN ({", ".join(map(str, probes))})
+), scored AS (
+  SELECT vec_id,
+         round(list_dot_product(v, {_sql_arr(_QV)}) /
+               (sqrt(list_dot_product(v, v)) * {_QN!r}), 4) AS cosine
+  FROM cand
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, cosine
+FROM scored QUALIFY rank <= 15
+"""
+
+    knn_values = ", ".join(
+        f"({qid}, {_sql_arr(vec)})" for qid, vec in _KNN_QUERIES
+    )
+    o["knn_join_topk"] = f"""
+WITH q(query_id, qv) AS (VALUES {knn_values}),
+v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), scored AS (
+  SELECT CAST(q.query_id AS INT) AS query_id, v.vec_id,
+         round(list_dot_product(v.v, q.qv) /
+               (sqrt(list_dot_product(v.v, v.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+  FROM v, q
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, cosine
+FROM scored QUALIFY rank <= 5
 """
 
     o["q1_pricing_summary"] = """
@@ -708,12 +930,12 @@ FROM c, t
 """
 
     o["null_profile_orders"] = """
-SELECT sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS o_orderkey,
-       sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS o_custkey,
-       sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS o_orderstatus,
-       sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS o_totalprice,
-       sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS o_orderdate,
-       sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS o_orderpriority
+SELECT CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+       CAST(sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+       CAST(sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+       CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
 FROM orders
 """
 
@@ -753,7 +975,7 @@ FROM events GROUP BY 1
 
     o["props_extract"] = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS BIGINT) AS sum_k,
        round(avg(CAST(regexp_extract(props, '\\d+') AS BIGINT)), 4) AS avg_k
 FROM events GROUP BY event_type
 """
@@ -804,6 +1026,33 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(count(*) AS INT) AS n_events,
        round(sum(value), 4) AS total_value
 FROM sid GROUP BY user_id, session_seq
+"""
+
+    corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    o["corr_matrix_lineitem"] = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 4) AS corr FROM lineitem"
+        for i, a in enumerate(corr_cols)
+        for b in corr_cols[i + 1 :]
+    )
+
+    o["extract_html_info"] = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><meta name="description" content="synthetic doc '
+           || CAST(doc_id AS VARCHAR) || '"/></head><body><p>'
+           || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           || '</p><div> tail ' || CAST(doc_id AS VARCHAR) || ' </div></body></html>'
+           AS html,
+         text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(length(regexp_replace(html, '\\s+', ' ', 'g')) AS INT) AS code_length,
+       CAST(length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+                   || ' tail ' || CAST(doc_id AS VARCHAR)) AS INT) AS body_length,
+       'synthetic doc ' || CAST(doc_id AS VARCHAR) AS description
+FROM h
 """
 
     o["corr_lineitem"] = """

@@ -42,19 +42,33 @@ def test_broadcast_join_in_nation_revenue(spark):
 
 
 def test_bm25_exhaustive_plan_shape(spark):
-    """The scorer's df-side must be broadcast and the token filter must
-    sit directly above the scan (before the shuffle)."""
-    import __spark_entry__ as m
-
+    """Round-2 shape: tf-per-term computed JVM-side in one projection
+    (no explode shuffle, no join at all — stats are folded in as
+    literals) and the top-k is TakeOrderedAndProject (per-partition
+    heaps), with the rank window running only over the ≤k survivors."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     from tlhop_library_spark.index.query import score_exhaustive
 
     q = score_exhaustive(docs, "spark join", k=5)
     p = plan_of(q)
-    assert "BroadcastHashJoin" in p  # df + stats joins, never SMJ
-    assert "SortMergeJoin" not in p
-    # tokenization+filter happens pre-shuffle (partial agg side)
-    assert p.index("Filter") < p.index("Exchange")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    # the only Window is the rank over the limited set: it must sit
+    # ABOVE the TakeOrderedAndProject (plan prints root-first)
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_topk_queries_have_no_global_window_cliff(spark):
+    """term_topk_freq / topn_orders / cosine_topk must plan
+    TakeOrderedAndProject below the rank window — never an Exchange
+    SinglePartition funneling the FULL input into one task."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    for name in ["term_topk_freq", "topn_orders", "cosine_topk"]:
+        p = plan_of(qs[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in p, name
+        assert p.index("Window") < p.index("TakeOrderedAndProject"), name
 
 
 def test_index_query_bucket_pruning(spark, index_dir):

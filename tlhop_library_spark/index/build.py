@@ -263,7 +263,11 @@ class IndexBuilder:
             "doc_id", "dl", F.explode("tokens").alias("term")
         ).withColumn("tid", F.xxhash64("term"))
         bucket_expr = F.pmod(F.col("tid"), F.lit(self.n_buckets)).cast("int")
-        range_expr = (F.col("doc_id") / F.lit(range_size)).cast("int")
+        # floor division to match the encoder's `doc_id // range_size`
+        # (a plain /-then-cast truncates toward zero, which disagrees
+        # with floor for negative doc_ids and would split a (term,
+        # range) across chunks)
+        range_expr = F.floor(F.col("doc_id") / F.lit(range_size)).cast("int")
 
         # (tid → term) names table: vocabulary-sized, map-side combined;
         # collision check makes the 64-bit hash safe to rely on

@@ -60,56 +60,72 @@ _SCORE_SCHEMA = StructType(
 def score_exhaustive(
     docs: DataFrame, query_text: str, k: int = 10, doc_col: str = "doc_id"
 ) -> DataFrame:
-    """BM25 top-k via pure DataFrame ops. Returns (rank, doc_id, score)."""
+    """BM25 top-k via pure DataFrame ops. Returns (rank, doc_id, score).
+
+    Plan shape (round 2 — no shuffle before the top-k, no global
+    window): per-doc tf of each query term is computed JVM-side as
+    ``size(filter(tokens, t -> t = term))`` — one narrow projection per
+    doc instead of explode→shuffle→groupBy. Corpus stats (n, avgdl) and
+    per-term df come from ONE aggregation over that projection,
+    collected eagerly (a single small row) and folded into the scoring
+    expression as literals. The final top-k is ``orderBy().limit(k)``
+    (TakeOrderedAndProject: per-partition heaps, k rows per executor)
+    + rank over the ≤k survivors — never a single-partition window over
+    every scored doc.
+
+    Costs two narrow scans of the corpus (stats pass + scoring pass),
+    both pure scan→project with no exchange; the round-1 shape cost two
+    scans PLUS an exploded-token shuffle plus the window's
+    single-partition exchange.
+    """
     terms = sorted(set(py_tokens(query_text)))
-    base = docs.where(F.col("text").isNotNull()).select(
-        F.col(doc_col).cast("long").alias("doc_id"),
-        tokens_col(F.col("text")).alias("tokens"),
-    )
-    base = base.withColumn("dl", F.size("tokens"))
-    stats = base.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    )
     if not terms:
         return docs.sparkSession.createDataFrame(
             [], "rank int, doc_id long, score double"
         )
-    tok = (
-        base.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    base = docs.where(F.col("text").isNotNull()).select(
+        F.col(doc_col).cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("tokens"),
     )
-    # df per query term (tiny → broadcast back into the scoring join)
-    dfreq = tok.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tok.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+    tf_cols = [
+        F.size(F.filter("tokens", lambda t: t == F.lit(term))).alias(f"tf_{i}")
+        for i, term in enumerate(terms)
+    ]
+    proj = base.select(
+        "doc_id", F.size("tokens").alias("dl"), *tf_cols
+    )
+    stats = proj.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        df_i = int(stats[f"df_{i}"])
+        if df_i == 0:
+            continue
+        tf = F.col(f"tf_{i}")
+        w_i = (tf * (bm25.K1 + 1.0)) / (
+            tf
+            + bm25.K1 * (1.0 - bm25.B + bm25.B * (F.col("dl") / F.lit(avgdl)))
         )
-        .withColumn(
-            "w",
-            (F.col("tf") * (bm25.K1 + 1.0))
-            / (
-                F.col("tf")
-                + bm25.K1
-                * (1.0 - bm25.B + bm25.B * (F.col("dl") / F.col("avgdl")))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("idf") * F.col("w")), bm25.ROUND_DIGITS).alias("score"))
+        score = score + F.lit(bm25.idf(n_docs, df_i)) * w_i
+    any_hit = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    scored = proj.where(any_hit).select(
+        "doc_id", F.round(score, bm25.ROUND_DIGITS).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("rank", "doc_id", "score")
-    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
 
 
 def oracle_sql_bm25(query_text: str, k: int = 10, table: str = "documents",
@@ -397,13 +413,16 @@ class IndexReader:
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS))
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .select("rank", "doc_id", "score")
-        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        # global merge: TakeOrderedAndProject over the ≤ k·n_ranges
+        # local winners (k per range leave the executors), then rank
+        # the ≤k survivors
+        return ranked_topk(
+            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        ).select("rank", "doc_id", "score")
 
     def last_pruning_stats(self) -> dict:
         """(blocks decoded, total blocks) of the last stats-enabled

@@ -56,28 +56,55 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct n-gram token shingles per doc."""
+def shingles(
+    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle) — distinct n-gram token shingles per doc.
+
+    ``max_shingle_df``: hot-key guard for the downstream self-joins —
+    shingles appearing in more than this many docs (boilerplate like
+    "terms of service") are dropped BEFORE candidate generation, since
+    a shingle with df=D contributes D² join rows. The df agg is
+    map-side combined and the drop-list is broadcast (it holds at most
+    |shingle instances| / max_shingle_df entries). Trades a bounded
+    amount of recall (pairs similar ONLY through boilerplate) for a
+    per-shingle join fan-out cap — required at 10^12-doc scale.
+    """
     t = _tok(docs)
     idx = F.sequence(F.lit(0), F.size("toks") - n)
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
     )
-    return (
+    out = (
         t.where(F.size("toks") >= n)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
+    if max_shingle_df is not None:
+        hot = (
+            out.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        out = out.join(F.broadcast(hot), "shingle", "left_anti")
+    return out
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.4
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle equi-join.
 
     (doc_a, doc_b, jaccard) for doc_a < doc_b with jaccard ≥ threshold.
     Scalable shape: |pairs sharing ≥1 shingle|, not |docs|².
+    With ``max_shingle_df`` set, jaccard is computed over the surviving
+    (non-boilerplate) shingle sets — sizes are measured after the drop,
+    so the estimate stays a true Jaccard of the filtered sets.
     """
-    sh = shingles(docs, n)
+    sh = shingles(docs, n, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -112,62 +139,87 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sig_i, min_hash) for i in 0..MINHASH_PERMS-1.
+def minhash_table(
+    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
+    """(doc_id, h0..h{MINHASH_PERMS-1}) — the full MinHash signature as
+    MINHASH_PERMS aggregate columns over ONE groupBy(doc_id) pass.
 
     Permutation i's hash of a shingle is md5(i || '|' || shingle) —
     deterministic, engine-portable, uniformly distributed; the min over
-    a doc's shingles is the classic MinHash estimator.
+    a doc's shingles is the classic MinHash estimator. Computing the
+    mins as parallel agg columns (instead of exploding each shingle row
+    ×MINHASH_PERMS before the shuffle) keeps shuffle volume at 1× the
+    shingle set — and map-side partial mins shrink it to ~|docs| rows.
     """
-    sh = shingles(docs, n)
-    per_perm = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(MINHASH_PERMS)])
-        ).alias("sig_i"),
-        "shingle",
-    )
-    return (
-        per_perm.withColumn(
-            "h",
-            F.md5(
-                F.concat(
-                    F.col("sig_i").cast("string"), F.lit("|"), F.col("shingle")
+    sh = shingles(docs, n, max_shingle_df)
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
+    """(doc_id, sig_i, min_hash) — long-format view of minhash_table
+    (unpivoted AFTER the aggregation, so the explosion never shuffles).
+    """
+    wide = minhash_table(docs, n, max_shingle_df)
+    s = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("sig_i"),
+                    F.col(f"h{i}").alias("min_hash"),
                 )
-            ),
+                for i in range(MINHASH_PERMS)
+            ]
         )
-        .groupBy("doc_id", "sig_i")
-        .agg(F.min("h").alias("min_hash"))
-    )
+    ).alias("s")
+    return wide.select("doc_id", s).select("doc_id", "s.sig_i", "s.min_hash")
 
 
-def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
     """LSH banding: pairs sharing ≥1 band bucket (doc_a, doc_b, n_bands).
 
     Bands of MINHASH_PERMS/LSH_BANDS signature rows each; bucket key =
-    md5 of the band's concatenated min-hashes. Candidate generation is
-    an equi-join on (band, bucket) — the at-scale path whose output
-    feeds exact jaccard verification.
+    md5 of the band's sorted "i:min_hash" strings (byte-identical to
+    the pre-round-2 collect_list formulation, so the DuckDB oracle is
+    unchanged). Candidate generation is an equi-join on (band, bucket)
+    — the at-scale path whose output feeds exact jaccard verification.
     """
     rows_per_band = MINHASH_PERMS // LSH_BANDS
-    sig = minhash_signatures(docs, n).withColumn(
-        "band", (F.col("sig_i") / rows_per_band).cast("int")
-    )
-    buckets = (
-        sig.groupBy("doc_id", "band")
-        .agg(
+    wide = minhash_table(docs, n, max_shingle_df)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.array_join(
                     F.array_sort(
-                        F.collect_list(
-                            F.concat_ws(":", "sig_i", "min_hash")
+                        F.array(
+                            *[
+                                F.concat(F.lit(f"{i}:"), F.col(f"h{i}"))
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
                         )
                     ),
                     ",",
                 )
-            ).alias("bucket")
+            ).alias("bucket"),
         )
-    )
+        for b in range(LSH_BANDS)
+    ]
+    buckets = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -220,15 +272,36 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 8
+    docs: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming (exact).
 
-    Candidate generation by 16-bit band equi-join (4 bands; any pair
-    within Hamming ≤ 3·16 shares ≥1 exact band by pigeonhole for
-    distance < 4 bands), then exact popcount verification — the
-    standard scalable SimHash join, no cross product.
+    Candidate generation by band equi-join over ``max_hamming + 1``
+    bands: a pair at distance ≤ max_hamming has its differing bits in
+    at most max_hamming bands, so by pigeonhole at least one of the
+    max_hamming+1 bands matches exactly — candidate recall is 1.0, and
+    the popcount verification step makes the result exact (no cross
+    product anywhere). Wider tolerances cost narrower bands: bands are
+    ⌊64/(max_hamming+1)⌋ bits, so bucket collision rates (and join
+    fan-out) grow with max_hamming; max_hamming ≤ 15 keeps bands ≥ 4
+    bits.
     """
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // n_bands
+    # bit spans: n_bands-1 bands of `width` bits, last band gets the rest
+    spans = [
+        (i * width, width if i < n_bands - 1 else 64 - i * width)
+        for i in range(n_bands)
+    ]
+    def _band_val(start: int, w: int):
+        if w >= 64:  # single-band case: the whole hash is the key
+            return F.col("simhash")
+        return F.shiftrightunsigned("simhash", start).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
     sig = simhash64(docs)
     bands = sig.select(
         "doc_id",
@@ -238,11 +311,9 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
+                        _band_val(start, w).alias("val"),
                     )
-                    for i in range(4)
+                    for i, (start, w) in enumerate(spans)
                 ]
             )
         ).alias("bv"),

@@ -12,6 +12,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def ranked_topk(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """O3 — distributed top-k WITH a rank column, no global-window cliff.
+
+    ``orderBy(*order_by).limit(k)`` plans TakeOrderedAndProject —
+    per-partition bounded heaps, only k rows leave each executor and
+    only k reach the final merge. The row_number window then runs over
+    those ≤k survivors (trivially single-partition), never over the
+    full input. Replaces the `row_number().over(Window.orderBy(...))`-
+    then-filter shape, whose Exchange SinglePartition funnels the WHOLE
+    input through one task at scale.
+
+    ``order_by`` must be a deterministic total order (include a
+    tie-break column) so limit-then-rank equals rank-then-filter.
+    """
+    w = Window.orderBy(*order_by)
+    return (
+        df.orderBy(*order_by)
+        .limit(k)
+        .withColumn(rank_col, F.row_number().over(w).cast("int"))
+    )
+
+
 def frequency(df: DataFrame, col: str, top: int | None = None) -> DataFrame:
     """A1 — groupBy().count() ordered desc
     (ref /root/reference/tlhop/shodan_library.py:277-280). Deterministic

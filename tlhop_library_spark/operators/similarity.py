@@ -65,12 +65,20 @@ def cosine_topk(
             4,
         ).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "cosine")
-    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    # TakeOrderedAndProject: per-partition heaps, k rows per executor —
+    # never a single-partition window over every scored vector
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("rank", "vec_id", "cosine")
+
+
+def lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """The deterministic hyperplane matrix shared by every LSH entry
+    point (and by oracle SQL generators)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_planes, dim)), 6)
 
 
 def hyperplane_signature(
@@ -82,18 +90,26 @@ def hyperplane_signature(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(vec_id, bucket) — sign pattern under `n_planes` fixed random
-    hyperplanes (deterministic seed). JVM-side dot products."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    hyperplanes (deterministic seed). JVM-side dot products.
+
+    Plane coefficients are rounded to 6 decimals so an external oracle
+    (DuckDB SQL with the planes inlined as literals) reproduces the
+    buckets bit-identically from compact literals."""
+    planes = lsh_planes(n_planes, dim, seed)
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _bucket_col(planes, vec_col).alias("bucket"),
+    )
+
+
+def _bucket_col(planes: np.ndarray, vec_col: str):
+    """Sign-bucket expression of `vec_col` under the plane matrix."""
     bucket = F.lit(0)
-    for i in range(n_planes):
+    for i in range(len(planes)):
         p = F.array(*[F.lit(float(x)) for x in planes[i]])
         bit = (_dot(F.col(vec_col), p) > 0).cast("int")
         bucket = bucket + bit * F.lit(1 << i)
-    return embeddings.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        bucket.alias("bucket"),
-    )
+    return bucket
 
 
 def lsh_bucketed_topk(
@@ -109,9 +125,8 @@ def lsh_bucketed_topk(
     """ANN: prune to buckets within `multiprobe_hamming` of the query's
     bucket, then exact cosine on survivors. Recall < 1 by design; the
     exact baseline is cosine_topk."""
-    rng = np.random.default_rng(seed)
     dim = len(query_vec)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(n_planes, dim, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = int(sum((1 << i) for i in range(n_planes) if planes[i] @ qv > 0))
     probe = [
@@ -193,47 +208,52 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale path: multi-table random-hyperplane LSH candidate pairs →
-    exact cosine verification. Candidate generation is |bucket|² per
-    bucket per table, never |n|²; recall grows with n_tables (a pair at
-    cosine c collides per table with prob (1 - acos(c)/π)^n_planes)."""
-    cands = None
+    """Scale path: multi-table random-hyperplane LSH → per-bucket exact
+    cosine verification. (vec_a, vec_b, cosine ≥ threshold).
+
+    The bucket IS the co-partition unit: vectors are shuffled once per
+    table keyed by (table, bucket) — n_tables × |corpus| rows, never a
+    pair join — and each bucket verifies its |bucket|² candidate
+    matrix with ONE BLAS matmul inside applyInPandas, emitting only
+    over-threshold pairs. Cross-table duplicates are removed by a
+    groupBy on the (already tiny) surviving pair set. Recall per table
+    for a pair at cosine c is (1 - acos(c)/π)^n_planes; hot buckets
+    split via AQE skew handling.
+    """
+    tagged = None
     for t in range(n_tables):
-        sig = hyperplane_signature(
-            embeddings, n_planes, dim, seed=7 + t,
-            vec_col=vec_col, id_col=id_col,
+        planes = lsh_planes(n_planes, dim, seed=7 + t)
+        part = embeddings.select(
+            F.lit(t).alias("tbl"),
+            _bucket_col(planes, vec_col).alias("bucket"),
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("v"),
         )
-        a, b = sig.alias("a"), sig.alias("b")
-        pairs = a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        vids = pdf["vec_id"].to_numpy()
+        order = np.argsort(vids)
+        vids = vids[order]
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].iloc[order]]
         )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
-    norm = embeddings.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = np.round(Mn @ Mn.T, 4)
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "vec_a": vids[ii].astype("int64"),
+                "vec_b": vids[jj].astype("int64"),
+                "cosine": S[ii, jj],
+            }
+        )
+
+    pairs = tagged.groupBy("tbl", "bucket").applyInPandas(
+        bucket_pairs, schema="vec_a long, vec_b long, cosine double"
     )
-    na = norm.alias("na")
-    nb = norm.alias("nb")
-    return (
-        cands.join(na, F.col("vec_a") == F.col("na.vid"))
-        .join(nb, F.col("vec_b") == F.col("nb.vid"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                _dot(F.col("na.v"), F.col("nb.v"))
-                / (F.col("na.nrm") * F.col("nb.nrm")),
-                4,
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.first("cosine").alias("cosine")
     )
 
 

@@ -166,7 +166,11 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def lang_markers_sql_case(tokens_expr: str) -> str:
-    """DuckDB CASE expression mirroring lang_id (for oracles)."""
+    """DuckDB SQL fragments mirroring lang_id (for oracles).
+
+    Returns ``(hits, greatest, whens)``: per-language hit-count
+    expressions, the ``greatest(...)`` over them, and the CASE branches.
+    """
     hits = {
         lang: (
             f"len(list_intersect(list_distinct({tokens_expr}), "

@@ -103,13 +103,19 @@ class TableCatalog:
             return
         path = self._path(table)
         tmp = path + ".compact_tmp"
+        old = path + ".compact_old"
         self.spark.read.parquet(path).coalesce(target_files).write.mode(
             "overwrite"
         ).parquet(tmp)
         import shutil
 
-        shutil.rmtree(path)
+        # swap via rename-aside so one valid copy exists at every
+        # instant (a crash between steps leaves either the old or the
+        # new directory at `path`, never nothing)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def single_file_parquet(self, df: DataFrame, table: str) -> None:
         """S11 — single-file emit (ref coalesce(1)+rename,
