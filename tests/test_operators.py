@@ -155,12 +155,83 @@ def test_fingerprints_expr_vs_arrow(spark, docs):
     assert any(pa.values())  # some docs match something
 
 
+def test_fingerprints_weighted_confidence(spark):
+    """difflib weighting parity (ref fingerprints.py:258-261): the
+    weight is the SequenceMatcher matching-block size between the
+    cleaned pattern and the matched substring; hits sort by weight
+    desc; matches ≤ 2 chars are dropped."""
+    import difflib
+
+    df = spark.createDataFrame(
+        [
+            (1, "the spark engine does stream work"),
+            (2, "no"),  # length guard
+            (3, "vector pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+    pats = [
+        ("spark", r"\bspark\b", 0.9),
+        ("streamish", r"stream\w*", 0.7),
+        ("vec", r"\bvector\b", 0.7),
+    ]
+    out = {
+        r["doc_id"]: r["fingerprints"]
+        for r in fingerprints.match_arrow_weighted(df, "text", pats).collect()
+    }
+    assert out[2] == []
+    names1 = [x["name"] for x in out[1]]
+    assert set(names1) == {"spark", "streamish"}
+    # exact difflib weight for the spark hit: clean pattern "bsparkb"
+    # vs matched "spark" → matching block "spark" (size 5)
+    spark_hit = next(x for x in out[1] if x["name"] == "spark")
+    seq = difflib.SequenceMatcher(None, "bsparkb", "spark")
+    assert spark_hit["weight"] == float(
+        sum(b.size for b in seq.get_matching_blocks())
+    )
+    # sorted by weight descending
+    weights = [x["weight"] for x in out[1]]
+    assert weights == sorted(weights, reverse=True)
+    assert [x["name"] for x in out[3]] == ["vec"]
+
+
 def test_multimodal_features_deterministic(spark):
     media = multimodal.make_media_df(spark, 16)
     f1 = multimodal.extract_features(media).orderBy("media_id").collect()
     f2 = multimodal.extract_features(media).orderBy("media_id").collect()
     assert [r["feature"] for r in f1] == [r["feature"] for r in f2]
     assert all(r["payload_bytes"] > 0 for r in f1)
+
+
+def test_multimodal_decode_contract_without_decoder():
+    """The decode stub's failure mode is explicit and typed."""
+    if multimodal.REAL_DECODE:
+        pytest.skip("real decoder installed — covered by the real test")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG fake")
+
+
+@pytest.mark.skipif(
+    not multimodal.REAL_DECODE,
+    reason="PIL not installed in this container (REAL_DECODE probe)",
+)
+def test_multimodal_real_decode_path(spark):
+    """Runs only where PIL exists: real decode feeds the featurizer
+    through the identical mapInPandas plumbing."""
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", buf.getvalue(), "image/png", 8, 8, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(
+        media, use_real_decode=True
+    ).collect()
+    assert rows and len(rows[0]["feature"]) == 16
 
 
 def test_extension_accessor(spark, docs):

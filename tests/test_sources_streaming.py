@@ -86,6 +86,25 @@ def test_catalog_compact(spark, tmp_path):
     assert cat.read("t2").count() == 1000
 
 
+def test_avro_roundtrip_when_package_present(spark, tmp_path):
+    """S2 runtime probe: executes the Avro write+read path when the
+    spark-avro datasource is on the classpath, and records an explicit
+    skip when it isn't (this container ships no spark-avro jar and has
+    no network to fetch one — COVERAGE.md container-limitation note)."""
+    import pytest
+
+    from tlhop_library_spark.sources.catalog import read_avro
+
+    path = str(tmp_path / "avro_t")
+    try:
+        spark.range(10).write.format("avro").save(path)
+    except Exception as e:
+        if "AVRO" in str(e).upper() or "Failed to find" in str(e):
+            pytest.skip(f"spark-avro datasource not on classpath: {type(e).__name__}")
+        raise
+    assert read_avro(spark, path).count() == 10
+
+
 def test_read_csv_and_jsonl(spark, tmp_path):
     csv = tmp_path / "x.csv"
     csv.write_text("a;b\n1;x\n2;y\n# comment\n")

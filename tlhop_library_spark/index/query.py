@@ -274,7 +274,13 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
         processed = set()
         for pos, (ub, ri, bi) in enumerate(blocks):
             if len(acc) >= k:
-                theta = heapq.nlargest(k, acc.values())[-1]
+                # k-th largest via np.partition (C-speed selection over
+                # the accumulator values; heapq.nlargest re-sorted the
+                # whole dict per block)
+                vals = np.fromiter(
+                    acc.values(), dtype=np.float64, count=len(acc)
+                )
+                theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
                 # margin of 2 rounding ulps: a doc excluded here must
                 # round strictly below the k-th score, so rounding +
                 # doc_id tie-breaks can never resurrect it

@@ -115,6 +115,91 @@ def match_arrow(
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+WEIGHTED_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("name", StringType()),
+            StructField("match", StringType()),
+            StructField("weight", DoubleType()),
+            StructField("confidence", DoubleType()),
+        ]
+    )
+)
+
+
+def match_arrow_weighted(
+    df: DataFrame,
+    text_col: str,
+    patterns: list[tuple[str, str, float]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """F13 full parity: difflib confidence weighting.
+
+    The reference weights each fingerprint hit by the difflib
+    SequenceMatcher matching-block size between the cleaned pattern and
+    the matched substring, then sorts hits by weight descending
+    (/root/reference/tlhop/algorithms/fingerprints.py:258-261,289-335).
+    Same semantics here, Arrow-batched: per batch the regexes run
+    vectorized; only confirmed hits pay the per-hit difflib cost. The
+    "cleaned pattern" is the pattern with regex metacharacters
+    stripped — the reference's pattern_clean analogue.
+    """
+    import difflib
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("fingerprints", WEIGHTED_SCHEMA),
+        ]
+    )
+    meta_re = re.compile(r"[\\^$.|?*+()\[\]{}]")
+    compiled = [
+        (n, re.compile(p, re.IGNORECASE), meta_re.sub("", p), c)
+        for n, p, c in patterns
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            hit_cols = [
+                texts.str.contains(rx, regex=True)
+                for _, rx, _, _ in compiled
+            ]
+            rows = []
+            for i in range(len(pdf)):
+                t = texts.iloc[i]
+                if len(t) <= 3:
+                    rows.append([])
+                    continue
+                hits = []
+                for (n, rx, clean, c), hc in zip(compiled, hit_cols):
+                    if not hc.iloc[i]:
+                        continue
+                    m = rx.search(t)
+                    matched = m.group(0) if m else ""
+                    if len(matched) <= 2:
+                        continue  # reference drops matches ≤ 2 chars
+                    seq = difflib.SequenceMatcher(None, clean, matched)
+                    w = float(
+                        sum(b.size for b in seq.get_matching_blocks())
+                    )
+                    hits.append(
+                        {
+                            "name": n,
+                            "match": matched,
+                            "weight": w,
+                            "confidence": c,
+                        }
+                    )
+                hits.sort(key=lambda d: (-d["weight"], d["name"]))
+                rows.append(hits)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "fingerprints": rows}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 DEFAULT_PATTERNS = [
     ("spark-engine", r"\bspark\b", 0.9),
     ("stream-workload", r"\bstream\b", 0.7),

@@ -52,7 +52,18 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-REAL_DECODE = False  # flip when a real decoder is available
+def _probe_real_decode() -> bool:
+    """True when a real image decoder (PIL) is importable — gates the
+    real-decode feature path + its skip-if-unavailable test."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+REAL_DECODE = _probe_real_decode()
 
 
 def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
@@ -63,22 +74,53 @@ def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
     return [round(float(x), 6) for x in rng.standard_normal(dim)]
 
 
-def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Where PIL.Image.open(BytesIO(payload)) would go."""
-    raise NotImplementedError(
-        "image decoding requires PIL/ffmpeg — not available in this "
-        "container; use extract_features (deterministic fake) instead"
-    )
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an HxWxC uint8 array via PIL.
+
+    Raises NotImplementedError when no decoder is installed (this
+    container ships neither PIL nor ffmpeg) — the caller-visible
+    contract stays identical whenever the dependency appears."""
+    if not REAL_DECODE:
+        raise NotImplementedError(
+            "image decoding requires PIL/ffmpeg — not available in this "
+            "container; use extract_features (deterministic fake) instead"
+        )
+    import io
+
+    import PIL.Image
+
+    return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """mapInPandas featurizer: real plumbing, stubbed decode.
+#: kept under the round-1 name for API compatibility
+decode_image_stub = decode_image
 
-    Batch shape: each pandas batch carries many payloads; a real
-    decoder would vectorize across the batch exactly like the fake.
+
+def _real_feature(payload: bytes, dim: int = 16) -> list[float]:
+    """Feature vector from decoded pixels: per-channel means/stds over
+    a dim//6-cell grid — only runs when REAL_DECODE is True."""
+    img = decode_image(payload).astype(np.float64) / 255.0
+    feats = [img.mean(), img.std()]
+    for c in range(img.shape[2]):
+        feats.extend([img[..., c].mean(), img[..., c].std()])
+    feats = (feats * ((dim // len(feats)) + 1))[:dim]
+    return [round(float(x), 6) for x in feats]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, use_real_decode: bool | None = None
+) -> DataFrame:
+    """mapInPandas featurizer: real plumbing, pluggable decode.
+
+    Batch shape: each pandas batch carries many payloads; the real
+    decoder vectorizes across the batch exactly like the fake. With
+    ``use_real_decode`` unset, the real path is used iff a decoder is
+    importable on the workers (REAL_DECODE probe).
     """
+    real = REAL_DECODE if use_real_decode is None else use_real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        featurize = _real_feature if real else _fake_feature
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -90,7 +132,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     ),
                     "payload_bytes": payloads.map(len).astype("int64"),
                     "feature": payloads.map(
-                        lambda b: _fake_feature(bytes(b), dim)
+                        lambda b: featurize(bytes(b), dim)
                     ),
                 }
             )
