@@ -220,16 +220,30 @@ def embedding_near_dup_lsh(
     for a pair at cosine c is (1 - acos(c)/π)^n_planes; hot buckets
     split via AQE skew handling.
     """
-    tagged = None
-    for t in range(n_tables):
-        planes = lsh_planes(n_planes, dim, seed=7 + t)
-        part = embeddings.select(
-            F.lit(t).alias("tbl"),
-            _bucket_col(planes, vec_col).alias("bucket"),
+    # all tables' buckets in ONE Arrow pass: stack every table's plane
+    # matrix into a single (n_tables·n_planes, dim) matrix, one BLAS
+    # matmul per batch, sign-pack per table. Bit-identical to the
+    # per-table JVM fold (hyperplane_signature) on non-degenerate dots
+    # — the property the oracle relies on.
+    all_planes = np.vstack(
+        [lsh_planes(n_planes, dim, seed=7 + t) for t in range(n_tables)]
+    )
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = ((M @ all_planes.T) > 0).astype(np.int64)
+        b = bits.reshape(len(M), n_tables, n_planes) @ weights
+        return pd.Series(list(b.astype(np.int32)))
+
+    tagged = (
+        embeddings.select(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col(vec_col).alias("v"),
+            F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
         )
-        tagged = part if tagged is None else tagged.unionByName(part)
+    )
 
     def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         vids = pdf["vec_id"].to_numpy()
