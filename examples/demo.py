@@ -69,12 +69,46 @@ def main() -> None:
     for r in docs.tlhop.frequency("lang", top=3).collect():
         print(f"  {r['lang']}: {r['count']}")
 
-    # 6. dedup: exact + near-dup
+    # 6. dedup: exact + near-dup (hashed 128-bit shingle keys — the
+    # at-scale join, identical results to the string path) + a
+    # boilerplate-shingle skew guard
     n_exact = dedup.exact_dup_groups(docs).count()
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).count()
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_shingle_df=1000, hashed_shingles=True
+    ).count()
     print(f"\nexact dup groups: {n_exact}; jaccard>=0.8 pairs: {pairs}")
 
-    # 7. corpus report suite
+    # 7. fingerprints with difflib confidence weighting (reference's
+    # hyperscan+difflib pipeline, Arrow-batched)
+    from tlhop_library_spark.operators.fingerprints import (
+        match_arrow_weighted,
+    )
+
+    corpus_patterns = [
+        ("bace-page", r"\bbace\b", 0.9),
+        ("cada-page", r"\bcada\w*", 0.7),
+    ]
+    fp = match_arrow_weighted(docs, "text", corpus_patterns)
+    n_fp = fp.where(F.size("fingerprints") > 0).count()
+    print(f"docs with weighted fingerprint hits: {n_fp}")
+
+    # 8. embedding near-dup via multi-table LSH with per-bucket matmul
+    # verification (no driver collect)
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(64) for _ in range(500)]
+    vecs.append(vecs[0] + 0.05 * rng.standard_normal(64))  # planted near-dup
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    nd = similarity.embedding_near_dup_lsh(
+        emb, threshold=0.9, n_planes=4, n_tables=4, dim=64
+    ).count()
+    print(f"embedding near-dup pairs (cos>=0.9): {nd}")
+
+    # 9. corpus report suite
     rep = CorpusReport(spark, f"{work}/report").run_all(docs)
     print("\nreport summary:", rep["summary"].collect()[0].asDict())
 

@@ -60,6 +60,24 @@ def test_max_shingle_df_bounds_candidate_pairs(spark, hot_corpus):
     assert capped == 0
 
 
+def test_hashed_shingles_match_string_path(spark, hot_corpus):
+    """The 128-bit hashed-shingle join (at-scale key) must produce the
+    identical pair set + jaccard values as the string join."""
+    a = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            hot_corpus, n=3, threshold=0.3
+        ).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            hot_corpus, n=3, threshold=0.3, hashed_shingles=True
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_minhash_capped_signatures_ignore_boilerplate(spark, hot_corpus):
     """With the hot shingles dropped, each doc's signature derives only
     from its unique tail → LSH bands disagree → no candidate pairs."""

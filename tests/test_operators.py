@@ -155,6 +155,28 @@ def test_fingerprints_expr_vs_arrow(spark, docs):
     assert any(pa.values())  # some docs match something
 
 
+def test_ranked_topk_equals_window_rank(spark):
+    """limit-then-rank must equal rank-then-filter under a total order
+    (the substitution every top-k shape now relies on)."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 37, F.lit(100))).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("id")]
+    got = relational.ranked_topk(df, order, 17).collect()
+    w = Window.orderBy(*order)
+    want = (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 17)
+        .collect()
+    )
+    key = lambda rows: sorted((r["rank"], r["id"], r["score"]) for r in rows)
+    assert key(got) == key(want)
+    assert len(got) == 17
+
+
 def test_fingerprints_weighted_confidence(spark):
     """difflib weighting parity (ref fingerprints.py:258-261): the
     weight is the SequenceMatcher matching-block size between the
