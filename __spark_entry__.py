@@ -172,6 +172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), n=3
     )
 
+    # the full at-scale near-dup pipeline: LSH banding candidates →
+    # exact jaccard verification on candidates only
+    q["minhash_verified_pairs"] = lambda s, d: dedup.minhash_near_dup_pairs(
+        _t(s, d, "documents"), n=3, threshold=0.3
+    )
+
     # rows-only gate (SimHash is not SQL-portable): exact pairs at
     # Hamming ≤ 3 via 4-band pigeonhole join + popcount verify
     q["simhash_pairs"] = lambda s, d: dedup.simhash_near_dup_pairs(
@@ -777,6 +783,47 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+"""
+
+    o["minhash_verified_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), perms AS (
+  SELECT doc_id, i AS sig_i, shingle
+  FROM sh, (SELECT unnest(range(0, {dedup.MINHASH_PERMS})) AS i)
+), sig AS (
+  SELECT doc_id, sig_i,
+         min(md5(CAST(sig_i AS VARCHAR) || '|' || shingle)) AS min_hash
+  FROM perms GROUP BY doc_id, sig_i
+), banded AS (
+  SELECT doc_id, CAST(sig_i // {dedup.MINHASH_PERMS // dedup.LSH_BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(sig_i AS VARCHAR) || ':' || min_hash)), ',')) AS bucket
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_sort(list(shingle)) AS sh FROM sh GROUP BY doc_id
+), verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard
+FROM verified
+WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.3
 """
 
     qv_sql = "[" + ", ".join(f"{x}" for x in _QV) + "]::DOUBLE[]"

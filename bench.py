@@ -57,6 +57,7 @@ HEADLINE = [
     "lsh_topk",
     "knn_join_topk",
     "ngram_jaccard_capped",
+    "minhash_verified_pairs",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

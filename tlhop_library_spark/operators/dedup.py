@@ -256,6 +256,50 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The full near-dup pipeline: LSH banding candidates → exact
+    jaccard verification restricted to candidates.
+
+    (doc_a, doc_b, jaccard ≥ threshold). This is the at-scale flow:
+    candidate generation touches only band-bucket collisions (never
+    the |pairs sharing a shingle| set that `ngram_jaccard_pairs`
+    scans), and the exact verification joins shingle SETS (one
+    per-doc array row, size ≈ doc length) only for candidate pairs.
+    Recall < 1 by banding design; candidates that verify are exact.
+    """
+    cands = minhash_lsh_candidates(docs, n, max_shingle_df).select(
+        "doc_a", "doc_b"
+    )
+    sets = (
+        shingles(docs, n, max_shingle_df)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("__inter", inter)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("__inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over distinct tokens.
 
