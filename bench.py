@@ -129,7 +129,9 @@ def main() -> None:
 
         reader = IndexReader(spark, os.path.join(workdir, "idx")).cache()
         lat = []
-        reader.search("warmup", 10).collect()
+        # warm with a REAL indexed term: an absent term short-circuits
+        # before applyInPandas, leaving the Python scorer workers cold
+        reader.search("bace", 10).collect()
         for q, k in BENCH_QUERIES:
             t0 = time.time()
             reader.search(q, k).collect()

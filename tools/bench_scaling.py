@@ -55,7 +55,7 @@ t0 = time.time()
 stats = build_index(spark, docs, idx)
 build_sec = time.time() - t0
 reader = IndexReader(spark, idx)
-reader.search("warmup", 10).collect()
+reader.search("bace", 10).collect()  # real term: spins up the Python scorer workers
 qs = [("bace cada", 10), ("informação segurança", 10),
       ("dadu cadi bace", 10), ("tesa", 10), ("bace cada dade lano", 20)]
 lat = []
