@@ -26,7 +26,6 @@ Two paths, asserted rank-identical by tests:
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 
@@ -262,6 +261,15 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
         # last_doc] intersects C and add the contributions of C-members.
         # Scores of C are then exact, and every non-candidate is provably
         # below the final k-th score → exact top-k with exact scores.
+        # Phase A is fully vectorized: blocks are consumed in chunks of
+        # PRUNE_CHUNK (UB order preserved), each chunk's postings are
+        # concatenated and merged into a sorted numpy accumulator with
+        # one np.unique + np.add.at, and θ is recomputed once per chunk
+        # (np.partition). Checking the stop rule per chunk instead of
+        # per block can only decode ≤ PRUNE_CHUNK-1 extra blocks — the
+        # result is still exact, and the per-posting Python dict loop
+        # (round-1 shape) is gone.
+        PRUNE_CHUNK = 16
         blocks.sort(key=lambda x: -x[0])
         terms_in_range = pdf["tid"].tolist()
         remaining: dict[str, list[float]] = {}
@@ -270,45 +278,61 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
         rem_best = {t: v[0] for t, v in remaining.items()}
         consumed = {t: 0 for t in remaining}
 
-        acc: dict[int, float] = {}
+        acc_docs = np.empty(0, dtype=np.int64)   # sorted doc ids
+        acc_scores = np.empty(0, dtype=np.float64)
         processed = set()
-        for pos, (ub, ri, bi) in enumerate(blocks):
-            if len(acc) >= k:
-                # k-th largest via np.partition (C-speed selection over
-                # the accumulator values; heapq.nlargest re-sorted the
-                # whole dict per block)
-                vals = np.fromiter(
-                    acc.values(), dtype=np.float64, count=len(acc)
+        pos = 0
+        while pos < len(blocks):
+            if len(acc_docs) >= k:
+                theta = float(
+                    np.partition(acc_scores, len(acc_scores) - k)[
+                        len(acc_scores) - k
+                    ]
                 )
-                theta = float(np.partition(vals, len(vals) - k)[len(vals) - k])
                 # margin of 2 rounding ulps: a doc excluded here must
                 # round strictly below the k-th score, so rounding +
                 # doc_id tie-breaks can never resurrect it
                 if theta >= sum(rem_best.values()) + _EPS:
                     break
-            row = pdf.iloc[ri]
-            term = terms_in_range[ri]
-            docs, tfs, dls = _decode_block(row, bi)
-            w = bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[term]
-            for d, s in zip(docs.tolist(), w.tolist()):
-                acc[d] = acc.get(d, 0.0) + s
-            processed.add((ri, bi))
-            consumed[term] += 1
-            tb = remaining[term]
-            rem_best[term] = tb[consumed[term]] if consumed[term] < len(tb) else 0.0
+            chunk = blocks[pos : pos + PRUNE_CHUNK]
+            parts_d, parts_s = [], []
+            for ub, ri, bi in chunk:
+                row = pdf.iloc[ri]
+                term = terms_in_range[ri]
+                docs, tfs, dls = _decode_block(row, bi)
+                parts_d.append(docs)
+                parts_s.append(bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[term])
+                processed.add((ri, bi))
+                consumed[term] += 1
+                tb = remaining[term]
+                rem_best[term] = (
+                    tb[consumed[term]] if consumed[term] < len(tb) else 0.0
+                )
+            new_docs = np.concatenate([acc_docs] + parts_d)
+            new_scores = np.concatenate([acc_scores] + parts_s)
+            acc_docs, inv = np.unique(new_docs, return_inverse=True)
+            acc_scores = np.zeros(len(acc_docs), dtype=np.float64)
+            np.add.at(acc_scores, inv, new_scores)
+            pos += len(chunk)
 
-        if not acc:
+        if len(acc_docs) == 0:
             return empty
 
         ub_remaining = sum(rem_best.values())
         if ub_remaining > 0.0:
             theta = (
-                heapq.nlargest(k, acc.values())[-1] if len(acc) >= k else 0.0
+                float(
+                    np.partition(acc_scores, len(acc_scores) - k)[
+                        len(acc_scores) - k
+                    ]
+                )
+                if len(acc_docs) >= k
+                else 0.0
             )
-            cand = {d for d, s in acc.items() if s + ub_remaining >= theta - _EPS}
-            if cand:
-                cand_arr = np.fromiter(cand, dtype=np.int64, count=len(cand))
-                cand_arr.sort()
+            keep = acc_scores + ub_remaining >= theta - _EPS
+            cand_arr = acc_docs[keep]           # sorted (slice of sorted)
+            cand_scores = acc_scores[keep].copy()
+            if len(cand_arr):
                 lo, hi = int(cand_arr[0]), int(cand_arr[-1])
                 for ub, ri, bi in blocks:
                     if (ri, bi) in processed:
@@ -324,17 +348,17 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
                         bm25.tf_weight_np(tfs[sel], dls[sel], avgdl)
                         * idf_map[terms_in_range[ri]]
                     )
-                    for d, s in zip(docs[sel].tolist(), w.tolist()):
-                        acc[d] += s
+                    # docs within one block are unique → direct fancy
+                    # index add (no np.add.at needed)
+                    idx = np.searchsorted(cand_arr, docs[sel])
+                    cand_scores[idx] += w
             # restrict output to candidates (non-candidates may have
             # inexact partials; they are provably out of the top-k)
-            acc = {d: s for d, s in acc.items() if d in cand}
-            if not acc:
+            acc_docs, acc_scores = cand_arr, cand_scores
+            if len(acc_docs) == 0:
                 return empty
 
-        doc_arr = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-        score_arr = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
-        return _topk(doc_arr, score_arr)
+        return _topk(acc_docs, acc_scores)
 
     return score_range
 
