@@ -210,6 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _KNN_QUERIES, k=5
     )
 
+    # IVF coarse-quantizer ANN (probe-limited cells, exact rescore)
+    q["ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _t(s, d, "embeddings"), _QV, k=15, n_centroids=16, n_probe=4
+    )
+
     # ---- relational (SURVEY §2 parity over TPC-H-ish tables) ----
     def q1(s, d):
         li = _t(s, d, "lineitem")
@@ -889,6 +894,44 @@ WITH v AS (
 ), cand AS (
   SELECT vec_id, v FROM v
   WHERE {_bucket_sql(planes7, "v")} IN ({", ".join(map(str, probes))})
+), scored AS (
+  SELECT vec_id,
+         round(list_dot_product(v, {_sql_arr(_QV)}) /
+               (sqrt(list_dot_product(v, v)) * {_QN!r}), 4) AS cosine
+  FROM cand
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, cosine
+FROM scored QUALIFY rank <= 15
+"""
+
+    from tlhop_library_spark.operators.similarity import ivf_centroids
+
+    C = ivf_centroids(16, _EMB_DIM, seed=11)
+    qv_np2 = np.asarray(_QV, dtype=np.float64)
+    ivf_probe = sorted(
+        int(x) for x in np.argsort(-(C @ qv_np2), kind="stable")[:4]
+    )
+    d_exprs = ", ".join(
+        f"list_dot_product(v, {_sql_arr(C[i])}) AS d{i}" for i in range(16)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(16)) + ")"
+    cell_case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = __best THEN {i}" for i in range(16))
+        + " END"
+    )
+    o["ivf_topk"] = f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, v, {d_exprs} FROM v
+), assigned AS (
+  SELECT vec_id, v, {cell_case} AS cell
+  FROM (SELECT *, {best} AS __best FROM dots)
+), cand AS (
+  SELECT vec_id, v FROM assigned WHERE cell IN ({", ".join(map(str, ivf_probe))})
 ), scored AS (
   SELECT vec_id,
          round(list_dot_product(v, {_sql_arr(_QV)}) /

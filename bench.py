@@ -58,6 +58,7 @@ HEADLINE = [
     "knn_join_topk",
     "ngram_jaccard_capped",
     "minhash_verified_pairs",
+    "ivf_topk",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

@@ -117,6 +117,38 @@ def test_knn_join_matches_cosine_topk(spark, emb):
     assert [r["vec_id"] for r in kn] == [r["vec_id"] for r in ct]
 
 
+def test_ivf_topk_probe_all_is_exact(spark, emb):
+    """Probing every cell must reduce IVF to the exact scorer; the
+    query's own cell must recall the self-match at n_probe=1."""
+    first = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    exact = similarity.cosine_topk(emb, first, k=5).collect()
+    allp = similarity.ivf_topk(
+        emb, first, k=5, n_centroids=8, n_probe=8
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in allp] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+    one = similarity.ivf_topk(
+        emb, first, k=5, n_centroids=8, n_probe=1
+    ).collect()
+    assert one[0]["vec_id"] == 0  # self lands in the probed cell
+
+
+def test_ivf_assign_covers_all_cells_boundedly(spark, emb):
+    """Cell histogram sanity: every vector assigned exactly once, and
+    no cell degenerates to holding (almost) everything."""
+    cells = similarity.ivf_assign(emb, n_centroids=8).collect()
+    n = len(cells)
+    assert n == emb.count()
+    from collections import Counter
+
+    hist = Counter(r["cell"] for r in cells)
+    assert max(hist.values()) < 0.6 * n
+
+
 def test_lang_id_markers(spark):
     pdf = pd.DataFrame(
         {

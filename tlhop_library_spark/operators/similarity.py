@@ -145,6 +145,75 @@ def lsh_bucketed_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_centroids(n_centroids: int, dim: int, seed: int = 11) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids.
+
+    Seeded gaussian directions instead of trained k-means: training-free
+    (no external data, reproducible in oracle SQL as literals) while
+    preserving the IVF structure — cell assignment by nearest centroid,
+    probe-limited search. Rounded to 6 decimals for compact SQL
+    literals (same convention as lsh_planes)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 6)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid assignment by dot product
+    (centroids unit-norm ⇒ equivalent to cosine for ranking cells).
+    Ties break to the LOWEST centroid index (argmax-first), mirrored
+    exactly by the oracle SQL. One Arrow pass, one matmul per batch."""
+    C = ivf_centroids(n_centroids, dim, seed)
+
+    @F.pandas_udf(IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _cell(F.col(vec_col)).alias("cell"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the n_probe cells nearest the query, exact cosine
+    rescore of cell members only, distributed top-k. (rank, vec_id,
+    cosine). Recall < 1 by design (cells not probed are never scored);
+    with cells ≈ |corpus|/n_centroids rows, the scored set is
+    n_probe/n_centroids of the corpus. At 10^9+ vectors the cell
+    column is a partition key: probing reads only the probed
+    partitions."""
+    dim = len(query_vec)
+    C = ivf_centroids(n_centroids, dim, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(C @ qv), kind="stable")
+    probe = sorted(int(x) for x in order[:n_probe])
+    cells = ivf_assign(embeddings, n_centroids, dim, seed, id_col, vec_col)
+    cand_ids = cells.where(F.col("cell").isin(probe)).select(
+        F.col("vec_id").alias(id_col)
+    )
+    cand = embeddings.join(cand_ids, [id_col], "left_semi")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_exact(
     embeddings: DataFrame,
     threshold: float = 0.9,
