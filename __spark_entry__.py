@@ -146,6 +146,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
 
+    # rolling-hash winnowing fingerprint (selected-set as csv string so
+    # the hash compare sees a scalar column)
+    q["winnow_fingerprint"] = lambda s, d: (
+        text.winnowing_fingerprint(_t(s, d, "documents"), k=4, window=5)
+        .select(
+            "doc_id",
+            F.array_join("fingerprints", ",").alias("fps"),
+            F.size("fingerprints").cast("long").alias("n_fps"),
+        )
+    )
+
     # ---- dedup ----
     q["dedup_exact"] = lambda s, d: dedup.dedup_exact(_t(s, d, "documents"))
 
@@ -694,6 +705,30 @@ SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
 FROM documents WHERE text IS NOT NULL
+"""
+
+    o["winnow_fingerprint"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4
+              THEN list_transform(range(0, len(toks) - 3),
+                                  i -> md5(array_to_string(toks[i+1:i+4], ' ')))
+              ELSE [] END AS grams
+  FROM t
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 5
+              THEN list_sort(list_distinct(
+                     list_transform(range(0, len(grams) - 4),
+                                    j -> list_min(grams[j+1:j+5]))))
+              ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id, array_to_string(fps, ',') AS fps,
+       CAST(len(fps) AS BIGINT) AS n_fps
+FROM w
 """
 
     o["dedup_exact"] = """

@@ -117,6 +117,29 @@ def test_knn_join_matches_cosine_topk(spark, emb):
     assert [r["vec_id"] for r in kn] == [r["vec_id"] for r in ct]
 
 
+def test_winnowing_fingerprint_properties(spark):
+    """Winnowing guarantees: identical docs → identical sets; a shared
+    run of ≥ k+window-1 tokens → ≥1 shared fingerprint; short docs →
+    empty set."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one two three"),
+            (2, "other prefix words here " + shared),
+            (3, shared + " unique one two three"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in text_ops.winnowing_fingerprint(df, k=4, window=5).collect()
+    }
+    assert out[1] == out[3]  # deterministic, content-addressed
+    assert out[1] & out[2]   # shared 8-token run ≥ k+window-1
+    assert out[4] == set()   # below minimum length
+
+
 def test_ivf_topk_probe_all_is_exact(spark, emb):
     """Probing every cell must reduce IVF to the exact scorer; the
     query's own cell must recall the self-match at n_probe=1."""

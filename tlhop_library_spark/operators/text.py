@@ -165,6 +165,50 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprint(
+    docs: DataFrame, k: int = 4, window: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken-style
+    rolling selection): hash every k-token gram, slide a window of
+    `window` consecutive gram hashes, keep the minimum per window,
+    dedup + sort. (doc_id, fingerprints array<string>).
+
+    Guarantees of winnowing: any shared token run of length ≥
+    k + window - 1 between two docs yields ≥ 1 shared fingerprint, and
+    the selected set is position-robust (local min selection — a
+    substring match selects the same grams regardless of offset). All
+    JVM higher-order functions, no Python; md5 as the gram hash keeps
+    it engine-portable for the DuckDB oracle. Docs with fewer than
+    k + window - 1 tokens get an empty fingerprint set.
+    """
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.md5(F.array_join(F.slice("toks", i + 1, k), " ")),
+    )
+    t = t.withColumn(
+        "grams",
+        F.when(F.size("toks") >= k, grams).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("grams") - window),
+        lambda j: F.array_min(F.slice("grams", j + 1, window)),
+    )
+    return t.select(
+        "doc_id",
+        F.when(
+            F.size("grams") >= window,
+            F.sort_array(F.array_distinct(wins)),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("fingerprints"),
+    )
+
+
 def lang_markers_sql_case(tokens_expr: str) -> str:
     """DuckDB SQL fragments mirroring lang_id (for oracles).
 
