@@ -183,6 +183,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), n=3
     )
 
+    # flagship composition: the training-data prep funnel
+    def training_data_prep(s, d):
+        from tlhop_library_spark.pipeline import prepare_training_data
+
+        return prepare_training_data(
+            _t(s, d, "documents"), min_quality=0.55, jaccard_threshold=0.5
+        )
+
+    q["training_data_prep"] = training_data_prep
+
     # the full at-scale near-dup pipeline: LSH banding candidates →
     # exact jaccard verification on candidates only
     q["minhash_verified_pairs"] = lambda s, d: dedup.minhash_near_dup_pairs(
@@ -823,6 +833,66 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+"""
+
+    o["training_data_prep"] = f"""
+WITH base0 AS (
+  SELECT doc_id, text, {_TOKENS} AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), qual AS (
+  SELECT doc_id, n_tokens,
+         round(0.4*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+             + 0.4*(CASE WHEN n_tokens > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE)/n_tokens ELSE 0.0 END)
+             + 0.2*(1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/n_chars ELSE 0.0 END)),
+           4) AS quality
+  FROM base0
+), d1 AS (
+  SELECT b.doc_id, b.text, b.toks FROM base0 b
+  JOIN qual USING (doc_id) WHERE qual.quality >= 0.55
+), reps AS (
+  SELECT min(doc_id) AS doc_id FROM d1 GROUP BY md5(text)
+), d2 AS (
+  SELECT d1.* FROM d1 JOIN reps USING (doc_id)
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM d2 WHERE len(toks) >= 3
+), perms AS (
+  SELECT doc_id, i AS sig_i, shingle
+  FROM sh, (SELECT unnest(range(0, {dedup.MINHASH_PERMS})) AS i)
+), sig AS (
+  SELECT doc_id, sig_i,
+         min(md5(CAST(sig_i AS VARCHAR) || '|' || shingle)) AS min_hash
+  FROM perms GROUP BY doc_id, sig_i
+), banded AS (
+  SELECT doc_id, CAST(sig_i // {dedup.MINHASH_PERMS // dedup.LSH_BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(sig_i AS VARCHAR) || ':' || min_hash)), ',')) AS bucket
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_sort(list(shingle)) AS shs FROM sh GROUP BY doc_id
+), verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shs, sb.shs)) AS n_inter,
+         len(sa.shs) AS n_a, len(sb.shs) AS n_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+), dropped AS (
+  SELECT DISTINCT doc_b AS doc_id FROM verified
+  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.5
+)
+SELECT d2.doc_id, qual.n_tokens, qual.quality
+FROM d2 JOIN qual USING (doc_id)
+WHERE d2.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
     o["minhash_verified_pairs"] = f"""

@@ -59,6 +59,8 @@ HEADLINE = [
     "ngram_jaccard_capped",
     "minhash_verified_pairs",
     "ivf_topk",
+    "winnow_fingerprint",
+    "training_data_prep",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

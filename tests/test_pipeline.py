@@ -1,0 +1,42 @@
+"""Training-data preparation funnel (pipeline.py)."""
+
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.pipeline import (
+    prepare_training_data,
+    training_data_summary,
+)
+
+
+def test_funnel_monotone_and_deterministic(spark, corpus_df):
+    out1 = prepare_training_data(corpus_df).collect()
+    out2 = prepare_training_data(corpus_df).collect()
+    key = lambda rows: sorted((r["doc_id"], r["n_tokens"], r["quality"]) for r in rows)
+    assert key(out1) == key(out2)
+    n_in = corpus_df.where(F.col("text").isNotNull()).count()
+    assert 0 < len(out1) <= n_in
+
+
+def test_funnel_stages_actually_drop(spark, corpus_df):
+    """Each stage must bite on the synthetic corpus (it plants exact
+    dups and near-dups): quality-only > +exact-dedup > +near-dup."""
+    loose = prepare_training_data(
+        corpus_df, min_quality=0.0, jaccard_threshold=1.1
+    ).count()  # only exact dedup active (jaccard 1.1 unreachable)
+    full = prepare_training_data(
+        corpus_df, min_quality=0.55, jaccard_threshold=0.5
+    ).count()
+    n_in = corpus_df.where(F.col("text").isNotNull()).count()
+    assert loose < n_in  # exact dups removed
+    assert full < loose  # quality + near-dup stages removed more
+
+
+def test_survivors_have_min_quality(spark, corpus_df):
+    out = prepare_training_data(corpus_df, min_quality=0.58)
+    assert out.where(F.col("quality") < 0.58).count() == 0
+
+
+def test_summary_row(spark, corpus_df):
+    row = training_data_summary(corpus_df).collect()[0]
+    assert row["docs_out"] <= row["docs_in"]
+    assert row["tokens_out"] > 0 and 0.0 < row["avg_quality"] <= 1.0

@@ -1,0 +1,72 @@
+"""Training-data preparation pipeline — the end-to-end composition a
+100 TB pretraining corpus actually runs, as one declarative operator:
+
+    quality filter → exact dedup → LSH-verified near-dup drop → stats
+
+Every stage is one of the library's gated operators, so the composed
+plan inherits their scale properties: quality scoring is pure JVM
+expressions; exact dedup is a hash groupBy; near-dup candidates come
+from MinHash banding (never an all-pairs join) with exact jaccard
+verification on candidates only; nothing collects to the driver.
+
+Drop rule for near-dup pairs is the deterministic greedy one: for every
+verified pair (a < b), doc b is dropped. Not a transitive closure — a
+chain a-b-c drops b and c and keeps a — which is the standard
+keep-first policy and is exactly reproducible in SQL (the oracle
+mirrors it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.analyzer import tokens_col
+from tlhop_library_spark.operators import dedup, text
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    min_quality: float = 0.55,
+    jaccard_threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, quality) for the surviving documents.
+
+    Stages:
+      1. quality ≥ min_quality (text.quality_score features);
+      2. exact dedup — keep the min doc_id per md5(text);
+      3. near-dup drop — MinHash-banded candidates, exact jaccard ≥
+         jaccard_threshold verified, doc_b of each (a < b) pair dropped.
+    """
+    q = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    keep_q = q.where(F.col("quality") >= min_quality).select("doc_id")
+    d1 = docs.join(keep_q, "doc_id", "left_semi")
+
+    reps = dedup.dedup_exact(d1).select("doc_id")
+    d2 = d1.join(reps, "doc_id", "left_semi")
+
+    pairs = dedup.minhash_near_dup_pairs(
+        d2, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    d3 = d2.join(drop, "doc_id", "left_anti")
+
+    return d3.select("doc_id").join(q, "doc_id").select(
+        "doc_id", "n_tokens", "quality"
+    )
+
+
+def training_data_summary(docs: DataFrame, **kw) -> DataFrame:
+    """One-row funnel summary: docs in, docs out, tokens out, mean
+    quality of survivors."""
+    out = prepare_training_data(docs, **kw)
+    n_in = docs.where(F.col("text").isNotNull()).select(
+        F.count("*").alias("docs_in")
+    )
+    agg = out.agg(
+        F.count("*").alias("docs_out"),
+        F.sum("n_tokens").alias("tokens_out"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    return n_in.crossJoin(agg)
