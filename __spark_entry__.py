@@ -78,6 +78,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), BM25_QUERY_2, k=15
     )
 
+    # the INDEXED engine itself under the oracle: build (memoized per
+    # sf_dir, freshness-checked) then block-max search — must be
+    # rank-identical to the same DuckDB SQL the exhaustive gate uses
+    def _indexed_reader(s, d):
+        import os
+        import tempfile
+
+        from tlhop_library_spark.index import IndexReader, build_index
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "tlhop_gate_idx_" + d.strip("/").replace("/", "_"),
+        )
+        docs = _t(s, d, "documents")
+        fresh = False
+        stats_path = os.path.join(idx, "stats.json")
+        if os.path.exists(stats_path):
+            import json as _json
+
+            with open(stats_path) as f:
+                fresh = _json.load(f)["n_docs"] == docs.where(
+                    F.col("text").isNotNull()
+                ).count()
+        if not fresh:
+            import shutil
+
+            shutil.rmtree(idx, ignore_errors=True)
+            build_index(s, docs, idx, n_buckets=16)
+        return IndexReader(s, idx)
+
+    q["bm25_indexed"] = lambda s, d: _indexed_reader(s, d).search(
+        BM25_QUERY_1, k=10, mode="bmw"
+    )
+    q["bm25_indexed_head"] = lambda s, d: _indexed_reader(s, d).search(
+        BM25_QUERY_2, k=15, mode="bmw"
+    )
+
     def term_df(s, d):
         docs = _t(s, d, "documents").where(F.col("text").isNotNull())
         return (
@@ -143,6 +180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["token_count_bpe"] = lambda s, d: text.token_count_bpe(
+        _t(s, d, "documents")
+    )
+
+    q["stopword_stats"] = lambda s, d: text.stopword_stats(
         _t(s, d, "documents")
     )
 
@@ -617,6 +658,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["bm25_topk"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_topk_head"] = oracle_sql_bm25(BM25_QUERY_2, k=15)
+    # identical SQL gates the indexed (block-max) path — rank identity
+    # of index vs oracle is the engine's core claim
+    o["bm25_indexed"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
+    o["bm25_indexed_head"] = oracle_sql_bm25(BM25_QUERY_2, k=15)
 
     o["term_df"] = f"""
 WITH tok AS (
@@ -715,6 +760,23 @@ SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
 FROM documents WHERE text IS NOT NULL
+"""
+
+    sw_list = ", ".join(repr(w) for w in text.STOPWORDS)
+    o["stopword_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains([{sw_list}], x))) AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       round(CASE WHEN n_tokens > 0
+             THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
+         AS stopword_ratio
+FROM c
 """
 
     o["winnow_fingerprint"] = f"""

@@ -165,6 +165,33 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+#: frozen stopword list for quality features: the union of the
+#: language marker sets (deterministic, shared with oracle SQL)
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def stopword_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_stopwords, stopword_ratio) — the brief's
+    stopword-ratio quality feature. Pure JVM: membership against the
+    frozen STOPWORDS array via a filter HOF, no shuffle."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    n_sw = F.size(F.filter("toks", lambda x: F.array_contains(sw, x)))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        n_sw.cast("long").alias("n_stopwords"),
+        F.round(
+            F.when(
+                F.size("toks") > 0, n_sw / F.size("toks")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
 def winnowing_fingerprint(
     docs: DataFrame, k: int = 4, window: int = 5
 ) -> DataFrame:
