@@ -1,4 +1,11 @@
 from tlhop_library_spark.index.build import IndexBuilder, build_index
+from tlhop_library_spark.index.merge import merge_index_ranges
 from tlhop_library_spark.index.query import IndexReader, score_exhaustive
 
-__all__ = ["IndexBuilder", "build_index", "IndexReader", "score_exhaustive"]
+__all__ = [
+    "IndexBuilder",
+    "build_index",
+    "IndexReader",
+    "score_exhaustive",
+    "merge_index_ranges",
+]
