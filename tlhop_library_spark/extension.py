@@ -38,15 +38,30 @@ class TlhopExtension:
     def fingerprint(self):
         return text_ops.doc_fingerprint(self._df)
 
+    def winnow_fingerprint(self, k: int = 4, window: int = 5):
+        return text_ops.winnowing_fingerprint(self._df, k, window)
+
+    def stopword_stats(self):
+        return text_ops.stopword_stats(self._df)
+
     # dedup
     def dedup_exact(self):
         return dedup.dedup_exact(self._df)
 
-    def near_dup_pairs(self, n: int = 3, threshold: float = 0.4):
-        return dedup.ngram_jaccard_pairs(self._df, n, threshold)
+    def near_dup_pairs(self, n: int = 3, threshold: float = 0.4, **kw):
+        return dedup.ngram_jaccard_pairs(self._df, n, threshold, **kw)
+
+    def near_dup_verified(self, n: int = 3, threshold: float = 0.4, **kw):
+        return dedup.minhash_near_dup_pairs(self._df, n, threshold, **kw)
 
     def simhash(self):
         return dedup.simhash64(self._df)
+
+    # training-data prep funnel
+    def prepare_training_data(self, **kw):
+        from tlhop_library_spark.pipeline import prepare_training_data
+
+        return prepare_training_data(self._df, **kw)
 
     # relational conveniences (ref shodan_library frequency/cdf ops)
     def frequency(self, col: str, top: int | None = None):
