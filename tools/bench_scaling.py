@@ -91,17 +91,49 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_once(n_cores: int, corpus: str, workdir: str) -> dict:
-    """One fresh-JVM build+query run at local[n], CPU-pinned to exactly
-    n host cores (taskset). Without pinning, a local[2] JVM silently
-    uses extra host cores for GC, shuffle IO and Arrow Python workers,
-    inflating the small-N baseline and understating scaling efficiency;
-    with pinning each level IS an n-core executor — GC and workers
-    share the n cores exactly as they would on a real n-core box."""
+def _package_zip(workdir: str) -> str:
+    """Zip the library for --py-files (the north rule's deploy unit)."""
     import shutil as _shutil
 
-    script = CHILD.format(repo=str(REPO))
-    cmd = [sys.executable, "-c", script, str(n_cores), corpus, workdir]
+    base = str(Path(workdir) / "tlhop_pkg")
+    return _shutil.make_archive(
+        base, "zip", root_dir=str(REPO), base_dir="tlhop_library_spark"
+    )
+
+
+def run_once(n_cores: int, corpus: str, workdir: str) -> dict:
+    """One fresh-JVM build+query run at local[n] via
+    ``spark-submit --master local[n] --py-files tlhop.zip`` (the north
+    rule's cluster entry point), CPU-pinned to exactly n host cores
+    (taskset). Without pinning, a local[2] JVM silently uses extra host
+    cores for GC, shuffle IO and Arrow Python workers, inflating the
+    small-N baseline and understating scaling efficiency; with pinning
+    each level IS an n-core executor — GC and workers share the n
+    cores exactly as they would on a real n-core box."""
+    import shutil as _shutil
+
+    import pyspark
+
+    child_py = Path(workdir) / "scale_child.py"
+    if not child_py.exists():
+        child_py.write_text(CHILD.format(repo=str(REPO)))
+    pkg_zip = Path(workdir) / "tlhop_pkg.zip"
+    if not pkg_zip.exists():
+        _package_zip(workdir)
+    spark_submit = str(
+        Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    )
+    # driver memory MUST be a spark-submit arg: the JVM starts before
+    # the builder conf is read, so get_spark's 16g setting is inert here
+    import os as _os
+
+    cmd = [
+        spark_submit,
+        "--master", f"local[{n_cores}]",
+        "--driver-memory", _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "--py-files", str(pkg_zip),
+        str(child_py), str(n_cores), corpus, workdir,
+    ]
     if _shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
     out = subprocess.run(
@@ -230,7 +262,9 @@ def main():
         for a, b in pairs
     ] + [
         "",
-        "Methodology: each run is CPU-pinned (`taskset -c 0-(n-1)`) so a",
+        "Methodology: each run is a fresh `spark-submit --master",
+        "local[n] --py-files tlhop_pkg.zip` invocation (the north rule's",
+        "deploy entry point), CPU-pinned (`taskset -c 0-(n-1)`) so a",
         "local[n] child gets exactly n host cores — JVM GC threads,",
         "shuffle IO and Arrow Python workers all share those n cores,",
         "exactly as on a real n-core executor. Without pinning a",
