@@ -288,6 +288,49 @@ def test_multimodal_decode_contract_without_decoder():
         multimodal.decode_image(b"\x89PNG fake")
 
 
+def test_multimodal_resize_plumbing(spark):
+    """Resize plumbing works decoder-or-not: image rows only, dims
+    clamped to max_side with aspect preserved (metadata path)."""
+    media = multimodal.make_media_df(spark, 12)
+    out = multimodal.resize_images(
+        media, max_side=64, use_real_decode=False
+    ).collect()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(out) == n_images > 0
+    src_dims = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in media.where(F.col("kind") == "image").collect()
+    }
+    for r in out:
+        assert max(r["width"], r["height"]) <= 64
+        w0, h0 = src_dims[r["media_id"]]
+        if max(w0, h0) > 64 and min(w0, h0) > 1:
+            # aspect preserved within integer truncation
+            assert abs(r["width"] / r["height"] - w0 / h0) < 0.25
+        assert len(bytes(r["payload"])) > 0
+
+
+@pytest.mark.skipif(
+    not multimodal.REAL_DECODE,
+    reason="PIL not installed in this container (REAL_DECODE probe)",
+)
+def test_multimodal_real_resize(spark):
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (640, 320), (0, 255, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", buf.getvalue(), "image/png", 640, 320, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize_images(media, max_side=128).collect()[0]
+    assert (r["width"], r["height"]) == (128, 64)
+    img = PIL.Image.open(io.BytesIO(bytes(r["payload"])))
+    assert img.size == (128, 64)
+
+
 @pytest.mark.skipif(
     not multimodal.REAL_DECODE,
     reason="PIL not installed in this container (REAL_DECODE probe)",

