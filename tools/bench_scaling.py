@@ -110,6 +110,7 @@ def run_once(n_cores: int, corpus: str, workdir: str) -> dict:
     small-N baseline and understating scaling efficiency; with pinning
     each level IS an n-core executor — GC and workers share the n
     cores exactly as they would on a real n-core box."""
+    import os as _os
     import shutil as _shutil
 
     import pyspark
@@ -117,23 +118,32 @@ def run_once(n_cores: int, corpus: str, workdir: str) -> dict:
     child_py = Path(workdir) / "scale_child.py"
     if not child_py.exists():
         child_py.write_text(CHILD.format(repo=str(REPO)))
-    pkg_zip = Path(workdir) / "tlhop_pkg.zip"
-    if not pkg_zip.exists():
-        _package_zip(workdir)
-    spark_submit = str(
-        Path(pyspark.__file__).parent / "bin" / "spark-submit"
-    )
-    # driver memory MUST be a spark-submit arg: the JVM starts before
-    # the builder conf is read, so get_spark's 16g setting is inert here
-    import os as _os
-
-    cmd = [
-        spark_submit,
-        "--master", f"local[{n_cores}]",
-        "--driver-memory", _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        "--py-files", str(pkg_zip),
-        str(child_py), str(n_cores), corpus, workdir,
-    ]
+    if _os.environ.get("SPARK_GRAFT_SCALE_LAUNCHER") == "python":
+        # A/B control: plain python child (pyspark launches the JVM,
+        # builder conf carries driver memory) — used to attribute
+        # launcher overhead vs host-window variance
+        cmd = [
+            sys.executable, str(child_py),
+            str(n_cores), corpus, workdir,
+        ]
+    else:
+        pkg_zip = Path(workdir) / "tlhop_pkg.zip"
+        if not pkg_zip.exists():
+            _package_zip(workdir)
+        spark_submit = str(
+            Path(pyspark.__file__).parent / "bin" / "spark-submit"
+        )
+        # driver memory MUST be a spark-submit arg: the JVM starts
+        # before the builder conf is read, so get_spark's 16g setting
+        # is inert here
+        cmd = [
+            spark_submit,
+            "--master", f"local[{n_cores}]",
+            "--driver-memory",
+            _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            "--py-files", str(pkg_zip),
+            str(child_py), str(n_cores), corpus, workdir,
+        ]
     if _shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
     out = subprocess.run(
@@ -336,6 +346,11 @@ def main():
         f"- local[{n}]: `{json.dumps(results[n][-1]['phases'])}`"
         for n in levels
     ]
+    # persistent manual sections (host-window variance analysis,
+    # one-off stress points) survive regeneration
+    appendix = REPO / "BENCH_APPENDIX.md"
+    if appendix.exists():
+        lines += ["", appendix.read_text().rstrip()]
     Path(args.out).write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     print(f"\nwrote {args.out}")
