@@ -86,6 +86,59 @@ def test_catalog_compact(spark, tmp_path):
     assert cat.read("t2").count() == 1000
 
 
+def test_stream_convert_dumps_incremental_idempotent(spark, tmp_path):
+    """Real micro-batch ingest: files dropped into the dump dir are
+    normalized + MERGE-appended; redelivered rows are no-ops."""
+    import time
+
+    from tlhop_library_spark.sources.converter import stream_convert_dumps
+
+    dump_dir = tmp_path / "dumps"
+    dump_dir.mkdir()
+    cat = TableCatalog(spark, str(tmp_path / "warehouse"))
+
+    def write_dump(name, lo, hi):
+        with open(dump_dir / name, "w") as f:
+            for i in range(lo, hi):
+                f.write(
+                    json.dumps(
+                        {
+                            "url": f"https://s{i}.test/p",
+                            "warc_ts": f"2025-03-01 10:{i % 60:02d}:00",
+                            "html": f"<html><body>stream doc {i}</body></html>",
+                            "lang": "en",
+                        }
+                    )
+                    + "\n"
+                )
+
+    write_dump("a.jsonl", 0, 10)
+    q = stream_convert_dumps(
+        spark, str(dump_dir), cat,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        def table_count(expect):
+            for _ in range(60):
+                try:
+                    if cat.read("documents").count() == expect:
+                        return expect
+                except Exception:
+                    pass
+                time.sleep(1)
+            return cat.read("documents").count()
+
+        assert table_count(10) == 10
+        # second file overlaps rows 5-9 → only 5 new rows may land
+        write_dump("b.jsonl", 5, 15)
+        assert table_count(15) == 15
+        docs = cat.read("documents")
+        assert docs.select("url").distinct().count() == 15
+        assert docs.where(F.col("text").contains("stream doc")).count() == 15
+    finally:
+        q.stop()
+
+
 def test_avro_roundtrip_when_package_present(spark, tmp_path):
     """S2 runtime probe: executes the Avro write+read path when the
     spark-avro datasource is on the classpath, and records an explicit

@@ -102,3 +102,39 @@ def convert_dump(
         normalized, table, keys=["url", "warc_ts"],
         partition_cols=["year", "fetch_date"],
     )
+
+
+def stream_convert_dumps(
+    spark: SparkSession,
+    dump_dir: str,
+    catalog: TableCatalog,
+    table: str = "documents",
+    checkpoint_dir: str | None = None,
+):
+    """Incremental ingest: Structured Streaming file source over a dump
+    directory → per-micro-batch normalize + idempotent MERGE append.
+
+    End-to-end-exactly-once by composition: the file source +
+    checkpoint give at-least-once batch delivery, and the
+    (url, warc_ts)-keyed `merge_append` makes redelivery a no-op — the
+    same RELEASE-file/MERGE idempotency the reference's crawlers use
+    (/root/reference/tlhop/crawlers/nist_nvd.py:83-89,
+    censys_dataset_manager.py:222-229), expressed as
+    readStream.foreachBatch. Returns the StreamingQuery (caller owns
+    stop())."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.merge_append(
+            normalize(batch_df), table, keys=["url", "warc_ts"],
+            partition_cols=["year", "fetch_date"],
+        )
+
+    stream = spark.readStream.schema(DUMP_SCHEMA).json(dump_dir)
+    writer = stream.writeStream.foreachBatch(sink).trigger(
+        processingTime="1 second"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
