@@ -231,26 +231,28 @@ class IndexBuilder:
             "doc_id", tokens_col(F.col("text")).alias("tokens")
         ).withColumn("dl", F.size("tokens"))
 
-        # corpus stats (one pass; cached plan reused by postings below)
         with_tokens = with_tokens.persist()
-        row = with_tokens.agg(
-            F.count("*").alias("n"),
-            F.sum("dl").alias("sum_dl"),
-            F.max("doc_id").alias("max_doc"),
-        ).collect()[0]
-        mark("tokenize_stats")
-        n_docs, sum_dl, max_doc = row["n"], row["sum_dl"] or 0, row["max_doc"] or 0
-        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
-        range_size = max(1, math.ceil((int(max_doc) + 1) / self.n_ranges))
-
         completed = self._completed_groups() if resume else set()
 
-        # doc lengths table
+        # The doc_lengths write is the FIRST action: it materializes
+        # the token cache AND persists the (doc_id, dl) table in one
+        # pass. Corpus stats then aggregate the written parquet (a
+        # two-int-column table) instead of re-scanning the fat cached
+        # token arrays — one fewer pass over the heavy data per build.
         if "doc_lengths" not in completed:
             with_tokens.select("doc_id", "dl").write.mode("overwrite").parquet(
                 self.doclen_path
             )
-        mark("doc_lengths")
+        mark("tokenize_doc_lengths")
+        row = spark.read.parquet(self.doclen_path).agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("sum_dl"),
+            F.max("doc_id").alias("max_doc"),
+        ).collect()[0]
+        mark("stats")
+        n_docs, sum_dl, max_doc = row["n"], row["sum_dl"] or 0, row["max_doc"] or 0
+        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+        range_size = max(1, math.ceil((int(max_doc) + 1) / self.n_ranges))
 
         # raw token instances, dictionary-encoded to int64 BEFORE the
         # wide shuffle (smaller rows, int sort) — tf is computed INSIDE
