@@ -10,6 +10,8 @@ Subcommands:
     bench   — one-line JSON build+query benchmark (see bench.py for the
               driver-contract variant)
     report  — corpus report suite
+    merge   — offline index optimize (range-salt coarsening)
+    prep    — training-data funnel → parquet of survivors
 """
 
 from __future__ import annotations
@@ -46,6 +48,18 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report")
     r.add_argument("--docs", required=True)
     r.add_argument("--out", required=True)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--factor", type=int, default=4)
+
+    pr = sub.add_parser("prep")
+    pr.add_argument("--docs", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--min-quality", type=float, default=0.55)
+    pr.add_argument("--jaccard", type=float, default=0.5)
+    pr.add_argument("--max-shingle-df", type=int, default=None)
 
     args = ap.parse_args(argv)
 
@@ -91,6 +105,24 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.docs)
         out = CorpusReport(spark, args.out).run_all(docs)
         print(json.dumps({k: v.count() for k, v in out.items()}))
+    elif args.cmd == "merge":
+        from tlhop_library_spark.index.merge import merge_index_ranges
+
+        stats = merge_index_ranges(spark, args.index, args.out, args.factor)
+        print(json.dumps(stats))
+    elif args.cmd == "prep":
+        from tlhop_library_spark.pipeline import prepare_training_data
+
+        docs = spark.read.parquet(args.docs)
+        out = prepare_training_data(
+            docs,
+            min_quality=args.min_quality,
+            jaccard_threshold=args.jaccard,
+            max_shingle_df=args.max_shingle_df,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"survivors": n, "out": args.out}))
     return 0
 
 
