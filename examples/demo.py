@@ -108,7 +108,25 @@ def main() -> None:
     ).count()
     print(f"embedding near-dup pairs (cos>=0.9): {nd}")
 
-    # 9. corpus report suite
+    # 9. training-data prep funnel (quality → exact dedup → near-dup)
+    from tlhop_library_spark.pipeline import training_data_summary
+
+    funnel = training_data_summary(docs).collect()[0]
+    print(f"\ntraining-data funnel: {funnel.asDict()}")
+
+    # 10. offline index optimize: coarsen the range salt 4×, searches
+    # stay rank-identical with fewer chunks per query
+    from tlhop_library_spark.index import merge_index_ranges
+
+    merge_index_ranges(spark, f"{work}/idx", f"{work}/idx_merged", factor=4)
+    merged = IndexReader(spark, f"{work}/idx_merged")
+    m_rows = merged.search(q, k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in m_rows] == [
+        (r["doc_id"], r["score"]) for r in idx_rows
+    ], "merged index diverged!"
+    print("merged index (factor 4): search rank-identical")
+
+    # 11. corpus report suite
     rep = CorpusReport(spark, f"{work}/report").run_all(docs)
     print("\nreport summary:", rep["summary"].collect()[0].asDict())
 
