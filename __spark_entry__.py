@@ -23,6 +23,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from tlhop_library_spark import bm25  # noqa: E402
 from tlhop_library_spark.analyzer import tokens_col  # noqa: E402
+from tlhop_library_spark.index.phrase import (  # noqa: E402
+    oracle_sql_phrase,
+    oracle_sql_proximity,
+    phrase_exhaustive as _phrase_exhaustive,
+)
 from tlhop_library_spark.index.query import (  # noqa: E402
     oracle_sql_bm25,
     score_exhaustive,
@@ -50,6 +55,9 @@ _LSH_PLANES, _LSH_TABLES, _EMB_DIM = 4, 8, 64
 
 BM25_QUERY_1 = "spark join filter"
 BM25_QUERY_2 = "the"
+PHRASE_QUERY_1 = "spark join"      # mid-selectivity bigram (~7% of docs)
+PHRASE_QUERY_2 = "hash scan join"  # selective trigram
+PROX_QUERY, PROX_WINDOW = "spark vector", 5
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -98,14 +106,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             import json as _json
 
             with open(stats_path) as f:
-                fresh = _json.load(f)["n_docs"] == docs.where(
-                    F.col("text").isNotNull()
-                ).count()
+                st = _json.load(f)
+            fresh = st.get("positions") is True and st["n_docs"] == docs.where(
+                F.col("text").isNotNull()
+            ).count()
         if not fresh:
             import shutil
 
             shutil.rmtree(idx, ignore_errors=True)
-            build_index(s, docs, idx, n_buckets=16)
+            # ONE positional index serves the plain-BM25, phrase, and
+            # proximity gates (plain queries never read the position
+            # streams — column pruning, asserted in tests/test_index_phrase)
+            build_index(s, docs, idx, n_buckets=16, positions=True)
         return IndexReader(s, idx)
 
     q["bm25_indexed"] = lambda s, d: _indexed_reader(s, d).search(
@@ -113,6 +125,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bm25_indexed_head"] = lambda s, d: _indexed_reader(s, d).search(
         BM25_QUERY_2, k=15, mode="bmw"
+    )
+
+    # positional operators over the same index: exact phrase (indexed
+    # kernel AND the declarative no-index path) + windowed proximity
+    q["phrase_topk"] = lambda s, d: _indexed_reader(s, d).search_phrase(
+        PHRASE_QUERY_1, k=10
+    )
+    q["phrase_trigram"] = lambda s, d: _indexed_reader(s, d).search_phrase(
+        PHRASE_QUERY_2, k=10
+    )
+    q["phrase_exhaustive"] = lambda s, d: _phrase_exhaustive(
+        _t(s, d, "documents"), PHRASE_QUERY_1, k=10
+    )
+    q["proximity_topk"] = lambda s, d: _indexed_reader(s, d).search_proximity(
+        PROX_QUERY, window=PROX_WINDOW, k=10
     )
 
     def term_df(s, d):
@@ -662,6 +689,12 @@ def oracle_sql() -> dict[str, str]:
     # of index vs oracle is the engine's core claim
     o["bm25_indexed"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_indexed_head"] = oracle_sql_bm25(BM25_QUERY_2, k=15)
+    o["phrase_topk"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)
+    o["phrase_trigram"] = oracle_sql_phrase(PHRASE_QUERY_2, k=10)
+    o["phrase_exhaustive"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)
+    o["proximity_topk"] = oracle_sql_proximity(
+        PROX_QUERY, window=PROX_WINDOW, k=10
+    )
 
     o["term_df"] = f"""
 WITH tok AS (

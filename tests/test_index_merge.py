@@ -58,3 +58,26 @@ def test_merged_ranges_coarsened(spark, index_dir, merged_dir):
         .select("range_id").distinct().count()
     )
     assert dst_ranges <= (src_ranges + 3) // 4
+
+
+def test_merged_positional_phrase_identical(spark, corpus_df, tmp_path_factory):
+    """Range-merge of a POSITIONAL index preserves phrase + proximity
+    results exactly (pos streams concatenate with offset shifts)."""
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    src = str(tmp_path_factory.mktemp("pmerge") / "src")
+    out = str(tmp_path_factory.mktemp("pmerge") / "dst")
+    IndexBuilder(spark, src, n_buckets=4, n_ranges=8, positions=True).build(
+        corpus_df
+    )
+    stats = merge_index_ranges(spark, src, out, factor=4)
+    assert stats["positions"] is True
+    a_r, b_r = IndexReader(spark, src), IndexReader(spark, out)
+    for phrase in ["coração ação", "análise tupere", "ação ação informação"]:
+        a = [tuple(r) for r in a_r.search_phrase(phrase, k=10).collect()]
+        b = [tuple(r) for r in b_r.search_phrase(phrase, k=10).collect()]
+        assert a == b, phrase
+        assert a, f"phrase {phrase!r} matched nothing — weak fixture"
+    pa = [tuple(r) for r in a_r.search_proximity("análise tupere", 5, k=50).collect()]
+    pb = [tuple(r) for r in b_r.search_proximity("análise tupere", 5, k=50).collect()]
+    assert pa == pb and pa

@@ -1,0 +1,177 @@
+"""Positional index: phrase + proximity query correctness.
+
+Three-way identity for phrase: indexed kernel ≡ declarative DataFrame
+path ≡ pure-Python oracle (tokenize with py_tokens, scan for the slot
+sequence, score with the frozen BM25 spec). Proximity is checked
+against a brute-force Python cover scan. Plain BM25 on a positional
+index must be rank-identical to the non-positional index AND must not
+read the position streams (plan-level assertion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tlhop_library_spark import bm25
+from tlhop_library_spark.analyzer import py_tokens
+
+
+@pytest.fixture(scope="session")
+def pos_index_dir(spark, corpus_df, tmp_path_factory):
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    d = str(tmp_path_factory.mktemp("pindex") / "idx")
+    IndexBuilder(
+        spark, d, n_buckets=8, n_ranges=8, positions=True
+    ).build(corpus_df)
+    return d
+
+
+@pytest.fixture(scope="session")
+def tokenized(corpus_df):
+    rows = corpus_df.select("doc_id", "text").collect()
+    return {
+        int(r["doc_id"]): py_tokens(r["text"])
+        for r in rows
+        if r["text"] is not None
+    }
+
+
+def _py_phrase_topk(tokenized: dict, phrase: str, k: int):
+    """Pure-Python phrase oracle implementing the frozen spec."""
+    slots = py_tokens(phrase)
+    terms = sorted(set(slots))
+    n = len(tokenized)
+    avgdl = sum(len(t) for t in tokenized.values()) / n
+    df = {
+        t: sum(1 for toks in tokenized.values() if t in toks) for t in terms
+    }
+    m = len(slots)
+    out = []
+    for doc, toks in tokenized.items():
+        hit = any(
+            toks[i : i + m] == slots for i in range(len(toks) - m + 1)
+        )
+        if not hit:
+            continue
+        dl = len(toks)
+        s = sum(
+            bm25.idf(n, df[t])
+            * (toks.count(t) * (bm25.K1 + 1))
+            / (
+                toks.count(t)
+                + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl)
+            )
+            for t in terms
+        )
+        out.append((doc, round(s, bm25.ROUND_DIGITS)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def _py_proximity_docs(tokenized: dict, query: str, window: int):
+    terms = sorted(set(py_tokens(query)))
+    out = set()
+    for doc, toks in tokenized.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+        if any(not p for p in pos.values()):
+            continue
+        anchors = sorted({p for ps in pos.values() for p in ps})
+        for a in anchors:
+            if all(
+                any(a <= p < a + window for p in ps) for ps in pos.values()
+            ):
+                out.add(doc)
+                break
+    return out
+
+
+PHRASES = [
+    "coração ação",            # frequent head bigram
+    "ação ação informação",    # trigram with a duplicated slot term
+    "análise análise",         # duplicate-term bigram
+    "análise tupere",          # mid-frequency bigram (~9 occurrences)
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_indexed_vs_python_oracle(
+    spark, pos_index_dir, tokenized, phrase
+):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in reader.search_phrase(phrase, k=10).collect()
+    ]
+    want = _py_phrase_topk(tokenized, phrase, 10)
+    assert got == want, f"phrase {phrase!r}: {got} != {want}"
+    assert want, f"phrase {phrase!r} matched nothing — weak fixture"
+
+
+@pytest.mark.parametrize("phrase", PHRASES[:2])
+def test_phrase_indexed_vs_exhaustive(spark, pos_index_dir, corpus_df, phrase):
+    from tlhop_library_spark.index import IndexReader
+    from tlhop_library_spark.index.phrase import phrase_exhaustive
+
+    reader = IndexReader(spark, pos_index_dir)
+    a = reader.search_phrase(phrase, k=10).collect()
+    b = phrase_exhaustive(corpus_df, phrase, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_phrase_missing_term_empty(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    assert reader.search_phrase("ação zzzunseen", k=5).count() == 0
+    assert reader.search_phrase("", k=5).count() == 0
+
+
+def test_phrase_requires_positions(spark, index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    with pytest.raises(ValueError, match="positional"):
+        reader.search_phrase("spark join")
+
+
+@pytest.mark.parametrize(
+    "query,window", [("análise tupere", 5), ("pili página conteúdo", 8)]
+)
+def test_proximity_indexed_vs_python(
+    spark, pos_index_dir, tokenized, query, window
+):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    got_rows = reader.search_proximity(query, window=window, k=1000).collect()
+    got = {int(r["doc_id"]) for r in got_rows}
+    want = _py_proximity_docs(tokenized, query, window)
+    assert got == want
+    assert want, "proximity fixture matched nothing — weak fixture"
+
+
+def test_plain_search_identical_on_positional_index(
+    spark, pos_index_dir, index_dir
+):
+    from tlhop_library_spark.index import IndexReader
+
+    rp = IndexReader(spark, pos_index_dir)
+    rn = IndexReader(spark, index_dir)
+    for q in ["ação", "coração informação", "análise segurança índice"]:
+        a = rp.search(q, k=10).collect()
+        b = rn.search(q, k=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_plain_search_prunes_position_streams(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    df = reader.search("ação coração", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "doc_bytes" in plan, "expected a real chunk scan in the plan"
+    assert "pos_bytes" not in plan, "plain BM25 read the position stream"

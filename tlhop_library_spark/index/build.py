@@ -89,19 +89,41 @@ SEGMENT_SCHEMA = StructType(
     ]
 )
 
+#: positional variant: per-posting in-document token positions, stored as
+#: one varint stream per chunk (per posting: tf delta-gapped positions,
+#: first absolute) with per-block restart offsets — the position count of
+#: posting i IS tf_i, so no extra length stream is needed.
+POS_SEGMENT_SCHEMA = StructType(
+    SEGMENT_SCHEMA.fields
+    + [
+        StructField("pos_bytes", BinaryType()),
+        StructField("block_pos_offsets", ArrayType(IntegerType())),
+    ]
+)
 
-def _encode_one(tid, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
-    """Encode one (term, range) posting run (already doc_id-sorted)."""
+
+def _encode_one(tid, bucket, range_id, doc_ids, tfs, dls, w,
+                pos_gaps=None) -> dict:
+    """Encode one (term, range) posting run (already doc_id-sorted).
+
+    ``pos_gaps`` (positional indexes only): token-instance-level array,
+    aligned with the run's raw (doc, position) stream — each posting's
+    first position absolute, the rest delta-gapped. Posting i owns the
+    slice ``[tb[i], tb[i+1])`` where ``tb = [0, cumsum(tfs)]``.
+    """
     n = len(doc_ids)
     n_blocks = math.ceil(n / BLOCK_SIZE)
-    doc_parts, tf_parts, dl_parts = [], [], []
+    doc_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
     b_first, b_last, b_counts = [], [], []
-    b_doc_off, b_tf_off, b_dl_off, b_max = [], [], [], []
-    doc_off = tf_off = dl_off = 0
+    b_doc_off, b_tf_off, b_dl_off, b_pos_off, b_max = [], [], [], [], []
+    doc_off = tf_off = dl_off = pos_off = 0
+    tb = None
+    if pos_gaps is not None:
+        tb = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
     for bi in range(n_blocks):
         s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
         db = varint_encode(delta_encode(doc_ids[s:e]))
-        tb = varint_encode(tfs[s:e])
+        tb_ = varint_encode(tfs[s:e])
         lb = varint_encode(dls[s:e])
         b_doc_off.append(doc_off)
         b_tf_off.append(tf_off)
@@ -111,11 +133,16 @@ def _encode_one(tid, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
         b_counts.append(e - s)
         b_max.append(float(w[s:e].max()))
         doc_parts.append(db)
-        tf_parts.append(tb)
+        tf_parts.append(tb_)
         dl_parts.append(lb)
         doc_off += len(db)
-        tf_off += len(tb)
+        tf_off += len(tb_)
         dl_off += len(lb)
+        if pos_gaps is not None:
+            pb = varint_encode(pos_gaps[tb[s]:tb[e]])
+            b_pos_off.append(pos_off)
+            pos_parts.append(pb)
+            pos_off += len(pb)
     return {
         "tid": int(tid),
         "bucket": bucket,
@@ -135,6 +162,11 @@ def _encode_one(tid, bucket, range_id, doc_ids, tfs, dls, w) -> dict:
         "block_dl_offsets": b_dl_off,
         "block_max_w": b_max,
         "max_w": float(max(b_max)),
+        **(
+            {"pos_bytes": b"".join(pos_parts), "block_pos_offsets": b_pos_off}
+            if pos_gaps is not None
+            else {}
+        ),
     }
 
 
@@ -168,6 +200,7 @@ class IndexBuilder:
         n_ranges: int | None = None,
         n_jobs: int = 1,
         encode_parts: int | None = None,
+        positions: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -177,6 +210,11 @@ class IndexBuilder:
         )
         self.n_jobs = n_jobs
         self.encode_parts = encode_parts
+        #: store per-posting token positions (phrase/proximity queries).
+        #: Costs one extra int column through the wide shuffle (~4 B/row)
+        #: plus the pos_bytes stream in segments; plain BM25 queries on a
+        #: positional index never read those columns (column pruning).
+        self.positions = positions
 
     # -- paths ---------------------------------------------------------
     @property
@@ -261,9 +299,14 @@ class IndexBuilder:
         # pure functions of (tid, doc_id): they partition and sort as
         # EXPRESSIONS but are never shuffled as columns (20 B/row vs
         # 28 B — the shuffle is the scale bottleneck, SCALE_DESIGN.md).
-        exploded = with_tokens.select(
-            "doc_id", "dl", F.explode("tokens").alias("term")
-        ).withColumn("tid", F.xxhash64("term"))
+        if self.positions:
+            exploded = with_tokens.select(
+                "doc_id", "dl", F.posexplode("tokens").alias("pos", "term")
+            ).withColumn("tid", F.xxhash64("term"))
+        else:
+            exploded = with_tokens.select(
+                "doc_id", "dl", F.explode("tokens").alias("term")
+            ).withColumn("tid", F.xxhash64("term"))
         bucket_expr = F.pmod(F.col("tid"), F.lit(self.n_buckets)).cast("int")
         # floor division to match the encoder's `doc_id // range_size`
         # (a plain /-then-cast truncates toward zero, which disagrees
@@ -299,9 +342,11 @@ class IndexBuilder:
             make_stream_encoder,
         )
 
+        seg_schema = POS_SEGMENT_SCHEMA if self.positions else SEGMENT_SCHEMA
         encoder = make_stream_encoder(
-            avgdl, SEGMENT_SCHEMA, _encode_one,
+            avgdl, seg_schema, _encode_one,
             n_buckets=self.n_buckets, range_size=range_size,
+            positions=self.positions,
         )
         n_encode_parts = self.encode_parts or 4 * int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -313,11 +358,20 @@ class IndexBuilder:
             part = exploded.where(
                 F.pmod(bucket_expr, F.lit(self.n_jobs)) == g
             )
+            shuffle_cols = ["tid", "doc_id", "dl"] + (
+                ["pos"] if self.positions else []
+            )
+            # positions sort LAST so each posting's position list arrives
+            # ascending (Tungsten sort is not stable; posexplode order
+            # would otherwise be lost across the shuffle)
+            sort_keys = [bucket_expr, range_expr, "tid", "doc_id"] + (
+                ["pos"] if self.positions else []
+            )
             seg = (
-                part.select("tid", "doc_id", "dl")
+                part.select(*shuffle_cols)
                 .repartition(n_encode_parts, bucket_expr, range_expr)
-                .sortWithinPartitions(bucket_expr, range_expr, "tid", "doc_id")
-                .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+                .sortWithinPartitions(*sort_keys)
+                .mapInArrow(encoder, schema=seg_schema)
                 .sortWithinPartitions("tid")
             )
             gdir = os.path.join(self.segments_path, f"bucket_group={g}")
@@ -357,6 +411,7 @@ class IndexBuilder:
             "n_ranges": self.n_ranges,
             "n_buckets": self.n_buckets,
             "n_jobs": self.n_jobs,
+            "positions": self.positions,
             "block_size": BLOCK_SIZE,
             "build_sec": time.time() - t0,
             "phases": phases,
@@ -374,9 +429,16 @@ class IndexBuilder:
             F.count("*").alias("n_chunks"),
             F.countDistinct("tid").alias("n_terms"),
             F.sum("n_postings").alias("postings_written"),
-            F.sum(F.octet_length("doc_bytes")
-                  + F.octet_length("tf_bytes")
-                  + F.octet_length("dl_bytes")).alias("bytes_written"),
+            F.sum(
+                F.octet_length("doc_bytes")
+                + F.octet_length("tf_bytes")
+                + F.octet_length("dl_bytes")
+                + (
+                    F.octet_length("pos_bytes")
+                    if self.positions
+                    else F.lit(0)
+                )
+            ).alias("bytes_written"),
             (F.max("n_postings") / F.avg("n_postings")).alias("skew_ratio"),
         ).withColumns(
             {

@@ -38,21 +38,27 @@ def _arrow_schema(spark_schema):
 
 def make_stream_encoder(avgdl: float, spark_schema, encode_one,
                         n_buckets: int = 32, range_size: int = 1,
-                        out_batch_rows: int = 512):
+                        out_batch_rows: int = 512,
+                        positions: bool = False):
     """Returns the mapInArrow function. `encode_one` is
     build._encode_one. bucket/range_id are DERIVED here from
     (tid, doc_id) — they partition and sort upstream as expressions but
     are never shuffled as columns (numpy `%` on int64 matches Spark
-    pmod for negative tids)."""
+    pmod for negative tids).
+
+    ``positions=True``: the stream carries a ``pos`` column (in-document
+    token index, ascending within each (tid, doc_id) run by the upstream
+    sort); each run's positions are delta-gapped per posting and handed
+    to ``encode_one`` as ``pos_gaps``."""
     arrow_schema = _arrow_schema(spark_schema)
 
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         out_rows: list[dict] = []
-        # carry: ((bucket, range_id, tid), docs, dls) of the
+        # carry: ((bucket, range_id, tid), docs, dls[, poss]) of the
         # unfinished tail run of the previous batch
         carry = None
 
-        def flush_run(bucket, range_id, tid, docs, dls):
+        def flush_run(bucket, range_id, tid, docs, dls, poss=None):
             # docs ascending; duplicates = same doc repeated tf times
             n = len(docs)
             if n == 0:
@@ -66,6 +72,21 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
             tfs = (ends - starts).astype(np.uint64)
             dlr = dls[starts].astype(np.uint64)
             w = bm25.tf_weight_np(tfs, dlr, avgdl)
+            pos_gaps = None
+            if poss is not None:
+                # per-posting delta chains: first position absolute, the
+                # rest gaps (positions ascend within a posting by sort)
+                p = poss.astype(np.uint64)
+                pos_gaps = np.empty_like(p)
+                if n:
+                    pos_gaps[0] = p[0]
+                    np.subtract(p[1:], p[:-1], out=pos_gaps[1:])
+                    pos_gaps[starts] = p[starts]
+                out_rows.append(
+                    encode_one(tid, int(bucket), int(range_id), uniq, tfs,
+                               dlr, w, pos_gaps=pos_gaps)
+                )
+                return
             out_rows.append(
                 encode_one(tid, int(bucket), int(range_id), uniq, tfs, dlr, w)
             )
@@ -83,6 +104,11 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
             d = batch.column("doc_id").to_numpy(zero_copy_only=False)
             dl = batch.column("dl").to_numpy(zero_copy_only=False)
             tid = batch.column("tid").to_numpy(zero_copy_only=False)
+            ps = (
+                batch.column("pos").to_numpy(zero_copy_only=False)
+                if positions
+                else None
+            )
             n = len(d)
             if n == 0:
                 continue
@@ -96,25 +122,33 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
             for i, (s, e) in enumerate(zip(starts, ends)):
                 key = (int(tid[s]) % n_buckets, int(r[s]), int(tid[s]))
                 docs_se, dls_se = d[s:e], dl[s:e]
+                poss_se = ps[s:e] if positions else None
                 if carry is not None:
                     if carry[0] == key:
                         docs_se = np.concatenate((carry[1], docs_se))
                         dls_se = np.concatenate((carry[2], dls_se))
+                        if positions:
+                            poss_se = np.concatenate((carry[3], poss_se))
                         carry = None
                     else:
                         flush_run(carry[0][0], carry[0][1], carry[0][2],
-                                  carry[1], carry[2])
+                                  carry[1], carry[2],
+                                  carry[3] if positions else None)
                         carry = None
                 if i == len(starts) - 1:
-                    carry = (key, docs_se.copy(), dls_se.copy())
+                    carry = (key, docs_se.copy(), dls_se.copy()) + (
+                        (poss_se.copy(),) if positions else (None,)
+                    )
                 else:
-                    flush_run(key[0], key[1], key[2], docs_se, dls_se)
+                    flush_run(key[0], key[1], key[2], docs_se, dls_se,
+                              poss_se)
             out = maybe_yield()
             if out is not None:
                 yield out
 
         if carry is not None:
-            flush_run(carry[0][0], carry[0][1], carry[0][2], carry[1], carry[2])
+            flush_run(carry[0][0], carry[0][1], carry[0][2], carry[1],
+                      carry[2], carry[3] if positions else None)
         out = maybe_yield(force=True)
         if out is not None:
             yield out
@@ -125,8 +159,8 @@ def make_stream_encoder(avgdl: float, spark_schema, encode_one,
 def _normalize_row(row: dict) -> dict:
     # pa.RecordBatch.from_pylist needs plain python types for binary
     out = dict(row)
-    for k in ("doc_bytes", "tf_bytes", "dl_bytes"):
-        v = out[k]
-        if not isinstance(v, bytes):
+    for k in ("doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes"):
+        v = out.get(k)
+        if v is not None and not isinstance(v, bytes):
             out[k] = bytes(v)
     return out

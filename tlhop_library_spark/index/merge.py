@@ -31,23 +31,28 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from tlhop_library_spark.index.build import SEGMENT_SCHEMA
+from tlhop_library_spark.index.build import POS_SEGMENT_SCHEMA, SEGMENT_SCHEMA
 
 
 def merge_index_ranges(
     spark: SparkSession, index_dir: str, out_dir: str, factor: int = 4
 ) -> dict:
     """Rewrite ``index_dir`` into ``out_dir`` with ranges coarsened by
-    ``factor``. Returns the new stats dict."""
+    ``factor``. Returns the new stats dict. Positional indexes merge
+    their position streams the same way (the per-block pos varints of
+    adjacent ranges concatenate — position delta chains restart per
+    POSTING, so range order preserves every chain)."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    positions = bool(stats.get("positions"))
+    schema = POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA
 
     # drop the bucket_group partition column: the rewrite goes into a
-    # single group dir and the kernel's schema is SEGMENT_SCHEMA exactly
+    # single group dir and the kernel's schema is the segment schema exactly
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).select(
-        *[f.name for f in SEGMENT_SCHEMA.fields]
+        *[f.name for f in schema.fields]
     )
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -56,10 +61,10 @@ def merge_index_ranges(
             row = pdf.iloc[0].to_dict()
             row["range_id"] = int(row["range_id"]) // factor
             return pd.DataFrame([row])
-        doc_off = tf_off = dl_off = 0
+        doc_off = tf_off = dl_off = pos_off = 0
         b_first, b_last, b_counts = [], [], []
-        b_doc, b_tf, b_dl, b_max = [], [], [], []
-        doc_parts, tf_parts, dl_parts = [], [], []
+        b_doc, b_tf, b_dl, b_pos, b_max = [], [], [], [], []
+        doc_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
         for _, r in pdf.iterrows():
             b_doc.extend(int(x) + doc_off for x in r["block_doc_offsets"])
             b_tf.extend(int(x) + tf_off for x in r["block_tf_offsets"])
@@ -74,6 +79,10 @@ def merge_index_ranges(
             doc_off += len(doc_parts[-1])
             tf_off += len(tf_parts[-1])
             dl_off += len(dl_parts[-1])
+            if positions:
+                b_pos.extend(int(x) + pos_off for x in r["block_pos_offsets"])
+                pos_parts.append(bytes(r["pos_bytes"]))
+                pos_off += len(pos_parts[-1])
         first = pdf.iloc[0]
         return pd.DataFrame(
             [
@@ -96,6 +105,14 @@ def merge_index_ranges(
                     "block_dl_offsets": b_dl,
                     "block_max_w": b_max,
                     "max_w": float(pdf["max_w"].max()),
+                    **(
+                        {
+                            "pos_bytes": b"".join(pos_parts),
+                            "block_pos_offsets": b_pos,
+                        }
+                        if positions
+                        else {}
+                    ),
                 }
             ]
         )
@@ -107,7 +124,7 @@ def merge_index_ranges(
         .groupBy("tid", "bucket", "merged_range")
         .applyInPandas(
             lambda key, pdf: merge_group(key, pdf.drop(columns=["merged_range"])),
-            schema=SEGMENT_SCHEMA,
+            schema=schema,
         )
         .sortWithinPartitions("tid")
     )

@@ -1,0 +1,416 @@
+"""Phrase + proximity queries over POSITIONAL indexes.
+
+A positional index (``IndexBuilder(..., positions=True)``) stores, per
+posting, the in-document token positions of the term (delta-gapped
+varints, first-absolute per posting — ``build.POS_SEGMENT_SCHEMA``).
+This module adds the two classic operators those positions enable:
+
+- **phrase**: documents whose v1 token stream contains the query terms
+  at consecutive positions, in order ("exact phrase"). Matching docs
+  are BM25-ranked over the phrase's distinct terms with the SAME frozen
+  spec as plain search (idf from corpus-wide df, rounding + doc_id
+  tie-break), so phrase results are rank-identical between the indexed
+  kernel, the declarative DataFrame path, and the DuckDB oracle.
+- **proximity**: documents where every distinct query term occurs
+  within SOME window of ``window`` consecutive token positions.
+  Semantics are anchor-normalized (see ``_min_cover``): a window
+  exists iff one exists anchored at an occurrence of one of the terms
+  — which is what makes the operator expressible in ANSI SQL for the
+  oracle.
+
+Scale shape — identical to the plain indexed path (query.py): chunk
+scan is pruned to (bucket, tid) by parquet pushdown, each doc-range is
+scored independently inside one ``applyInPandas`` task (ranges
+partition the doc-id space — no cross-range talk), and only k rows per
+range leave an executor. The positional intersection is a C-speed
+hash join (``pandas.merge``) on (doc, adjusted position) — never a
+per-row Python loop over postings.
+
+Reference basis: the reference has no positional retrieval (its
+queries are substring ``contains`` scans —
+/root/reference/tlhop/shodan_library.py:179-204); this is the
+from-scratch fulltext replacement demanded by the brief, not a port.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tlhop_library_spark import bm25
+from tlhop_library_spark.analyzer import py_tokens, tokens_col
+from tlhop_library_spark.codecs import varint_decode
+
+_EMPTY = pd.DataFrame({"doc_id": [], "score": []}).astype(
+    {"doc_id": "int64", "score": "float64"}
+)
+
+
+# ---------------------------------------------------------------------
+# chunk decoding (full chunk, all blocks, vectorized)
+# ---------------------------------------------------------------------
+def _cum_reset(gaps: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Absolute values from a gap stream whose delta chains restart at
+    segment boundaries given by ``counts`` (first of each segment is
+    absolute). Fully vectorized: one cumsum + one repeat."""
+    if gaps.size == 0:
+        return gaps
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.int64)
+    c = np.cumsum(gaps)
+    base = c[starts] - gaps[starts]
+    return c - np.repeat(base, counts.astype(np.int64))
+
+
+def decode_chunk(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(docs, tfs, dls) of one whole chunk — all blocks at once.
+
+    Doc gaps restart at every block (build._encode_one delta-encodes
+    per block), so the reset boundaries are ``block_counts``."""
+    cnts = np.asarray(row["block_counts"], dtype=np.int64)
+    n = int(cnts.sum())
+    gaps = varint_decode(bytes(row["doc_bytes"]), n).astype(np.int64)
+    docs = _cum_reset(gaps, cnts)
+    tfs = varint_decode(bytes(row["tf_bytes"]), n)
+    dls = varint_decode(bytes(row["dl_bytes"]), n)
+    return docs, tfs, dls
+
+
+def decode_chunk_positions(row, tfs: np.ndarray) -> np.ndarray:
+    """Token-instance-level absolute positions for one chunk, aligned
+    with ``np.repeat(docs, tfs)``. Position delta chains restart at
+    every POSTING (count = that posting's tf)."""
+    total = int(tfs.sum())
+    pgaps = varint_decode(bytes(row["pos_bytes"]), total).astype(np.int64)
+    return _cum_reset(pgaps, np.asarray(tfs, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------
+# range kernels
+# ---------------------------------------------------------------------
+def _decode_terms(pdf: pd.DataFrame, tids: list[int]):
+    """tid → (docs, tfs, dls, inst_docs, inst_pos) for each chunk row
+    of the range whose tid is in ``tids``."""
+    out = {}
+    for ri in range(len(pdf)):
+        row = pdf.iloc[ri]
+        tid = int(row["tid"])
+        if tid not in tids:
+            continue
+        docs, tfs, dls = decode_chunk(row)
+        pos = decode_chunk_positions(row, tfs)
+        out[tid] = (docs, tfs, dls, np.repeat(docs, tfs.astype(np.int64)), pos)
+    return out
+
+
+def _intersect_docs(per_term: dict, tids: list[int]) -> np.ndarray:
+    """Docs containing every tid — rarest-first sorted intersection."""
+    lists = sorted((per_term[t][0] for t in tids), key=len)
+    common = lists[0]
+    for arr in lists[1:]:
+        if common.size == 0:
+            break
+        common = common[np.isin(common, arr, assume_unique=True)]
+    return common
+
+
+def _score_docs(
+    per_term: dict, tids: list[int], idf_map: dict, matched: np.ndarray,
+    avgdl: float, k: int,
+) -> pd.DataFrame:
+    """BM25 over ``tids`` restricted to ``matched`` (sorted) → top-k."""
+    scores = np.zeros(len(matched), dtype=np.float64)
+    for tid in tids:
+        docs, tfs, dls, _, _ = per_term[tid]
+        sel = np.isin(docs, matched, assume_unique=True)
+        idx = np.searchsorted(matched, docs[sel])
+        scores[idx] += idf_map[tid] * bm25.tf_weight_np(
+            tfs[sel], dls[sel], avgdl
+        )
+    r = np.round(scores, bm25.ROUND_DIGITS)
+    order = np.lexsort((matched, -r))[:k]
+    return pd.DataFrame(
+        {"doc_id": matched[order].astype(np.int64), "score": r[order]}
+    )
+
+
+def phrase_range_scorer(phrase_tids: list[int], idf_map: dict, k: int):
+    """applyInPandas kernel: phrase match + score for ONE doc range.
+
+    ``phrase_tids`` is the tid per phrase SLOT (duplicates preserved,
+    order = phrase order); scoring runs over the distinct tids."""
+    distinct = sorted(set(phrase_tids))
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        present = set(int(t) for t in pdf["tid"])
+        if not all(t in present for t in distinct):
+            return _EMPTY  # a range missing any term has no match
+        per_term = _decode_terms(pdf, distinct)
+        common = _intersect_docs(per_term, distinct)
+        if common.size == 0:
+            return _EMPTY
+        # positional alignment: a phrase at anchor p needs slot i's term
+        # at p+i, so slot i contributes candidate anchors (doc, pos-i);
+        # the running inner-join keeps anchors satisfying every slot.
+        cand = None
+        for i, tid in enumerate(phrase_tids):
+            _, _, _, inst_docs, inst_pos = per_term[tid]
+            sel = np.isin(inst_docs, common)
+            adj = inst_pos[sel] - i
+            frame = pd.DataFrame(
+                {"doc": inst_docs[sel], "p": adj}
+            )
+            if i > 0:
+                frame = frame[frame["p"] >= 0]
+            cand = (
+                frame
+                if cand is None
+                else cand.merge(frame, on=["doc", "p"], how="inner")
+            )
+            if cand.empty:
+                return _EMPTY
+        matched = np.unique(cand["doc"].to_numpy(dtype=np.int64))
+        return _score_docs(per_term, distinct, idf_map, matched,
+                           float(pdf["avgdl"].iloc[0]), k)
+
+    return score_range
+
+
+def _min_cover(term_pos: list[np.ndarray], window: int) -> bool:
+    """True iff every term has an occurrence inside [a, a+window-1] for
+    some anchor ``a`` drawn from the union of occurrences.
+
+    Anchor-normalized cover: if all terms fit in ANY width-``window``
+    interval, they also fit in the one anchored at the smallest
+    occurring position inside it — so anchoring at occurrences loses
+    nothing and keeps the operator SQL-expressible for the oracle."""
+    anchors = np.unique(np.concatenate(term_pos))
+    ok = np.ones(anchors.size, dtype=bool)
+    for pos in term_pos:
+        # exists an occurrence of this term in [a, a+window-1] ⟺ the
+        # first pos ≥ a is < a + window
+        nxt = np.searchsorted(pos, anchors, side="left")
+        has = nxt < pos.size
+        ok &= has & np.where(
+            has, pos[np.minimum(nxt, pos.size - 1)] < anchors + window, False
+        )
+        if not ok.any():
+            return False
+    return True
+
+
+def proximity_range_scorer(tids: list[int], idf_map: dict, window: int,
+                           k: int):
+    """applyInPandas kernel: all distinct terms within a ``window``-token
+    span, for ONE doc range."""
+    distinct = sorted(set(tids))
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        present = set(int(t) for t in pdf["tid"])
+        if not all(t in present for t in distinct):
+            return _EMPTY
+        per_term = _decode_terms(pdf, distinct)
+        common = _intersect_docs(per_term, distinct)
+        if common.size == 0:
+            return _EMPTY
+        # per-candidate-doc position lists (python loop over the ALREADY
+        # intersected candidates — bounded by docs containing all terms
+        # in this range, with numpy searchsorted inside)
+        matched = []
+        per_doc = []
+        for tid in distinct:
+            _, _, _, inst_docs, inst_pos = per_term[tid]
+            sel = np.isin(inst_docs, common)
+            d, p = inst_docs[sel], inst_pos[sel]
+            starts = np.searchsorted(d, common, side="left")
+            ends = np.searchsorted(d, common, side="right")
+            per_doc.append((p, starts, ends))
+        for ci, doc in enumerate(common):
+            lists = [p[s[ci]:e[ci]] for p, s, e in per_doc]
+            if _min_cover(lists, window):
+                matched.append(int(doc))
+        if not matched:
+            return _EMPTY
+        return _score_docs(
+            per_term, distinct, idf_map,
+            np.asarray(matched, dtype=np.int64),
+            float(pdf["avgdl"].iloc[0]), k,
+        )
+
+    return score_range
+
+
+# ---------------------------------------------------------------------
+# declarative (index-free) phrase path + oracle SQL
+# ---------------------------------------------------------------------
+def phrase_exhaustive(
+    docs: DataFrame, phrase_text: str, k: int = 10, doc_col: str = "doc_id"
+) -> DataFrame:
+    """Phrase match + BM25 top-k via pure DataFrame ops (no index).
+
+    The phrase test runs JVM-side on the joined token string: tokens
+    cannot contain spaces (the v1 analyzer splits on every non-word
+    char), so `' '||array_join(tokens,' ')||' '` CONTAINS
+    `' t0 t1 … '` ⟺ the phrase occurs at consecutive token positions.
+    Corpus stats and per-term df are corpus-wide (one agg pass), same
+    as ``score_exhaustive`` — phrase filtering restricts only the
+    scored set, not the statistics."""
+    slots = py_tokens(phrase_text)
+    terms = sorted(set(slots))
+    spark = docs.sparkSession
+    if not slots:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    needle = " " + " ".join(slots) + " "
+    base = docs.where(F.col("text").isNotNull()).select(
+        F.col(doc_col).cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("tokens"),
+    )
+    tf_cols = [
+        F.size(F.filter("tokens", lambda t: t == F.lit(term))).alias(f"tf_{i}")
+        for i, term in enumerate(terms)
+    ]
+    hay = F.concat(F.lit(" "), F.array_join("tokens", " "), F.lit(" "))
+    proj = base.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        hay.contains(needle).alias("hit"),
+        *tf_cols,
+    )
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        df_i = int(stats[f"df_{i}"])
+        if df_i == 0:
+            return spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        tf = F.col(f"tf_{i}")
+        w_i = (tf * (bm25.K1 + 1.0)) / (
+            tf
+            + bm25.K1 * (1.0 - bm25.B + bm25.B * (F.col("dl") / F.lit(avgdl)))
+        )
+        score = score + F.lit(bm25.idf(n_docs, df_i)) * w_i
+    scored = proj.where("hit").select(
+        "doc_id", F.round(score, bm25.ROUND_DIGITS).alias("score")
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
+
+
+def oracle_sql_phrase(phrase_text: str, k: int = 10, table: str = "documents",
+                      doc_col: str = "doc_id") -> str:
+    """DuckDB SQL implementing the identical phrase spec."""
+    slots = py_tokens(phrase_text)
+    terms = sorted(set(slots))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    needle = (" " + " ".join(slots) + " ").replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), hits AS (
+  SELECT doc_id FROM base_dl
+  WHERE strpos(' ' || array_to_string(tokens, ' ') || ' ', '{needle}') > 0
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tf, dfreq, stats
+  WHERE tf.term = dfreq.term
+    AND tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_proximity(query_text: str, window: int, k: int = 10,
+                         table: str = "documents",
+                         doc_col: str = "doc_id") -> str:
+    """DuckDB SQL for the anchor-normalized proximity spec (any number
+    of terms): a doc matches iff some occurrence position ``a`` of any
+    query term has every distinct term occurring in [a, a+window-1]."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    m = len(terms)
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), pos0 AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) - 1 AS p
+  FROM base_dl
+), pos AS (
+  SELECT doc_id, term, CAST(p AS BIGINT) AS p FROM pos0
+  WHERE term IN ({terms_list})
+), hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a
+  WHERE (
+    SELECT count(DISTINCT b.term) FROM pos b
+    WHERE b.doc_id = a.doc_id AND b.p BETWEEN a.p AND a.p + {window} - 1
+  ) = {m}
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tf, dfreq, stats
+  WHERE tf.term = dfreq.term
+    AND tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""

@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 from tlhop_library_spark import bm25
 from tlhop_library_spark.analyzer import py_tokens, tokens_col
 from tlhop_library_spark.codecs import varint_decode
+from tlhop_library_spark.index.build import POS_SEGMENT_SCHEMA, SEGMENT_SCHEMA
 
 #: two rounding ulps — see the block-max margin in _range_scorer
 _EPS = 2.0 * 10.0 ** (-bm25.ROUND_DIGITS)
@@ -431,8 +432,13 @@ class IndexReader:
         }
         buckets = sorted({b for _, b, _ in info.values()})
         tids = sorted(idf_map)
+        # explicit column pruning: a POSITIONAL index carries pos_bytes /
+        # block_pos_offsets; plain BM25 must never read (or ship to
+        # Python) those streams
         seg = self._segments.where(
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(
+            *[f.name for f in SEGMENT_SCHEMA.fields]
         ).withColumn("avgdl", F.lit(avgdl))
         acc_d = acc_t = None
         if with_pruning_stats:
@@ -452,6 +458,89 @@ class IndexReader:
             local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
             [F.desc("score"), F.asc("doc_id")],
             k,
+        ).select("rank", "doc_id", "score")
+
+    def _positional_seg(self, terms: list[str]):
+        """(info, seg) for a positional-operator query: dictionary
+        lookup + chunk scan pruned to the terms' (bucket, tid) sets,
+        WITH the position streams selected."""
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "phrase/proximity queries need a positional index — "
+                "build with IndexBuilder(..., positions=True)"
+            )
+        info = self.lookup_terms(terms)
+        if len(info) < len(terms):
+            return info, None  # a missing term ⇒ no doc can match
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted(t for _, _, t in info.values())
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(
+            *[f.name for f in POS_SEGMENT_SCHEMA.fields]
+        ).withColumn("avgdl", F.lit(self.stats["avgdl"]))
+        return info, seg
+
+    def search_phrase(self, phrase_text: str, k: int = 10) -> DataFrame:
+        """Exact-phrase top-k: docs whose token stream contains the
+        query terms at consecutive positions, BM25-ranked over the
+        phrase's distinct terms. Returns (rank, doc_id, score).
+
+        Rank-identical to ``phrase.phrase_exhaustive`` and the DuckDB
+        oracle (same frozen spec). Scale shape = plain indexed search:
+        per-range kernels, k rows per range leave the executors."""
+        from tlhop_library_spark.index.phrase import phrase_range_scorer
+
+        slots = py_tokens(phrase_text)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not slots:
+            return empty
+        info, seg = self._positional_seg(sorted(set(slots)))
+        if seg is None:
+            return empty
+        n_docs = self.stats["n_docs"]
+        idf_map = {tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()}
+        phrase_tids = [info[t][2] for t in slots]
+        scorer = phrase_range_scorer(phrase_tids, idf_map, k)
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_proximity(
+        self, query_text: str, window: int, k: int = 10
+    ) -> DataFrame:
+        """Top-k over docs where every distinct query term occurs
+        within SOME ``window``-token span (anchor-normalized cover —
+        see phrase._min_cover). Returns (rank, doc_id, score)."""
+        from tlhop_library_spark.index.phrase import proximity_range_scorer
+
+        terms = sorted(set(py_tokens(query_text)))
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not terms:
+            return empty
+        info, seg = self._positional_seg(terms)
+        if seg is None:
+            return empty
+        n_docs = self.stats["n_docs"]
+        idf_map = {tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()}
+        tids = [info[t][2] for t in terms]
+        scorer = proximity_range_scorer(tids, idf_map, window, k)
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
     def last_pruning_stats(self) -> dict:
@@ -503,6 +592,8 @@ class IndexReader:
         seg = self._segments.where(
             F.col("bucket").isin(buckets)
             & F.col("tid").isin(sorted(idf_map))
+        ).select(
+            *[f.name for f in SEGMENT_SCHEMA.fields]
         ).withColumn("avgdl", F.lit(avgdl))
         # fan out chunks to the queries that want them
         q_of_tid: dict[int, list[int]] = {}
