@@ -1,3 +1,4 @@
+from tlhop_library_spark.index.append import add_documents, read_doc_lengths
 from tlhop_library_spark.index.build import IndexBuilder, build_index
 from tlhop_library_spark.index.merge import merge_index_ranges
 from tlhop_library_spark.index.query import IndexReader, score_exhaustive
@@ -8,4 +9,6 @@ __all__ = [
     "IndexReader",
     "score_exhaustive",
     "merge_index_ranges",
+    "add_documents",
+    "read_doc_lengths",
 ]

@@ -241,6 +241,61 @@ class IndexBuilder:
     def manifest_path(self):
         return os.path.join(self.index_dir, "manifest")
 
+    # -- encode plan (shared by build and index.append) ------------------
+    def _exploded(self, with_tokens: DataFrame) -> DataFrame:
+        """(doc_id, dl, term, tid[, pos]) token instances, dictionary-
+        encoded to int64 tid BEFORE the wide shuffle."""
+        if self.positions:
+            exploded = with_tokens.select(
+                "doc_id", "dl", F.posexplode("tokens").alias("pos", "term")
+            ).withColumn("tid", F.xxhash64("term"))
+        else:
+            exploded = with_tokens.select(
+                "doc_id", "dl", F.explode("tokens").alias("term")
+            ).withColumn("tid", F.xxhash64("term"))
+        return exploded
+
+    def _encode_group_df(
+        self, part: DataFrame, avgdl: float, range_size: int
+    ) -> DataFrame:
+        """The one-wide-shuffle encode plan for one postings subset:
+        repartition pins (bucket, range_id) groups to partitions; the
+        sort happens ONCE, JVM-side (Tungsten, spillable); the Arrow
+        stream encoder never materializes term strings per row.
+        bucket/range_id partition and sort as EXPRESSIONS but are never
+        shuffled as columns (20 B/row vs 28 B — SCALE_DESIGN.md)."""
+        from tlhop_library_spark.index.encode_stream import (
+            make_stream_encoder,
+        )
+
+        bucket_expr = F.pmod(F.col("tid"), F.lit(self.n_buckets)).cast("int")
+        range_expr = F.floor(F.col("doc_id") / F.lit(range_size)).cast("int")
+        seg_schema = POS_SEGMENT_SCHEMA if self.positions else SEGMENT_SCHEMA
+        encoder = make_stream_encoder(
+            avgdl, seg_schema, _encode_one,
+            n_buckets=self.n_buckets, range_size=range_size,
+            positions=self.positions,
+        )
+        n_encode_parts = self.encode_parts or 4 * int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        shuffle_cols = ["tid", "doc_id", "dl"] + (
+            ["pos"] if self.positions else []
+        )
+        # positions sort LAST so each posting's position list arrives
+        # ascending (Tungsten sort is not stable; posexplode order
+        # would otherwise be lost across the shuffle)
+        sort_keys = [bucket_expr, range_expr, "tid", "doc_id"] + (
+            ["pos"] if self.positions else []
+        )
+        return (
+            part.select(*shuffle_cols)
+            .repartition(n_encode_parts, bucket_expr, range_expr)
+            .sortWithinPartitions(*sort_keys)
+            .mapInArrow(encoder, schema=seg_schema)
+            .sortWithinPartitions("tid")
+        )
+
     # -- build ---------------------------------------------------------
     def build(self, docs: DataFrame, resume: bool = False) -> dict:
         """docs must carry (doc_id long, text string). Returns stats."""
@@ -299,14 +354,7 @@ class IndexBuilder:
         # pure functions of (tid, doc_id): they partition and sort as
         # EXPRESSIONS but are never shuffled as columns (20 B/row vs
         # 28 B — the shuffle is the scale bottleneck, SCALE_DESIGN.md).
-        if self.positions:
-            exploded = with_tokens.select(
-                "doc_id", "dl", F.posexplode("tokens").alias("pos", "term")
-            ).withColumn("tid", F.xxhash64("term"))
-        else:
-            exploded = with_tokens.select(
-                "doc_id", "dl", F.explode("tokens").alias("term")
-            ).withColumn("tid", F.xxhash64("term"))
+        exploded = self._exploded(with_tokens)
         bucket_expr = F.pmod(F.col("tid"), F.lit(self.n_buckets)).cast("int")
         # floor division to match the encoder's `doc_id // range_size`
         # (a plain /-then-cast truncates toward zero, which disagrees
@@ -335,22 +383,6 @@ class IndexBuilder:
         mark("term_names")
 
         # segments per bucket group — the one shuffle, checkpointable.
-        # repartition pins (bucket, range_id) groups to partitions; the
-        # sort happens ONCE, JVM-side (Tungsten, spillable); the Arrow
-        # stream encoder never materializes term strings per row.
-        from tlhop_library_spark.index.encode_stream import (
-            make_stream_encoder,
-        )
-
-        seg_schema = POS_SEGMENT_SCHEMA if self.positions else SEGMENT_SCHEMA
-        encoder = make_stream_encoder(
-            avgdl, seg_schema, _encode_one,
-            n_buckets=self.n_buckets, range_size=range_size,
-            positions=self.positions,
-        )
-        n_encode_parts = self.encode_parts or 4 * int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
         for g in range(self.n_jobs):
             gname = f"group_{g}"
             if gname in completed:
@@ -358,26 +390,11 @@ class IndexBuilder:
             part = exploded.where(
                 F.pmod(bucket_expr, F.lit(self.n_jobs)) == g
             )
-            shuffle_cols = ["tid", "doc_id", "dl"] + (
-                ["pos"] if self.positions else []
-            )
-            # positions sort LAST so each posting's position list arrives
-            # ascending (Tungsten sort is not stable; posexplode order
-            # would otherwise be lost across the shuffle)
-            sort_keys = [bucket_expr, range_expr, "tid", "doc_id"] + (
-                ["pos"] if self.positions else []
-            )
-            seg = (
-                part.select(*shuffle_cols)
-                .repartition(n_encode_parts, bucket_expr, range_expr)
-                .sortWithinPartitions(*sort_keys)
-                .mapInArrow(encoder, schema=seg_schema)
-                .sortWithinPartitions("tid")
-            )
+            seg = self._encode_group_df(part, avgdl, range_size)
             gdir = os.path.join(self.segments_path, f"bucket_group={g}")
             seg.write.mode("overwrite").parquet(gdir)
             mark(f"segments_g{g}")
-            self._append_manifest(g, gdir)
+            self._append_manifest(gname, gdir)
             mark(f"manifest_g{g}")
 
         # dictionary derived from the written segments (column-pruned
@@ -406,6 +423,14 @@ class IndexBuilder:
             "b": bm25.B,
             "n_docs": int(n_docs),
             "avgdl": avgdl,
+            "sum_dl": int(sum_dl),
+            # smallest avgdl any live segment group was ENCODED with —
+            # block_max_w bounds bake encode-time avgdl in; the reader
+            # inflates pruning bounds by max(1, avgdl/min_encode_avgdl)
+            # so BMW stays exact after incremental appends shift avgdl
+            # (query-time SCORES always recompute from the tf/dl streams
+            # with current avgdl, so only bounds need the guard)
+            "min_encode_avgdl": avgdl,
             "max_doc": int(max_doc),
             "range_size": int(range_size),
             "n_ranges": self.n_ranges,
@@ -423,7 +448,7 @@ class IndexBuilder:
         return stats
 
     # -- manifest / resume ---------------------------------------------
-    def _append_manifest(self, group: int, gdir: str) -> None:
+    def _append_manifest(self, gname: str, gdir: str) -> None:
         seg = self.spark.read.parquet(gdir)
         m = seg.agg(
             F.count("*").alias("n_chunks"),
@@ -442,7 +467,7 @@ class IndexBuilder:
             (F.max("n_postings") / F.avg("n_postings")).alias("skew_ratio"),
         ).withColumns(
             {
-                "segment_group": F.lit(f"group_{group}"),
+                "segment_group": F.lit(gname),
                 "status": F.lit("complete"),
                 "checkpoint_ts": F.current_timestamp(),
                 "input_snapshot": F.lit(self.index_dir),

@@ -56,7 +56,10 @@ def merge_index_ranges(
     )
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("range_id")
+        # first_doc tiebreak: an appended index can hold TWO chunks of
+        # one (term, range) — doc-disjoint batches; byte-concat is only
+        # the merged sorted list if they concatenate in doc order
+        pdf = pdf.sort_values(["range_id", "first_doc"])
         if len(pdf) == 1:
             row = pdf.iloc[0].to_dict()
             row["range_id"] = int(row["range_id"]) // factor
@@ -133,7 +136,13 @@ def merge_index_ranges(
     merged.write.mode("overwrite").parquet(
         os.path.join(out_dir, "segments", "bucket_group=0")
     )
-    for small in ("dictionary", "doc_lengths", "term_names", "manifest"):
+    for small in (
+        "dictionary",
+        "doc_lengths",
+        "doc_lengths_batches",
+        "term_names",
+        "manifest",
+    ):
         src = os.path.join(index_dir, small)
         if os.path.exists(src):
             dst = os.path.join(out_dir, small)

@@ -91,8 +91,14 @@ def decode_chunk_positions(row, tfs: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------
 def _decode_terms(pdf: pd.DataFrame, tids: list[int]):
     """tid → (docs, tfs, dls, inst_docs, inst_pos) for each chunk row
-    of the range whose tid is in ``tids``."""
-    out = {}
+    of the range whose tid is in ``tids``.
+
+    A (tid, range) normally has ONE chunk, but an incrementally
+    appended index (index/append.py) can leave the boundary range with
+    one chunk per batch — doc-disjoint; concatenated in ascending
+    first-doc order so the per-term doc arrays stay sorted (the
+    intersection/scoring kernels rely on sorted-unique docs)."""
+    parts: dict[int, list] = {}
     for ri in range(len(pdf)):
         row = pdf.iloc[ri]
         tid = int(row["tid"])
@@ -100,6 +106,14 @@ def _decode_terms(pdf: pd.DataFrame, tids: list[int]):
             continue
         docs, tfs, dls = decode_chunk(row)
         pos = decode_chunk_positions(row, tfs)
+        parts.setdefault(tid, []).append((docs, tfs, dls, pos))
+    out = {}
+    for tid, chunks in parts.items():
+        chunks.sort(key=lambda c: int(c[0][0]) if len(c[0]) else 0)
+        docs = np.concatenate([c[0] for c in chunks])
+        tfs = np.concatenate([c[1] for c in chunks])
+        dls = np.concatenate([c[2] for c in chunks])
+        pos = np.concatenate([c[3] for c in chunks])
         out[tid] = (docs, tfs, dls, np.repeat(docs, tfs.astype(np.int64)), pos)
     return out
 

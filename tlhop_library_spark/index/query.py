@@ -172,12 +172,22 @@ ORDER BY rank
 # Path 2: indexed reader
 # ---------------------------------------------------------------------
 def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
-                  acc_decoded=None, acc_total=None):
+                  acc_decoded=None, acc_total=None,
+                  bound_scale: float = 1.0):
     """applyInPandas kernel: all chunks of the query terms for ONE
     doc-range → local top-k (doc_id, score).
 
     Optional accumulators count decoded vs total blocks — the BMW
-    pruning-effectiveness metric surfaced in bench/tests."""
+    pruning-effectiveness metric surfaced in bench/tests.
+
+    ``bound_scale`` ≥ 1 inflates every block upper bound: after an
+    incremental append shifts avgdl above a chunk's encode-time avgdl,
+    the stored block_max_w can under-state the current tf weights by
+    at most avgdl_now/avgdl_encode (tf/(tf+K) is increasing in avgdl;
+    the ratio's supremum over dl is avgdl_now/avgdl_encode), so scaled
+    bounds remain true upper bounds and BMW stays exact
+    (index/append.py). Scores are unaffected — they are recomputed
+    from the tf/dl streams with current avgdl either way."""
 
     def _decode_block(row, bi):
         if acc_decoded is not None:
@@ -204,7 +214,7 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
             idf = idf_map[row["tid"]]
             bmax = row["block_max_w"]
             for bi in range(len(bmax)):
-                blocks.append((idf * float(bmax[bi]), ri, bi))
+                blocks.append((idf * float(bmax[bi]) * bound_scale, ri, bi))
         if acc_total is not None:
             acc_total.add(len(blocks))
 
@@ -396,6 +406,15 @@ class IndexReader:
             except Exception:
                 self._dict_mem = None
 
+    def _bound_scale(self) -> float:
+        """Pruning-bound inflation after incremental appends: stored
+        block_max_w were computed with each group's encode-time avgdl;
+        max(1, avgdl_now/min_encode_avgdl) keeps them true upper
+        bounds (see index/append.py). Exactly 1.0 for a cold build."""
+        avgdl = float(self.stats["avgdl"])
+        enc = float(self.stats.get("min_encode_avgdl", avgdl))
+        return max(1.0, avgdl / enc) if enc > 0 else 1.0
+
     def lookup_terms(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
         """term → (df, bucket, tid); driver-memory map when preloaded,
         else a parquet read with filter pushdown on term."""
@@ -445,7 +464,10 @@ class IndexReader:
             sc = self.spark.sparkContext
             acc_d, acc_t = sc.accumulator(0), sc.accumulator(0)
             self._acc = (acc_d, acc_t)
-        scorer = _range_scorer(idf_map, k, mode, acc_d, acc_t)
+        scorer = _range_scorer(
+            idf_map, k, mode, acc_d, acc_t,
+            bound_scale=self._bound_scale(),
+        )
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
@@ -614,7 +636,9 @@ class IndexReader:
             "query_id", F.explode(mapping.getItem(F.col("tid")))
         )
         k_max = max(k for _, (_, k) in per_q.items())
-        scorer = _range_scorer(idf_map, k_max, mode)
+        scorer = _range_scorer(
+            idf_map, k_max, mode, bound_scale=self._bound_scale()
+        )
         local = fanned.groupBy("query_id", "range_id").applyInPandas(
             lambda key, pdf: scorer((key[1],), pdf).assign(query_id=key[0]),
             schema="doc_id long, score double, query_id long",
