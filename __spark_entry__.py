@@ -267,8 +267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), n=3, threshold=0.3
     )
 
-    # rows-only gate (SimHash is not SQL-portable): exact pairs at
-    # Hamming ≤ 3 via 4-band pigeonhole join + popcount verify
+    # exact pairs at Hamming ≤ 3 via 4-band pigeonhole join + popcount
+    # verify; round 2.1: full value oracle (per-bit generated SQL
+    # replicating the md5-prefix vote kernel — _simhash_pairs_sql)
     q["simhash_pairs"] = lambda s, d: dedup.simhash_near_dup_pairs(
         _t(s, d, "documents"), max_hamming=3
     )
@@ -669,6 +670,44 @@ def _sql_arr(vals) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
 
 
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of operators/dedup.py:simhash64 +
+    simhash_near_dup_pairs, generated per bit: per distinct token a
+    64-bit hash (md5 hex prefix → UBIGINT, byte-identical to the
+    Arrow kernel's big-endian md5 digest prefix), each bit votes ±1,
+    sign vector → signature; pairs at Hamming ≤ max_hamming. The LEFT
+    JOIN keeps zero-token docs at signature 0 (the kernel's behavior
+    for empty token arrays)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_TOKENS}) AS ts
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(ts) AS t FROM base)
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT base.doc_id, ({sig_terms}) AS u
+  FROM base LEFT JOIN votes ON base.doc_id = votes.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.u::UBIGINT, b.u::UBIGINT)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.u::UBIGINT, b.u::UBIGINT)) <= {max_hamming}
+"""
+
+
 def _bucket_sql(planes, vexpr: str) -> str:
     """DuckDB expression for the hyperplane sign-bucket of vector
     `vexpr` — mirrors similarity.hyperplane_signature bit for bit."""
@@ -989,6 +1028,8 @@ SELECT d2.doc_id, qual.n_tokens, qual.quality
 FROM d2 JOIN qual USING (doc_id)
 WHERE d2.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
+
+    o["simhash_pairs"] = _simhash_pairs_sql(max_hamming=3)
 
     o["minhash_verified_pairs"] = f"""
 WITH toks AS (
