@@ -127,6 +127,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_2, k=15, mode="bmw"
     )
 
+    def _incremental_reader(s, d):
+        """Index built INCREMENTALLY at gate time — base build over the
+        first half of the doc space, add_documents() over the rest —
+        then queried with forced block-max pruning. Same DuckDB oracle
+        as bm25_indexed: the driver hash-checks that the appended index
+        is rank-and-score identical to one-shot SQL over all docs."""
+        import json as _json
+        import os
+        import shutil
+        import tempfile
+
+        from tlhop_library_spark.index import (
+            IndexReader,
+            add_documents,
+            build_index,
+        )
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "tlhop_gate_incr_" + d.strip("/").replace("/", "_"),
+        )
+        docs = _t(s, d, "documents")
+        n_all = docs.where(F.col("text").isNotNull()).count()
+        stats_path = os.path.join(idx, "stats.json")
+        fresh = False
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                st = _json.load(f)
+            fresh = st["n_docs"] == n_all and st.get("delta_groups")
+        if not fresh:
+            shutil.rmtree(idx, ignore_errors=True)
+            mid = docs.agg(
+                F.percentile_approx("doc_id", 0.5, 10000)
+            ).collect()[0][0]
+            build_index(
+                s, docs.where(F.col("doc_id") <= mid), idx, n_buckets=16
+            )
+            add_documents(s, idx, docs.where(F.col("doc_id") > mid))
+        return IndexReader(s, idx)
+
+    q["bm25_incremental"] = lambda s, d: _incremental_reader(s, d).search(
+        BM25_QUERY_1, k=10, mode="bmw"
+    )
+
     # positional operators over the same index: exact phrase (indexed
     # kernel AND the declarative no-index path) + windowed proximity
     q["phrase_topk"] = lambda s, d: _indexed_reader(s, d).search_phrase(
@@ -728,6 +772,8 @@ def oracle_sql() -> dict[str, str]:
     # of index vs oracle is the engine's core claim
     o["bm25_indexed"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_indexed_head"] = oracle_sql_bm25(BM25_QUERY_2, k=15)
+    # incremental build (base + add_documents) must equal one-shot SQL
+    o["bm25_incremental"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["phrase_topk"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)
     o["phrase_trigram"] = oracle_sql_phrase(PHRASE_QUERY_2, k=10)
     o["phrase_exhaustive"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)
