@@ -30,6 +30,7 @@ from tlhop_library_spark.index.phrase import (  # noqa: E402
 )
 from tlhop_library_spark.index.query import (  # noqa: E402
     oracle_sql_bm25,
+    oracle_sql_bm25_snippets,
     score_exhaustive,
 )
 from tlhop_library_spark.operators import dedup, relational, similarity, text  # noqa: E402
@@ -125,6 +126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bm25_indexed_head"] = lambda s, d: _indexed_reader(s, d).search(
         BM25_QUERY_2, k=15, mode="bmw"
+    )
+
+    # display snippets over the indexed hits: broadcast the ≤k hit rows
+    # back onto the docs scan; snippet window is a pure JVM expression
+    q["bm25_snippets"] = lambda s, d: _indexed_reader(s, d).search_snippets(
+        BM25_QUERY_1, _t(s, d, "documents"), k=10
     )
 
     def _incremental_reader(s, d):
@@ -774,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_indexed_head"] = oracle_sql_bm25(BM25_QUERY_2, k=15)
     # incremental build (base + add_documents) must equal one-shot SQL
     o["bm25_incremental"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
+    o["bm25_snippets"] = oracle_sql_bm25_snippets(BM25_QUERY_1, k=10)
     o["phrase_topk"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)
     o["phrase_trigram"] = oracle_sql_phrase(PHRASE_QUERY_2, k=10)
     o["phrase_exhaustive"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)

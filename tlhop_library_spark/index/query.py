@@ -128,6 +128,39 @@ def score_exhaustive(
     ).select("rank", "doc_id", "score")
 
 
+def snippet_col(text_col, terms: list[str], before: int = 40,
+                width: int = 100):
+    """Deterministic first-match snippet window: locate the first query
+    term (in sorted-term order) present in the lowercased text, then
+    take ``width`` chars starting ``before`` chars earlier (clamped to
+    the text start); docs matching no term fall back to the prefix.
+    Pure JVM expression (locate/substring are char-based, matching
+    DuckDB strpos/substr for the oracle) — no UDF, so snippets ride
+    the same whole-stage-codegen projection as the hit join."""
+    pos = F.coalesce(
+        *[
+            F.nullif(F.locate(t, F.lower(text_col)), F.lit(0))
+            for t in terms
+        ],
+        F.lit(1),
+    )
+    return F.substring(
+        text_col, F.greatest(F.lit(1), pos - F.lit(before)), F.lit(width)
+    )
+
+
+def snippet_sql(text_expr: str, terms: list[str], before: int = 40,
+                width: int = 100) -> str:
+    """DuckDB replica of snippet_col (strpos/substr are char-based)."""
+    firsts = ", ".join(
+        f"nullif(strpos(lower({text_expr}), '{t}'), 0)" for t in terms
+    )
+    return (
+        f"substr({text_expr}, greatest(1, coalesce({firsts}, 1) - "
+        f"{before}), {width})"
+    )
+
+
 def oracle_sql_bm25(query_text: str, k: int = 10, table: str = "documents",
                     doc_col: str = "doc_id") -> str:
     """DuckDB SQL implementing the identical spec (oracle for the gate)."""
@@ -165,6 +198,20 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
 FROM scored
 QUALIFY rank <= {k}
 ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_snippets(
+    query_text: str, k: int = 10, table: str = "documents",
+    before: int = 40, width: int = 100,
+) -> str:
+    """BM25 top-k + first-match snippet, as one DuckDB statement."""
+    terms = sorted(set(py_tokens(query_text)))
+    inner = oracle_sql_bm25(query_text, k, table)
+    snip = snippet_sql("d.text", terms, before, width)
+    return f"""
+SELECT h.rank, h.doc_id, h.score, {snip} AS snippet
+FROM ({inner}) h JOIN {table} d ON h.doc_id = d.doc_id
 """
 
 
@@ -481,6 +528,29 @@ class IndexReader:
             [F.desc("score"), F.asc("doc_id")],
             k,
         ).select("rank", "doc_id", "score")
+
+    def search_snippets(
+        self, query_text: str, docs: DataFrame, k: int = 10,
+        mode: str = "auto", before: int = 40, width: int = 100,
+    ) -> DataFrame:
+        """Top-k hits with display snippets: (rank, doc_id, score,
+        snippet). The index stores no raw text, so hits join back to
+        ``docs`` — the ≤k-row hit side is broadcast, making the join a
+        map-side probe of the docs scan (no shuffle of the corpus)."""
+        terms = sorted(set(py_tokens(query_text)))
+        hits = self.search(query_text, k, mode=mode)
+        return (
+            docs.where(F.col("text").isNotNull())
+            .join(F.broadcast(hits), "doc_id")
+            .select(
+                "rank",
+                "doc_id",
+                "score",
+                snippet_col(F.col("text"), terms, before, width).alias(
+                    "snippet"
+                ),
+            )
+        )
 
     def _positional_seg(self, terms: list[str]):
         """(info, seg) for a positional-operator query: dictionary
