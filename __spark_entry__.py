@@ -30,6 +30,7 @@ from tlhop_library_spark.index.phrase import (  # noqa: E402
 )
 from tlhop_library_spark.index.query import (  # noqa: E402
     oracle_sql_bm25,
+    oracle_sql_bm25_conjunctive,
     oracle_sql_bm25_snippets,
     score_exhaustive,
 )
@@ -126,6 +127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bm25_indexed_head"] = lambda s, d: _indexed_reader(s, d).search(
         BM25_QUERY_2, k=15, mode="bmw"
+    )
+
+    # AND-semantics retrieval: only docs containing EVERY query term,
+    # rarest-first posting intersection per range, BM25-ranked
+    q["bm25_conjunctive"] = lambda s, d: _indexed_reader(s, d).search_and(
+        BM25_QUERY_1, k=10
     )
 
     # display snippets over the indexed hits: broadcast the ≤k hit rows
@@ -782,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
     # incremental build (base + add_documents) must equal one-shot SQL
     o["bm25_incremental"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_snippets"] = oracle_sql_bm25_snippets(BM25_QUERY_1, k=10)
+    o["bm25_conjunctive"] = oracle_sql_bm25_conjunctive(BM25_QUERY_1, k=10)
     o["phrase_topk"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)
     o["phrase_trigram"] = oracle_sql_phrase(PHRASE_QUERY_2, k=10)
     o["phrase_exhaustive"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)

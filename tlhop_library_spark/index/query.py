@@ -201,6 +201,67 @@ ORDER BY rank
 """
 
 
+def conjunctive_range_scorer(tids: list[int], idf_map: dict, k: int):
+    """applyInPandas kernel for AND-semantics retrieval over ONE doc
+    range: decode the query terms' chunks (merging multi-chunk terms —
+    appended boundary ranges — in doc order), intersect the per-term
+    doc lists rarest-first, and BM25-score only the docs containing
+    EVERY term. Reuses the positional index's decode/intersect/score
+    kernels minus the position streams (works on plain and positional
+    indexes alike; column pruning keeps pos_bytes unread)."""
+    from tlhop_library_spark.index.phrase import (
+        _score_docs,
+        decode_chunk,
+    )
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        avgdl = float(pdf["avgdl"].iloc[0])
+        parts: dict[int, list] = {}
+        for ri in range(len(pdf)):
+            row = pdf.iloc[ri]
+            tid = int(row["tid"])
+            if tid not in tids:
+                continue
+            parts.setdefault(tid, []).append(decode_chunk(row))
+        if set(tids) - set(parts):
+            # a term absent from this range → no doc here has all terms
+            return empty
+        per_term = {}
+        for tid, chunks in parts.items():
+            chunks.sort(key=lambda c: int(c[0][0]) if len(c[0]) else 0)
+            per_term[tid] = tuple(
+                np.concatenate([c[i] for c in chunks]) for i in range(3)
+            ) + (None, None)  # shape-compatible with phrase kernels
+        lists = sorted((per_term[t][0] for t in tids), key=len)
+        common = lists[0]
+        for arr in lists[1:]:
+            if common.size == 0:
+                return empty
+            common = common[np.isin(common, arr, assume_unique=True)]
+        if common.size == 0:
+            return empty
+        return _score_docs(per_term, tids, idf_map, common, avgdl, k)
+
+    return score_range
+
+
+def oracle_sql_bm25_conjunctive(
+    query_text: str, k: int = 10, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """AND-semantics BM25 oracle: same scoring SQL, restricted to docs
+    containing every query term."""
+    terms = sorted(set(py_tokens(query_text)))
+    base = oracle_sql_bm25(query_text, k, table, doc_col)
+    return base.replace(
+        "  GROUP BY tf.doc_id",
+        f"  GROUP BY tf.doc_id\n  HAVING count(*) = {len(terms)}",
+    )
+
+
 def oracle_sql_bm25_snippets(
     query_text: str, k: int = 10, table: str = "documents",
     before: int = 40, width: int = 100,
@@ -523,6 +584,44 @@ class IndexReader:
         # global merge: TakeOrderedAndProject over the ≤ k·n_ranges
         # local winners (k per range leave the executors), then rank
         # the ≤k survivors
+        return ranked_topk(
+            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        ).select("rank", "doc_id", "score")
+
+    def search_and(
+        self, query_text: str, k: int = 10
+    ) -> DataFrame:
+        """AND-semantics top-k: only docs containing EVERY query term,
+        BM25-ranked. (rank, doc_id, score). Candidate docs shrink to
+        the rarest term's df, so the per-range kernel intersects
+        rarest-first instead of block-max scanning."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not terms or len(info) < len(terms):
+            return empty  # some term matches nothing → AND is empty
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted(idf_map)
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(
+            *[f.name for f in SEGMENT_SCHEMA.fields]
+        ).withColumn("avgdl", F.lit(avgdl))
+        scorer = conjunctive_range_scorer(tids, idf_map, k)
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
         return ranked_topk(
             local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
             [F.desc("score"), F.asc("doc_id")],
