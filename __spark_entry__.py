@@ -185,6 +185,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, k=10, mode="bmw"
     )
 
+    def _deleted_reader(s, d):
+        """Index with every doc_id % 7 == 0 tombstoned at gate time.
+        Lucene delete semantics: results EXCLUDE deleted docs, scores
+        stay stale (df/avgdl over the full corpus) until expunge — the
+        oracle scores over ALL docs and filters the ranking."""
+        import json as _json
+        import os
+        import shutil
+        import tempfile
+
+        from tlhop_library_spark.index import (
+            IndexReader,
+            build_index,
+            delete_documents,
+        )
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "tlhop_gate_del_" + d.strip("/").replace("/", "_"),
+        )
+        docs = _t(s, d, "documents")
+        n_all = docs.where(F.col("text").isNotNull()).count()
+        stats_path = os.path.join(idx, "stats.json")
+        fresh = False
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                st = _json.load(f)
+            fresh = st["n_docs"] == n_all and st.get("tombstone_batches")
+        if not fresh:
+            shutil.rmtree(idx, ignore_errors=True)
+            build_index(s, docs, idx, n_buckets=16)
+            delete_documents(
+                s, idx, docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+            )
+        return IndexReader(s, idx)
+
+    q["bm25_after_delete"] = lambda s, d: _deleted_reader(s, d).search(
+        BM25_QUERY_1, k=10, mode="bmw"
+    )
+
     # positional operators over the same index: exact phrase (indexed
     # kernel AND the declarative no-index path) + windowed proximity
     q["phrase_topk"] = lambda s, d: _indexed_reader(s, d).search_phrase(
@@ -790,6 +830,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_incremental"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_snippets"] = oracle_sql_bm25_snippets(BM25_QUERY_1, k=10)
     o["bm25_conjunctive"] = oracle_sql_bm25_conjunctive(BM25_QUERY_1, k=10)
+    # delete masking: score over ALL docs (stale stats, Lucene
+    # semantics), drop deleted ids BEFORE ranking
+    o["bm25_after_delete"] = oracle_sql_bm25(BM25_QUERY_1, k=10).replace(
+        "FROM scored", "FROM scored WHERE doc_id % 7 <> 0"
+    )
     o["phrase_topk"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)
     o["phrase_trigram"] = oracle_sql_phrase(PHRASE_QUERY_2, k=10)
     o["phrase_exhaustive"] = oracle_sql_phrase(PHRASE_QUERY_1, k=10)

@@ -1,5 +1,10 @@
 from tlhop_library_spark.index.append import add_documents, read_doc_lengths
 from tlhop_library_spark.index.build import IndexBuilder, build_index
+from tlhop_library_spark.index.delete import (
+    delete_documents,
+    expunge_deletes,
+    load_tombstones,
+)
 from tlhop_library_spark.index.merge import merge_index_ranges
 from tlhop_library_spark.index.query import IndexReader, score_exhaustive
 
@@ -11,4 +16,7 @@ __all__ = [
     "merge_index_ranges",
     "add_documents",
     "read_doc_lengths",
+    "delete_documents",
+    "expunge_deletes",
+    "load_tombstones",
 ]

@@ -89,7 +89,7 @@ def decode_chunk_positions(row, tfs: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------
 # range kernels
 # ---------------------------------------------------------------------
-def _decode_terms(pdf: pd.DataFrame, tids: list[int]):
+def _decode_terms(pdf: pd.DataFrame, tids: list[int], deleted=None):
     """tid → (docs, tfs, dls, inst_docs, inst_pos) for each chunk row
     of the range whose tid is in ``tids``.
 
@@ -106,6 +106,10 @@ def _decode_terms(pdf: pd.DataFrame, tids: list[int]):
             continue
         docs, tfs, dls = decode_chunk(row)
         pos = decode_chunk_positions(row, tfs)
+        if deleted is not None and deleted.size:
+            from tlhop_library_spark.index.delete import mask_deleted
+
+            docs, tfs, dls, pos = mask_deleted(docs, tfs, dls, deleted, pos)
         parts.setdefault(tid, []).append((docs, tfs, dls, pos))
     out = {}
     for tid, chunks in parts.items():
@@ -149,7 +153,8 @@ def _score_docs(
     )
 
 
-def phrase_range_scorer(phrase_tids: list[int], idf_map: dict, k: int):
+def phrase_range_scorer(phrase_tids: list[int], idf_map: dict, k: int,
+                        deleted=None):
     """applyInPandas kernel: phrase match + score for ONE doc range.
 
     ``phrase_tids`` is the tid per phrase SLOT (duplicates preserved,
@@ -160,7 +165,7 @@ def phrase_range_scorer(phrase_tids: list[int], idf_map: dict, k: int):
         present = set(int(t) for t in pdf["tid"])
         if not all(t in present for t in distinct):
             return _EMPTY  # a range missing any term has no match
-        per_term = _decode_terms(pdf, distinct)
+        per_term = _decode_terms(pdf, distinct, deleted)
         common = _intersect_docs(per_term, distinct)
         if common.size == 0:
             return _EMPTY
@@ -215,7 +220,7 @@ def _min_cover(term_pos: list[np.ndarray], window: int) -> bool:
 
 
 def proximity_range_scorer(tids: list[int], idf_map: dict, window: int,
-                           k: int):
+                           k: int, deleted=None):
     """applyInPandas kernel: all distinct terms within a ``window``-token
     span, for ONE doc range."""
     distinct = sorted(set(tids))
@@ -224,7 +229,7 @@ def proximity_range_scorer(tids: list[int], idf_map: dict, window: int,
         present = set(int(t) for t in pdf["tid"])
         if not all(t in present for t in distinct):
             return _EMPTY
-        per_term = _decode_terms(pdf, distinct)
+        per_term = _decode_terms(pdf, distinct, deleted)
         common = _intersect_docs(per_term, distinct)
         if common.size == 0:
             return _EMPTY

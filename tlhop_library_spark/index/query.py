@@ -201,7 +201,8 @@ ORDER BY rank
 """
 
 
-def conjunctive_range_scorer(tids: list[int], idf_map: dict, k: int):
+def conjunctive_range_scorer(tids: list[int], idf_map: dict, k: int,
+                             deleted: "np.ndarray | None" = None):
     """applyInPandas kernel for AND-semantics retrieval over ONE doc
     range: decode the query terms' chunks (merging multi-chunk terms —
     appended boundary ranges — in doc order), intersect the per-term
@@ -225,7 +226,14 @@ def conjunctive_range_scorer(tids: list[int], idf_map: dict, k: int):
             tid = int(row["tid"])
             if tid not in tids:
                 continue
-            parts.setdefault(tid, []).append(decode_chunk(row))
+            docs_, tfs_, dls_ = decode_chunk(row)
+            if deleted is not None and deleted.size:
+                from tlhop_library_spark.index.delete import mask_deleted
+
+                docs_, tfs_, dls_, _ = mask_deleted(
+                    docs_, tfs_, dls_, deleted
+                )
+            parts.setdefault(tid, []).append((docs_, tfs_, dls_))
         if set(tids) - set(parts):
             # a term absent from this range → no doc here has all terms
             return empty
@@ -281,7 +289,8 @@ FROM ({inner}) h JOIN {table} d ON h.doc_id = d.doc_id
 # ---------------------------------------------------------------------
 def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
                   acc_decoded=None, acc_total=None,
-                  bound_scale: float = 1.0):
+                  bound_scale: float = 1.0,
+                  deleted: "np.ndarray | None" = None):
     """applyInPandas kernel: all chunks of the query terms for ONE
     doc-range → local top-k (doc_id, score).
 
@@ -311,7 +320,17 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
         docs = np.cumsum(gaps, dtype=np.uint64)
         tfs = varint_decode(row["tf_bytes"][off_t[bi]:t_end], cnt)
         dls = varint_decode(row["dl_bytes"][off_l[bi]:l_end], cnt)
-        return docs.astype(np.int64), tfs, dls
+        docs = docs.astype(np.int64)
+        if deleted is not None and deleted.size:
+            # tombstone mask at the decode boundary: every downstream
+            # consumer (exhaustive sum, BMW accumulate/verify, top-k)
+            # then sees only live docs — deletes can never displace a
+            # live doc from the top-k, and block UBs (computed over the
+            # pre-delete superset) stay valid upper bounds
+            from tlhop_library_spark.index.delete import mask_deleted
+
+            docs, tfs, dls, _ = mask_deleted(docs, tfs, dls, deleted)
+        return docs, tfs, dls
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
         avgdl = float(pdf["avgdl"].iloc[0])
@@ -497,6 +516,11 @@ class IndexReader:
             self.stats = json.load(f)
         self._dict = spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+        # live-docs mask (delete.py): sorted tombstone ids or None;
+        # rides into every scoring kernel's closure
+        from tlhop_library_spark.index.delete import load_tombstones
+
+        self._deleted = load_tombstones(index_dir)
         self._dict_mem: dict[str, tuple[int, int, int]] | None = None
         if preload_dictionary:
             try:
@@ -574,7 +598,7 @@ class IndexReader:
             self._acc = (acc_d, acc_t)
         scorer = _range_scorer(
             idf_map, k, mode, acc_d, acc_t,
-            bound_scale=self._bound_scale(),
+            bound_scale=self._bound_scale(), deleted=self._deleted,
         )
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
@@ -616,7 +640,9 @@ class IndexReader:
         ).select(
             *[f.name for f in SEGMENT_SCHEMA.fields]
         ).withColumn("avgdl", F.lit(avgdl))
-        scorer = conjunctive_range_scorer(tids, idf_map, k)
+        scorer = conjunctive_range_scorer(
+            tids, idf_map, k, deleted=self._deleted
+        )
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
@@ -694,7 +720,9 @@ class IndexReader:
         n_docs = self.stats["n_docs"]
         idf_map = {tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()}
         phrase_tids = [info[t][2] for t in slots]
-        scorer = phrase_range_scorer(phrase_tids, idf_map, k)
+        scorer = phrase_range_scorer(
+            phrase_tids, idf_map, k, deleted=self._deleted
+        )
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
@@ -724,7 +752,9 @@ class IndexReader:
         n_docs = self.stats["n_docs"]
         idf_map = {tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()}
         tids = [info[t][2] for t in terms]
-        scorer = proximity_range_scorer(tids, idf_map, window, k)
+        scorer = proximity_range_scorer(
+            tids, idf_map, window, k, deleted=self._deleted
+        )
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
@@ -806,7 +836,8 @@ class IndexReader:
         )
         k_max = max(k for _, (_, k) in per_q.items())
         scorer = _range_scorer(
-            idf_map, k_max, mode, bound_scale=self._bound_scale()
+            idf_map, k_max, mode, bound_scale=self._bound_scale(),
+            deleted=self._deleted,
         )
         local = fanned.groupBy("query_id", "range_id").applyInPandas(
             lambda key, pdf: scorer((key[1],), pdf).assign(query_id=key[0]),
