@@ -145,6 +145,16 @@ def main() -> None:
         total += sum(lat)
         print(f"# index_query latencies: {[round(x,2) for x in lat]}", file=sys.stderr)
 
+        # round-2.1 query modes over the same warm index
+        t0 = time.time()
+        reader.search_and("bace cada", 10).collect()
+        per_query["index_query_and"] = round(time.time() - t0, 3)
+        total += per_query["index_query_and"]
+        t0 = time.time()
+        reader.search_snippets("bace cada", docs, 10).collect()
+        per_query["index_query_snippets"] = round(time.time() - t0, 3)
+        total += per_query["index_query_snippets"]
+
         batch_in = [(i, q, k) for i, (q, k) in enumerate(BENCH_QUERIES)]
         t0 = time.time()
         reader.search_many(batch_in).collect()
