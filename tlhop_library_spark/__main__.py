@@ -12,6 +12,9 @@ Subcommands:
     report  — corpus report suite
     merge   — offline index optimize (range-salt coarsening)
     prep    — training-data funnel → parquet of survivors
+    append  — add a new document batch to an existing index
+    delete  — tombstone doc ids (metadata-only, Lucene semantics)
+    expunge — compaction: rewrite without tombstoned postings
 """
 
 from __future__ import annotations
@@ -44,6 +47,29 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", choices=["bmw", "exhaustive"], default="bmw")
+    s.add_argument(
+        "--all-terms", action="store_true",
+        help="conjunctive (AND) semantics: only docs with every term",
+    )
+    s.add_argument(
+        "--snippets", metavar="DOCS_PARQUET", default=None,
+        help="attach first-match snippets (needs the docs table path)",
+    )
+
+    ad = sub.add_parser("append")
+    ad.add_argument("--index", required=True)
+    ad.add_argument("--docs", required=True, help="new-batch parquet path")
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("--index", required=True)
+    dl.add_argument(
+        "--ids", required=True,
+        help="comma list of doc ids, or @path to a parquet of doc_id",
+    )
+
+    ex = sub.add_parser("expunge")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--out", required=True)
 
     r = sub.add_parser("report")
     r.add_argument("--docs", required=True)
@@ -90,15 +116,48 @@ def main(argv: list[str] | None = None) -> int:
         from tlhop_library_spark.index.query import IndexReader
 
         reader = IndexReader(spark, args.index)
-        rows = reader.search(args.query, args.k, mode=args.mode).collect()
-        print(
-            json.dumps(
-                [
-                    {"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
-                    for r in rows
-                ]
+        if args.snippets:
+            docs = spark.read.parquet(args.snippets)
+            rows = reader.search_snippets(
+                args.query, docs, args.k, mode=args.mode
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.all_terms:
+            rows = reader.search_and(args.query, args.k).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        else:
+            rows = reader.search(args.query, args.k, mode=args.mode).collect()
+            print(
+                json.dumps(
+                    [
+                        {
+                            "rank": r["rank"],
+                            "doc_id": r["doc_id"],
+                            "score": r["score"],
+                        }
+                        for r in rows
+                    ]
+                )
             )
-        )
+    elif args.cmd == "append":
+        from tlhop_library_spark.index import add_documents
+
+        stats = add_documents(spark, args.index, spark.read.parquet(args.docs))
+        print(json.dumps(stats))
+    elif args.cmd == "delete":
+        from tlhop_library_spark.index import delete_documents
+
+        if args.ids.startswith("@"):
+            ids = spark.read.parquet(args.ids[1:])
+        else:
+            ids = [int(x) for x in args.ids.split(",") if x]
+        stats = delete_documents(spark, args.index, ids)
+        print(json.dumps(stats))
+    elif args.cmd == "expunge":
+        from tlhop_library_spark.index import expunge_deletes
+
+        stats = expunge_deletes(spark, args.index, args.out)
+        print(json.dumps(stats))
     elif args.cmd == "report":
         from tlhop_library_spark.reports import CorpusReport
 
