@@ -28,9 +28,14 @@ from tlhop_library_spark.index.phrase import (  # noqa: E402
     oracle_sql_proximity,
     phrase_exhaustive as _phrase_exhaustive,
 )
+from tlhop_library_spark.index.boolq import (  # noqa: E402
+    boolean_exhaustive as _boolean_exhaustive,
+    oracle_sql_boolean,
+)
 from tlhop_library_spark.index.query import (  # noqa: E402
     oracle_sql_bm25,
     oracle_sql_bm25_conjunctive,
+    oracle_sql_bm25_filtered,
     oracle_sql_bm25_snippets,
     score_exhaustive,
 )
@@ -57,6 +62,7 @@ _LSH_PLANES, _LSH_TABLES, _EMB_DIM = 4, 8, 64
 
 BM25_QUERY_1 = "spark join filter"
 BM25_QUERY_2 = "the"
+BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
 PHRASE_QUERY_1 = "spark join"      # mid-selectivity bigram (~7% of docs)
 PHRASE_QUERY_2 = "hash scan join"  # selective trigram
 PROX_QUERY, PROX_WINDOW = "spark vector", 5
@@ -139,6 +145,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back onto the docs scan; snippet window is a pure JVM expression
     q["bm25_snippets"] = lambda s, d: _indexed_reader(s, d).search_snippets(
         BM25_QUERY_1, _t(s, d, "documents"), k=10
+    )
+
+    # nested boolean retrieval (index/boolq.py): NNF masks over the
+    # positive-term doc union per range; both engines against ONE oracle
+    q["bm25_boolean"] = lambda s, d: _indexed_reader(s, d).search_boolean(
+        BOOL_QUERY, k=10
+    )
+    q["bm25_boolean_exhaustive"] = lambda s, d: _boolean_exhaustive(
+        _t(s, d, "documents"), BOOL_QUERY, k=10
+    )
+
+    # metadata-filtered retrieval: allow-list cogrouped with the segment
+    # scan on range_id — corpus-wide stats, ranking restricted to the
+    # filter (never collected or broadcast)
+    q["bm25_filtered"] = lambda s, d: _indexed_reader(s, d).search_filtered(
+        BM25_QUERY_1,
+        _t(s, d, "documents").where(F.col("lang") == "en"),
+        k=10,
     )
 
     def _incremental_reader(s, d):
@@ -830,6 +854,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_incremental"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_snippets"] = oracle_sql_bm25_snippets(BM25_QUERY_1, k=10)
     o["bm25_conjunctive"] = oracle_sql_bm25_conjunctive(BM25_QUERY_1, k=10)
+    o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
+    o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)
+    o["bm25_filtered"] = oracle_sql_bm25_filtered(
+        BM25_QUERY_1, k=10, where_sql="lang = 'en'"
+    )
     # delete masking: score over ALL docs (stale stats, Lucene
     # semantics), drop deleted ids BEFORE ranking
     o["bm25_after_delete"] = oracle_sql_bm25(BM25_QUERY_1, k=10).replace(

@@ -154,6 +154,16 @@ def main() -> None:
         reader.search_snippets("bace cada", docs, 10).collect()
         per_query["index_query_snippets"] = round(time.time() - t0, 3)
         total += per_query["index_query_snippets"]
+        t0 = time.time()
+        reader.search_boolean("(bace OR cada) AND NOT tesa", 10).collect()
+        per_query["index_query_boolean"] = round(time.time() - t0, 3)
+        total += per_query["index_query_boolean"]
+        t0 = time.time()
+        reader.search_filtered(
+            "bace cada", docs.where(F.col("doc_id") % 2 == 0), 10
+        ).collect()
+        per_query["index_query_filtered"] = round(time.time() - t0, 3)
+        total += per_query["index_query_filtered"]
 
         batch_in = [(i, q, k) for i, (q, k) in enumerate(BENCH_QUERIES)]
         t0 = time.time()

@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
         help="conjunctive (AND) semantics: only docs with every term",
     )
     s.add_argument(
+        "--boolean", action="store_true",
+        help="parse the query as a Lucene-style AND/OR/NOT expression",
+    )
+    s.add_argument(
         "--snippets", metavar="DOCS_PARQUET", default=None,
         help="attach first-match snippets (needs the docs table path)",
     )
@@ -124,6 +128,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps([r.asDict() for r in rows]))
         elif args.all_terms:
             rows = reader.search_and(args.query, args.k).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.boolean:
+            rows = reader.search_boolean(args.query, args.k).collect()
             print(json.dumps([r.asDict() for r in rows]))
         else:
             rows = reader.search(args.query, args.k, mode=args.mode).collect()

@@ -131,6 +131,19 @@ def expunge_deletes(
     cold build of the surviving documents. Out-of-place: the source
     index stays valid throughout."""
     t0 = time.time()
+    # the rewrite only overwrites the directories it writes
+    # (segments/bucket_group=0, dictionary, ...) — a stale delta group
+    # or manifest from a PREVIOUS index at out_dir would survive and
+    # corrupt the result, so replace a recognizable old index wholesale
+    # and refuse anything else that's non-empty
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if os.path.exists(os.path.join(out_dir, "stats.json")):
+            shutil.rmtree(out_dir)
+        else:
+            raise ValueError(
+                f"expunge target {out_dir!r} is non-empty and not an "
+                "index (no stats.json) — refusing to overwrite"
+            )
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     positions = bool(stats.get("positions"))

@@ -270,6 +270,74 @@ def oracle_sql_bm25_conjunctive(
     )
 
 
+def oracle_sql_bm25_filtered(
+    query_text: str, k: int = 10, table: str = "documents",
+    doc_col: str = "doc_id", where_sql: str = "TRUE",
+) -> str:
+    """Metadata-filtered BM25 oracle: corpus-wide stats (n, avgdl, df
+    — matching the index, which is built once over the whole corpus),
+    ranking restricted to docs satisfying ``where_sql``."""
+    base = oracle_sql_bm25(query_text, k, table, doc_col)
+    return base.replace(
+        "  FROM tf, dfreq, stats WHERE tf.term = dfreq.term\n"
+        "  GROUP BY tf.doc_id",
+        "  FROM tf, dfreq, stats WHERE tf.term = dfreq.term\n"
+        f"    AND tf.doc_id IN (SELECT {doc_col} FROM {table} "
+        f"WHERE {where_sql})\n"
+        "  GROUP BY tf.doc_id",
+    )
+
+
+def filtered_range_scorer(idf_map: dict[int, float], k: int,
+                          deleted: "np.ndarray | None" = None):
+    """Cogrouped kernel for ONE doc range: (segment chunks, allowed
+    doc_ids) → local top-k among the allowed set. The allow-list never
+    leaves the executors — each range sees only its own slice."""
+    from tlhop_library_spark.index.phrase import decode_chunk
+
+    def score_range(key, seg_pdf: pd.DataFrame,
+                    allow_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        if seg_pdf.empty or allow_pdf.empty:
+            return empty
+        allowed = np.unique(allow_pdf["doc_id"].to_numpy(np.int64))
+        avgdl = float(seg_pdf["avgdl"].iloc[0])
+        parts_d, parts_s = [], []
+        for ri in range(len(seg_pdf)):
+            row = seg_pdf.iloc[ri]
+            docs_, tfs_, dls_ = decode_chunk(row)
+            if deleted is not None and deleted.size:
+                from tlhop_library_spark.index.delete import mask_deleted
+
+                docs_, tfs_, dls_, _ = mask_deleted(
+                    docs_, tfs_, dls_, deleted
+                )
+            sel = np.isin(docs_, allowed)
+            if not sel.any():
+                continue
+            w = (
+                bm25.tf_weight_np(tfs_[sel], dls_[sel], avgdl)
+                * idf_map[int(row["tid"])]
+            )
+            parts_d.append(docs_[sel])
+            parts_s.append(w)
+        if not parts_d:
+            return empty
+        alldocs = np.concatenate(parts_d)
+        uniq, inv = np.unique(alldocs, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, np.concatenate(parts_s))
+        r = np.round(sums, bm25.ROUND_DIGITS)
+        order = np.lexsort((uniq, -r))[:k]
+        return pd.DataFrame(
+            {"doc_id": uniq[order].astype(np.int64), "score": r[order]}
+        )
+
+    return score_range
+
+
 def oracle_sql_bm25_snippets(
     query_text: str, k: int = 10, table: str = "documents",
     before: int = 40, width: int = 100,
@@ -652,6 +720,109 @@ class IndexReader:
             local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
             [F.desc("score"), F.asc("doc_id")],
             k,
+        ).select("rank", "doc_id", "score")
+
+    def search_boolean(self, query_text: str, k: int = 10) -> DataFrame:
+        """Boolean-matched BM25 top-k over a Lucene-flavored
+        AND/OR/NOT query (see index/boolq.py for grammar + semantics).
+        Returns (rank, doc_id, score). Pure-negative queries raise
+        ValueError. Scale shape = plain indexed search: one pruned
+        segment scan, per-range kernels, k rows per range leave the
+        executors."""
+        from tlhop_library_spark.index.boolq import (
+            boolean_range_scorer,
+            compile_query,
+            subst_tids,
+        )
+
+        nnf, all_terms, pos_terms = compile_query(query_text)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        info = self.lookup_terms(all_terms)
+        tid_of = {t: tid for t, (_, _, tid) in info.items()}
+        nnf_tid = subst_tids(nnf, tid_of)
+        pos_tids = sorted(
+            tid_of[t] for t in pos_terms if t in tid_of
+        )
+        if not pos_tids:
+            return empty
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets)
+            & F.col("tid").isin(sorted(idf_map))
+        ).select(
+            *[f.name for f in SEGMENT_SCHEMA.fields]
+        ).withColumn("avgdl", F.lit(avgdl))
+        scorer = boolean_range_scorer(
+            nnf_tid, pos_tids, idf_map, k, deleted=self._deleted
+        )
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_filtered(
+        self, query_text: str, allowed: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Top-k restricted to an allowed doc set (metadata filter —
+        e.g. ``docs.where(lang == 'pt').select('doc_id')``). Returns
+        (rank, doc_id, score); scores use corpus-wide stats (df,
+        avgdl), exactly like filtering the full ranking, but docs
+        outside the filter can never displace an allowed one.
+
+        The allow-list is cogrouped with the segment scan on
+        ``range_id`` (the doc-space salt), so each scoring kernel sees
+        only its own range's slice — the filter is never collected,
+        broadcast, or shuffled as a whole."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets)
+            & F.col("tid").isin(sorted(idf_map))
+        ).select(
+            *[f.name for f in SEGMENT_SCHEMA.fields]
+        ).withColumn("avgdl", F.lit(avgdl))
+        range_size = int(self.stats["range_size"])
+        allow = allowed.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.floor(F.col("doc_id").cast("long") / F.lit(range_size))
+            .cast("int")
+            .alias("range_id"),
+        )
+        scorer = filtered_range_scorer(idf_map, k, deleted=self._deleted)
+        local = (
+            seg.groupBy("range_id")
+            .cogroup(allow.groupBy("range_id"))
+            .applyInPandas(
+                lambda key, left, right: scorer(key, left, right),
+                schema=_SCORE_SCHEMA,
+            )
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
     def search_snippets(
