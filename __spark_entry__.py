@@ -33,10 +33,13 @@ from tlhop_library_spark.index.boolq import (  # noqa: E402
     oracle_sql_boolean,
 )
 from tlhop_library_spark.index.query import (  # noqa: E402
+    fuzzy_exhaustive as _fuzzy_exhaustive,
     oracle_sql_bm25,
     oracle_sql_bm25_conjunctive,
     oracle_sql_bm25_filtered,
+    oracle_sql_bm25_fuzzy,
     oracle_sql_bm25_snippets,
+    oracle_sql_facets,
     score_exhaustive,
 )
 from tlhop_library_spark.operators import dedup, relational, similarity, text  # noqa: E402
@@ -63,6 +66,7 @@ _LSH_PLANES, _LSH_TABLES, _EMB_DIM = 4, 8, 64
 BM25_QUERY_1 = "spark join filter"
 BM25_QUERY_2 = "the"
 BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
+FUZZY_QUERY = "sparq filtr"  # 1-edit typos of corpus terms
 PHRASE_QUERY_1 = "spark join"      # mid-selectivity bigram (~7% of docs)
 PHRASE_QUERY_2 = "hash scan join"  # selective trigram
 PROX_QUERY, PROX_WINDOW = "spark vector", 5
@@ -163,6 +167,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1,
         _t(s, d, "documents").where(F.col("lang") == "en"),
         k=10,
+    )
+
+    # typo-tolerant retrieval: query terms expand to every dictionary
+    # term within 1 Levenshtein edit, then standard OR-mode BM25; the
+    # exhaustive twin expands against the distinct-token vocabulary
+    q["bm25_fuzzy"] = lambda s, d: _indexed_reader(s, d).search_fuzzy(
+        FUZZY_QUERY, k=10, max_edits=1
+    )
+    q["bm25_fuzzy_exhaustive"] = lambda s, d: _fuzzy_exhaustive(
+        _t(s, d, "documents"), FUZZY_QUERY, k=10, max_edits=1
+    )
+
+    # facet histogram over ALL matching docs (per-range dedup kernel →
+    # equi-join on doc_id → per-facet count; no driver funnel)
+    q["facet_lang"] = lambda s, d: _indexed_reader(s, d).facet_counts(
+        BM25_QUERY_1, _t(s, d, "documents"), "lang"
     )
 
     def _incremental_reader(s, d):
@@ -859,6 +879,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_filtered"] = oracle_sql_bm25_filtered(
         BM25_QUERY_1, k=10, where_sql="lang = 'en'"
     )
+    o["bm25_fuzzy"] = oracle_sql_bm25_fuzzy(FUZZY_QUERY, k=10, max_edits=1)
+    o["bm25_fuzzy_exhaustive"] = oracle_sql_bm25_fuzzy(
+        FUZZY_QUERY, k=10, max_edits=1
+    )
+    o["facet_lang"] = oracle_sql_facets(BM25_QUERY_1, "lang")
     # delete masking: score over ALL docs (stale stats, Lucene
     # semantics), drop deleted ids BEFORE ranking
     o["bm25_after_delete"] = oracle_sql_bm25(BM25_QUERY_1, k=10).replace(

@@ -164,6 +164,14 @@ def main() -> None:
         ).collect()
         per_query["index_query_filtered"] = round(time.time() - t0, 3)
         total += per_query["index_query_filtered"]
+        t0 = time.time()
+        reader.search_fuzzy("bce cda", 10).collect()
+        per_query["index_query_fuzzy"] = round(time.time() - t0, 3)
+        total += per_query["index_query_fuzzy"]
+        t0 = time.time()
+        reader.facet_counts("bace cada", docs, "lang").collect()
+        per_query["index_facets"] = round(time.time() - t0, 3)
+        total += per_query["index_facets"]
 
         batch_in = [(i, q, k) for i, (q, k) in enumerate(BENCH_QUERIES)]
         t0 = time.time()

@@ -1,0 +1,129 @@
+"""Fuzzy (edit-distance) retrieval and facet counts.
+
+Identity web: indexed search_fuzzy ≡ declarative fuzzy_exhaustive ≡
+the DuckDB oracle on the same parquet; facet_counts ≡ declarative
+facet_exhaustive ≡ DuckDB, including NULL facet values; fuzzy at
+max_edits=0 reduces to plain search.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.index.query import (
+    IndexReader,
+    facet_exhaustive,
+    fuzzy_exhaustive,
+    oracle_sql_bm25_fuzzy,
+    oracle_sql_facets,
+)
+
+FUZZY_QUERIES = [
+    "bace",        # exact corpus term — expansion adds its 1-edit kin
+    "bXce",        # pure typo: only fuzzy matching can hit
+    "bace cda",    # one exact, one typo
+    "zzznope",     # nothing within 1 edit
+]
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def _rows(df):
+    return [(r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _facets(df):
+    return sorted(
+        ((r["facet"], r["n_docs"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0] or "", t[1]),
+    )
+
+
+# ---------------------------------------------------------------------
+# fuzzy
+# ---------------------------------------------------------------------
+def test_fuzzy_indexed_matches_exhaustive(reader, corpus_df):
+    for q in FUZZY_QUERIES:
+        ix = _rows(reader.search_fuzzy(q, 10))
+        ex = _rows(fuzzy_exhaustive(corpus_df, q, 10))
+        assert ix == ex, q
+
+
+def test_fuzzy_matches_duckdb(reader, corpus_path):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'")
+    for q in FUZZY_QUERIES:
+        got = _rows(reader.search_fuzzy(q, 10))
+        want = [
+            (r[0], r[1], r[2])
+            for r in con.execute(oracle_sql_bm25_fuzzy(q, 10)).fetchall()
+        ]
+        assert got == want, q
+
+
+def test_fuzzy_zero_edits_is_plain_search(reader):
+    assert _rows(reader.search_fuzzy("bace cada", 10, max_edits=0)) == _rows(
+        reader.search("bace cada", 10)
+    )
+
+
+def test_fuzzy_expansion_superset(reader):
+    """The expanded term set contains the exact terms plus only terms
+    within the edit budget."""
+    info = reader.lookup_terms_fuzzy(["bace"], max_edits=1)
+    assert "bace" in info
+    exact = reader.lookup_terms(["bace"])
+    assert info["bace"] == exact["bace"]
+    for t in info:
+        assert abs(len(t) - 4) <= 1
+
+
+def test_fuzzy_typo_recovers_results(reader, corpus_df):
+    """A 1-edit typo of a high-df corpus term must return hits even
+    though the literal term is absent."""
+    assert _rows(reader.search("bXce", 10)) == []
+    assert _rows(reader.search_fuzzy("bXce", 10))
+
+
+# ---------------------------------------------------------------------
+# facets
+# ---------------------------------------------------------------------
+def test_facets_indexed_matches_exhaustive(reader, corpus_df):
+    for q in ["bace", "bace cada", "zzznope"]:
+        ix = _facets(reader.facet_counts(q, corpus_df, "lang"))
+        ex = _facets(facet_exhaustive(corpus_df, q, "lang"))
+        assert ix == ex, q
+    assert _facets(reader.facet_counts("bace", corpus_df, "lang"))
+
+
+def test_facets_match_duckdb(reader, corpus_df, corpus_path):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'")
+    got = _facets(reader.facet_counts("bace cada", corpus_df, "lang"))
+    want = sorted(
+        ((r[0], r[1]) for r in
+         con.execute(oracle_sql_facets("bace cada", "lang")).fetchall()),
+        key=lambda t: (t[0] is None, t[0] or "", t[1]),
+    )
+    assert got == want
+
+
+def test_facets_total_equals_matching_docs(reader, corpus_df):
+    """Per-facet counts sum to the number of matching docs (each doc
+    counted exactly once despite multi-term matches)."""
+    fc = reader.facet_counts("bace cada", corpus_df, "lang")
+    total = fc.agg(F.sum("n_docs")).collect()[0][0]
+    matching = (
+        corpus_df.where(F.col("text").isNotNull())
+        .where(
+            F.col("text").rlike("(?i)\\bbace\\b")
+            | F.col("text").rlike("(?i)\\bcada\\b")
+        )
+        .count()
+    )
+    assert total == matching

@@ -59,6 +59,16 @@ def main(argv: list[str] | None = None) -> int:
         "--snippets", metavar="DOCS_PARQUET", default=None,
         help="attach first-match snippets (needs the docs table path)",
     )
+    s.add_argument(
+        "--fuzzy", type=int, default=None, metavar="EDITS",
+        help="typo tolerance: expand terms to dictionary entries "
+        "within EDITS Levenshtein edits",
+    )
+    s.add_argument(
+        "--facets", metavar="DOCS_PARQUET:COL", default=None,
+        help="print per-facet match counts instead of top-k "
+        "(e.g. /data/docs.parquet:lang)",
+    )
 
     ad = sub.add_parser("append")
     ad.add_argument("--index", required=True)
@@ -120,7 +130,17 @@ def main(argv: list[str] | None = None) -> int:
         from tlhop_library_spark.index.query import IndexReader
 
         reader = IndexReader(spark, args.index)
-        if args.snippets:
+        if args.facets:
+            path, _, col = args.facets.rpartition(":")
+            docs = spark.read.parquet(path)
+            rows = reader.facet_counts(args.query, docs, col).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.fuzzy is not None:
+            rows = reader.search_fuzzy(
+                args.query, args.k, max_edits=args.fuzzy
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.snippets:
             docs = spark.read.parquet(args.snippets)
             rows = reader.search_snippets(
                 args.query, docs, args.k, mode=args.mode

@@ -288,6 +288,113 @@ def oracle_sql_bm25_filtered(
     )
 
 
+def fuzzy_exhaustive(
+    docs: DataFrame, query_text: str, k: int = 10, max_edits: int = 1,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Declarative twin of :meth:`IndexReader.search_fuzzy`: expand the
+    query terms against the DISTINCT corpus tokens (≡ the index
+    dictionary) by Levenshtein ≤ max_edits, then run the standard
+    exhaustive BM25 over the expanded term set."""
+    terms = sorted(set(py_tokens(query_text)))
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+    vocab = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    cond = None
+    for q in terms:
+        c = (
+            F.abs(F.length("term") - F.lit(len(q))) <= max_edits
+        ) & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+        cond = c if cond is None else (cond | c)
+    expanded = sorted(r["term"] for r in vocab.where(cond).collect())
+    if not expanded:
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+    return score_exhaustive(docs, " ".join(expanded), k, doc_col)
+
+
+def oracle_sql_bm25_fuzzy(
+    query_text: str, k: int = 10, max_edits: int = 1,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for fuzzy BM25: same expansion spec (Levenshtein
+    over the distinct-token vocabulary), same scoring as the plain
+    oracle over the expanded set."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    pred = " OR ".join(
+        f"levenshtein(term, '{t.replace(chr(39), chr(39) * 2)}') "
+        f"<= {max_edits}"
+        for t in terms
+    )
+    base = oracle_sql_bm25(query_text, k, table, doc_col)
+    base = base.replace(
+        "), tf AS (",
+        "), expanded AS (\n"
+        f"  SELECT DISTINCT term FROM tok WHERE {pred}\n"
+        "), tf AS (",
+    )
+    return base.replace(
+        f"WHERE term IN ({terms_list})",
+        "WHERE term IN (SELECT term FROM expanded)",
+    )
+
+
+def facet_exhaustive(
+    docs: DataFrame, query_text: str, facet_col: str = "lang",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Declarative twin of :meth:`IndexReader.facet_counts`: count docs
+    whose token array overlaps the query terms, per facet value."""
+    terms = sorted(set(py_tokens(query_text)))
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "facet string, n_docs long"
+        )
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.col(facet_col).alias("facet"),
+            tokens_col(F.col("text")).alias("tokens"),
+        )
+        .where(
+            F.arrays_overlap(
+                "tokens", F.array(*[F.lit(t) for t in terms])
+            )
+        )
+        .groupBy("facet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def oracle_sql_facets(
+    query_text: str, facet_col: str = "lang", table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for facet counts over matching docs."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id, {facet_col} AS facet,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+)
+SELECT facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM base
+WHERE len(list_intersect(tokens, [{terms_list}])) > 0
+GROUP BY facet
+"""
+
+
 def filtered_range_scorer(idf_map: dict[int, float], k: int,
                           deleted: "np.ndarray | None" = None):
     """Cogrouped kernel for ONE doc range: (segment chunks, allowed
@@ -639,6 +746,15 @@ class IndexReader:
         query is collected, read ``reader.last_pruning_stats()``."""
         terms = sorted(set(py_tokens(query_text)))
         info = self.lookup_terms(terms)
+        return self._search_with_info(info, k, mode, with_pruning_stats)
+
+    def _search_with_info(
+        self, info: dict[str, tuple[int, int, int]], k: int = 10,
+        mode: str = "auto", with_pruning_stats: bool = False,
+    ) -> DataFrame:
+        """Scoring back-half of :meth:`search` over pre-resolved term
+        info (term → (df, bucket, tid)) — shared by plain search, fuzzy
+        expansion, and any caller that rewrites terms before scoring."""
         empty = self.spark.createDataFrame(
             [], "rank int, doc_id long, score double"
         )
@@ -681,6 +797,94 @@ class IndexReader:
             [F.desc("score"), F.asc("doc_id")],
             k,
         ).select("rank", "doc_id", "score")
+
+    def lookup_terms_fuzzy(
+        self, terms: list[str], max_edits: int = 1
+    ) -> dict[str, tuple[int, int, int]]:
+        """Expand query terms to every dictionary term within
+        Levenshtein distance ``max_edits`` of ANY of them (distance 0 —
+        the exact terms — included). One distributed scan of the
+        dictionary parquet with a cheap length pre-filter
+        (``|len(t) − len(q)| ≤ e`` is necessary for distance ≤ e)
+        ahead of the exact ``levenshtein`` — the dictionary is tiny
+        next to the postings (≈ one row per distinct corpus token), so
+        a per-query dictionary scan is the scale-correct shape; only
+        the matched handful of rows is collected."""
+        cond = None
+        for q in terms:
+            c = (
+                F.abs(F.length("term") - F.lit(len(q))) <= max_edits
+            ) & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return {}
+        rows = (
+            self._dict.where(cond)
+            .select("term", "df", "bucket", "tid")
+            .collect()
+        )
+        return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
+
+    def search_fuzzy(
+        self, query_text: str, k: int = 10, max_edits: int = 1,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Typo-tolerant top-k: each query term matches every indexed
+        term within ``max_edits`` Levenshtein edits, and the expanded
+        term set is BM25-scored as a plain OR query (each variant
+        contributes its own df/idf — same spec as the DuckDB oracle in
+        :func:`oracle_sql_bm25_fuzzy`). Returns (rank, doc_id, score).
+        Scale shape = dictionary scan for expansion + the standard
+        pruned segment scan of :meth:`search`."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_fuzzy(terms, max_edits)
+        return self._search_with_info(info, k, mode)
+
+    def facet_counts(
+        self, query_text: str, docs: DataFrame, facet_col: str = "lang"
+    ) -> DataFrame:
+        """Facet histogram over ALL docs matching any query term:
+        (facet, n_docs). The per-range kernel emits each matching
+        doc_id once (ranges partition the doc space, so range-local
+        dedup is global dedup); the hit list then equi-joins the docs
+        table on doc_id and aggregates per facet value — matching docs
+        never funnel through the driver, and the join/agg shuffles
+        only (doc_id) / (facet) pairs."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        empty = self.spark.createDataFrame([], "facet string, n_docs long")
+        if not info:
+            return empty
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted({tid for _, _, tid in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+        deleted = self._deleted
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        def matching_docs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            for ri in range(len(pdf)):
+                docs_, _, _ = decode_chunk(pdf.iloc[ri])
+                parts.append(docs_)
+            if not parts:
+                return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+            uniq = np.unique(np.concatenate(parts))
+            if deleted is not None and deleted.size:
+                uniq = uniq[~np.isin(uniq, deleted)]
+            return pd.DataFrame({"doc_id": uniq.astype(np.int64)})
+
+        hits = seg.groupBy("range_id").applyInPandas(
+            matching_docs, schema="doc_id long"
+        )
+        meta = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(facet_col).alias("facet"),
+        )
+        return hits.join(meta, "doc_id").groupBy("facet").agg(
+            F.count("*").alias("n_docs")
+        )
 
     def search_and(
         self, query_text: str, k: int = 10
