@@ -169,6 +169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=10,
     )
 
+    # low-latency serving path: pyarrow scan of just the query's chunks
+    # + the same numpy kernel on the driver, auto-routed by estimated
+    # posting bytes — must be rank-identical to the distributed path
+    # and to the same DuckDB oracle
+    q["bm25_serving"] = lambda s, d: _indexed_reader(s, d).search_serve(
+        BM25_QUERY_1, k=10
+    )
+
     # typo-tolerant retrieval: query terms expand to every dictionary
     # term within 1 Levenshtein edit, then standard OR-mode BM25; the
     # exhaustive twin expands against the distinct-token vocabulary
@@ -879,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_filtered"] = oracle_sql_bm25_filtered(
         BM25_QUERY_1, k=10, where_sql="lang = 'en'"
     )
+    o["bm25_serving"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_fuzzy"] = oracle_sql_bm25_fuzzy(FUZZY_QUERY, k=10, max_edits=1)
     o["bm25_fuzzy_exhaustive"] = oracle_sql_bm25_fuzzy(
         FUZZY_QUERY, k=10, max_edits=1

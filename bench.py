@@ -164,6 +164,23 @@ def main() -> None:
         ).collect()
         per_query["index_query_filtered"] = round(time.time() - t0, 3)
         total += per_query["index_query_filtered"]
+        # serving path: driver-side pyarrow scan of just the query's
+        # chunks + the same numpy kernel — no Spark job per query
+        reader.search_local("bace", 10).collect()  # warm dataset handle
+        slat = []
+        for q, kk in BENCH_QUERIES:
+            t0 = time.time()
+            reader.search_serve(q, kk).collect()
+            slat.append(time.time() - t0)
+        slat.sort()
+        per_query["index_query_serve_p50"] = round(
+            slat[len(slat) // 2], 3
+        )
+        total += sum(slat)
+        print(
+            f"# serving-path latencies: {[round(x, 3) for x in slat]}",
+            file=sys.stderr,
+        )
         t0 = time.time()
         reader.search_fuzzy("bce cda", 10).collect()
         per_query["index_query_fuzzy"] = round(time.time() - t0, 3)
@@ -196,6 +213,7 @@ def main() -> None:
                     "corpus_docs": stats["n_docs"],
                     "build_docs_per_sec": round(docs_per_sec, 1),
                     "query_p50_sec": round(p50, 3),
+                    "serve_p50_sec": per_query["index_query_serve_p50"],
                 },
             }
         )

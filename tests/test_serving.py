@@ -1,0 +1,87 @@
+"""Low-latency serving path (IndexReader.search_local / search_serve):
+driver-side pyarrow chunk scan + the SAME numpy kernel must be
+rank-AND-score identical to the distributed applyInPandas path — per
+query, across modes, on appended indexes, and under tombstone deletes —
+and search_serve must route by estimated posting bytes.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.index import (
+    IndexBuilder,
+    IndexReader,
+    add_documents,
+    delete_documents,
+)
+
+QUERIES = [
+    ("bace", 10),
+    ("bace cada", 10),
+    ("informação segurança", 10),
+    ("dadu cadi bace tesa", 15),
+    ("zzznope", 5),
+    ("", 5),
+]
+
+
+def _rows(df):
+    return [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def test_local_identical_to_distributed(reader):
+    for q, k in QUERIES:
+        for mode in ("auto", "bmw", "exhaustive"):
+            assert _rows(reader.search_local(q, k, mode)) == _rows(
+                reader.search(q, k, mode)
+            ), (q, mode)
+
+
+def test_serve_routes_and_matches(reader):
+    for q, k in QUERIES:
+        assert _rows(reader.search_serve(q, k)) == _rows(
+            reader.search(q, k)
+        ), q
+    # force the distributed branch: zero byte budget
+    assert _rows(
+        reader.search_serve("bace cada", 10, max_local_bytes=0)
+    ) == _rows(reader.search("bace cada", 10))
+
+
+def test_bytes_estimate_from_manifest(reader):
+    bpp = reader._avg_bytes_per_posting()
+    # varint chunks: more than 1, fewer than 64 bytes per posting
+    assert 1.0 < bpp < 64.0
+
+
+def test_local_on_appended_index(spark, corpus_df, tmp_path):
+    d = str(tmp_path / "idx")
+    IndexBuilder(spark, d, n_buckets=8, n_ranges=8, n_jobs=2).build(
+        corpus_df.where(F.col("doc_id") < 500)
+    )
+    add_documents(spark, d, corpus_df.where(F.col("doc_id") >= 500))
+    r = IndexReader(spark, d)
+    for q, k in QUERIES[:4]:
+        assert _rows(r.search_local(q, k)) == _rows(r.search(q, k)), q
+
+
+def test_local_masks_deletes(spark, index_dir, tmp_path):
+    d = str(tmp_path / "del")
+    shutil.copytree(index_dir, d)
+    full = IndexReader(spark, d)
+    dead = [r["doc_id"] for r in full.search("bace", 3).collect()]
+    delete_documents(spark, d, sorted(dead))
+    r = IndexReader(spark, d)
+    got = _rows(r.search_local("bace", 10))
+    assert got == _rows(r.search("bace", 10))
+    assert not ({doc for _, doc, _ in got} & set(dead))

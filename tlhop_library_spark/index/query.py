@@ -798,6 +798,128 @@ class IndexReader:
             k,
         ).select("rank", "doc_id", "score")
 
+    def _pa_segments(self):
+        """Memoized pyarrow dataset over the segment tree (hive
+        partitioning on bucket_group covers base + delta groups)."""
+        if getattr(self, "_pa_ds", None) is None:
+            import pyarrow.dataset as ds
+
+            self._pa_ds = ds.dataset(
+                os.path.join(self.index_dir, "segments"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._pa_ds
+
+    def _avg_bytes_per_posting(self) -> float:
+        """From the build manifest (per-group lineage metrics): total
+        segment bytes / total postings; conservative 8.0 fallback."""
+        if getattr(self, "_bpp", None) is None:
+            try:
+                import pyarrow.dataset as ds
+
+                t = ds.dataset(
+                    os.path.join(self.index_dir, "manifest"),
+                    format="parquet",
+                ).to_table(columns=["postings_written", "bytes_written"])
+                n = sum(t.column("postings_written").to_pylist())
+                b = sum(t.column("bytes_written").to_pylist())
+                self._bpp = (b / n) if n else 8.0
+            except Exception:
+                self._bpp = 8.0
+        return self._bpp
+
+    def search_local(
+        self, query_text: str, k: int = 10, mode: str = "auto"
+    ) -> DataFrame:
+        """Low-latency SERVING path: answer the query on the driver by
+        reading ONLY the query terms' segment chunks via a pyarrow
+        dataset scan (partition pruning on bucket_group, row-group
+        stats pruning on bucket/tid — chunks are written tid-sorted),
+        then running the SAME per-range numpy kernel as the
+        distributed path and merging the per-range top-k. No Spark job
+        is launched, so per-query latency is parquet-read + numpy
+        (~tens of ms) instead of job-scheduling overhead.
+
+        Rank-and-score identical to :meth:`search` (same kernel, same
+        rounding, same tie order). Intended for tail/torso terms whose
+        postings are small; for head terms use :meth:`search_serve`,
+        which routes by estimated posting bytes — a 10^12-doc "the"
+        must stay on the distributed scan."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        import pyarrow.dataset as ds
+
+        n_docs = self.stats["n_docs"]
+        avgdl = float(self.stats["avgdl"])
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted(idf_map)
+        cols = [f.name for f in SEGMENT_SCHEMA.fields]
+        tbl = self._pa_segments().to_table(
+            columns=cols,
+            filter=ds.field("bucket").isin(buckets)
+            & ds.field("tid").isin(tids),
+        )
+        if tbl.num_rows == 0:
+            return empty
+        pdf = tbl.to_pandas()
+        pdf["avgdl"] = avgdl
+        scorer = _range_scorer(
+            idf_map, k, mode, None, None,
+            bound_scale=self._bound_scale(), deleted=self._deleted,
+        )
+        parts = [
+            scorer((rid,), g)
+            for rid, g in pdf.groupby("range_id", sort=False)
+        ]
+        allp = pd.concat(parts) if parts else None
+        if allp is None or allp.empty:
+            return empty
+        r = np.round(allp["score"].to_numpy(np.float64), bm25.ROUND_DIGITS)
+        d = allp["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, -r))[:k]
+        out = pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": d[order],
+                "score": r[order],
+            }
+        )
+        return self.spark.createDataFrame(
+            out, schema="rank int, doc_id long, score double"
+        )
+
+    def search_serve(
+        self, query_text: str, k: int = 10, mode: str = "auto",
+        max_local_bytes: int = 64 << 20,
+    ) -> DataFrame:
+        """Auto-routed search: estimate the query's posting volume as
+        Σ df(term) × avg-bytes-per-posting (df from the dictionary,
+        bytes/posting from the build manifest) and serve driver-side
+        (:meth:`search_local`) when it fits under ``max_local_bytes``,
+        else run the distributed scan (:meth:`search`). Both paths are
+        rank-identical; the knob only trades latency vs driver IO."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        if not info:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        est = sum(df for (df, _, _) in info.values()) * (
+            self._avg_bytes_per_posting()
+        )
+        if est <= max_local_bytes:
+            return self.search_local(query_text, k, mode)
+        return self.search(query_text, k, mode)
+
     def lookup_terms_fuzzy(
         self, terms: list[str], max_edits: int = 1
     ) -> dict[str, tuple[int, int, int]]:
