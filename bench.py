@@ -198,6 +198,16 @@ def main() -> None:
         total += batch_sec
         qps = len(BENCH_QUERIES) / batch_sec
         print(f"# batch mode: {qps:.1f} queries/sec", file=sys.stderr)
+        t0 = time.time()
+        reader.search_many_local(batch_in).collect()
+        sbatch = time.time() - t0
+        per_query["index_query_batch_serve"] = round(sbatch, 3)
+        total += sbatch
+        print(
+            f"# batch serving mode: {len(BENCH_QUERIES) / sbatch:.1f} "
+            "queries/sec",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

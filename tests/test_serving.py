@@ -64,6 +64,26 @@ def test_bytes_estimate_from_manifest(reader):
     assert 1.0 < bpp < 64.0
 
 
+def test_batch_local_identical_to_batch_distributed(reader):
+    batch = [
+        (0, "bace cada", 5),
+        (1, "informação", 3),
+        (2, "zzznope", 5),
+        (3, "dadu cadi bace tesa", 10),
+    ]
+    key = ["query_id", "rank"]
+
+    def rows(df):
+        return [
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in df.orderBy(*key).collect()
+        ]
+
+    assert rows(reader.search_many_local(batch)) == rows(
+        reader.search_many(batch)
+    )
+
+
 def test_local_on_appended_index(spark, corpus_df, tmp_path):
     d = str(tmp_path / "idx")
     IndexBuilder(spark, d, n_buckets=8, n_ranges=8, n_jobs=2).build(

@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         help="attach first-match snippets (needs the docs table path)",
     )
     s.add_argument(
+        "--serve", action="store_true",
+        help="low-latency serving path: driver-side chunk scan, "
+        "auto-routed by posting volume",
+    )
+    s.add_argument(
         "--fuzzy", type=int, default=None, metavar="EDITS",
         help="typo tolerance: expand terms to dictionary entries "
         "within EDITS Levenshtein edits",
@@ -139,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
             rows = reader.search_fuzzy(
                 args.query, args.k, max_edits=args.fuzzy
             ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.serve:
+            rows = reader.search_serve(args.query, args.k).collect()
             print(json.dumps([r.asDict() for r in rows]))
         elif args.snippets:
             docs = spark.read.parquet(args.snippets)

@@ -1354,3 +1354,87 @@ class IndexReader:
         return ranked.where(
             F.col("rank") <= k_map.getItem(F.col("query_id"))
         ).select("query_id", "rank", "doc_id", "score")
+
+    def search_many_local(
+        self, queries: list[tuple[int, str, int]], mode: str = "auto"
+    ) -> DataFrame:
+        """Serving-path twin of :meth:`search_many`: ONE pyarrow scan
+        covering the union of all queries' (bucket, tid) chunks, then
+        the per-range numpy kernel per query on the driver. Returns
+        (query_id, rank, doc_id, score), rank ≤ that query's k —
+        row-identical to :meth:`search_many`. Amortizes the chunk read
+        across the batch; per-query marginal cost is pure numpy, so
+        batch q/s is bounded by IO once, not a Spark job per query."""
+        n_docs = self.stats["n_docs"]
+        avgdl = float(self.stats["avgdl"])
+        per_q = {}
+        all_terms: set[str] = set()
+        for qid, text, k in queries:
+            terms = sorted(set(py_tokens(text)))
+            per_q[qid] = (terms, k)
+            all_terms.update(terms)
+        info = self.lookup_terms(sorted(all_terms))
+        empty = self.spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        import pyarrow.dataset as ds
+
+        idf_all = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
+        cols = [f.name for f in SEGMENT_SCHEMA.fields]
+        tbl = self._pa_segments().to_table(
+            columns=cols,
+            filter=ds.field("bucket").isin(buckets)
+            & ds.field("tid").isin(sorted(idf_all)),
+        )
+        if tbl.num_rows == 0:
+            return empty
+        pdf = tbl.to_pandas()
+        outs = []
+        for qid, (terms, k) in per_q.items():
+            tids = [info[t][2] for t in terms if t in info]
+            if not tids:
+                continue
+            idf_map = {t: idf_all[t] for t in tids}
+            sub = pdf[pdf["tid"].isin(tids)]
+            if sub.empty:
+                continue
+            scorer = _range_scorer(
+                idf_map, k, mode, None, None,
+                bound_scale=self._bound_scale(), deleted=self._deleted,
+            )
+            sub = sub.assign(avgdl=avgdl)
+            parts = [
+                scorer((rid,), g)
+                for rid, g in sub.groupby("range_id", sort=False)
+            ]
+            allp = pd.concat(parts)
+            if allp.empty:
+                continue
+            r = np.round(
+                allp["score"].to_numpy(np.float64), bm25.ROUND_DIGITS
+            )
+            d = allp["doc_id"].to_numpy(np.int64)
+            order = np.lexsort((d, -r))[:k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid, np.int64),
+                        "rank": np.arange(
+                            1, len(order) + 1, dtype=np.int32
+                        ),
+                        "doc_id": d[order],
+                        "score": r[order],
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return self.spark.createDataFrame(
+            pd.concat(outs, ignore_index=True),
+            schema="query_id long, rank int, doc_id long, score double",
+        )
