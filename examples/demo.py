@@ -63,6 +63,25 @@ def main() -> None:
     ], "index and exhaustive paths disagree!"
     print("  (identical to the exhaustive declarative scorer)")
 
+    # 4b. the round-2.2 query surface over the same index
+    t0 = time.time()
+    serve_rows = reader.search_serve(q, k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in serve_rows] == [
+        (r["doc_id"], r["score"]) for r in idx_rows
+    ]
+    print(f"serving path: same top-5 in {time.time() - t0:.3f}s "
+          "(driver-side chunk scan, no Spark job)")
+    nb = reader.search_boolean(
+        "(informação OR segurança) AND NOT zzznope", k=3
+    ).count()
+    nf = reader.search_fuzzy("seguranca", k=3, max_edits=1).count()
+    facets = {
+        r["facet"]: r["n_docs"]
+        for r in reader.facet_counts(q, docs, "lang").collect()
+    }
+    print(f"boolean hits: {nb}; fuzzy('seguranca') hits: {nf}; "
+          f"facets: {facets}")
+
     # 5. the tlhop-style extension accessor
     install()
     print("\nlanguage frequency (df.tlhop.frequency):")

@@ -84,6 +84,17 @@ def test_batch_local_identical_to_batch_distributed(reader):
     )
 
 
+def test_local_path_never_touches_distributed_scan(spark, index_dir):
+    """Poison the Spark-side segment DataFrame: the serving path must
+    still answer (it reads chunks via pyarrow only), proving no Spark
+    segment scan hides inside it."""
+    r = IndexReader(spark, index_dir)
+    r._segments = None
+    assert _rows(r.search_local("bace cada", 5))
+    got = r.search_many_local([(0, "bace", 5)]).count()
+    assert got == r.search_local("bace", 5).count() > 0
+
+
 def test_local_on_appended_index(spark, corpus_df, tmp_path):
     d = str(tmp_path / "idx")
     IndexBuilder(spark, d, n_buckets=8, n_ranges=8, n_jobs=2).build(
