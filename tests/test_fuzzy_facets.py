@@ -90,6 +90,23 @@ def test_fuzzy_typo_recovers_results(reader, corpus_df):
     assert _rows(reader.search_fuzzy("bXce", 10))
 
 
+def test_suggest_ranks_by_distance_then_df(reader):
+    out = reader.suggest("bace", max_edits=1, n=5)
+    assert out and out[0][0] == "bace" and out[0][1] == 0
+    dists = [d for _, d, _ in out]
+    assert dists == sorted(dists)
+    from itertools import groupby
+
+    for _, grp in groupby(out, key=lambda x: x[1]):
+        dfs = [g[2] for g in grp]
+        assert dfs == sorted(dfs, reverse=True)
+
+
+def test_suggest_rejects_multi_term(reader):
+    with pytest.raises(ValueError):
+        reader.suggest("bace cada")
+
+
 # ---------------------------------------------------------------------
 # facets
 # ---------------------------------------------------------------------

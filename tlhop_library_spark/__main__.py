@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
         "(e.g. /data/docs.parquet:lang)",
     )
 
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("-n", type=int, default=5)
+
     ad = sub.add_parser("append")
     ad.add_argument("--index", required=True)
     ad.add_argument("--docs", required=True, help="new-batch parquet path")
@@ -174,6 +180,19 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                 )
             )
+    elif args.cmd == "suggest":
+        from tlhop_library_spark.index.query import IndexReader
+
+        reader = IndexReader(spark, args.index)
+        out = reader.suggest(args.term, args.max_edits, args.n)
+        print(
+            json.dumps(
+                [
+                    {"term": t, "distance": d, "df": df}
+                    for t, d, df in out
+                ]
+            )
+        )
     elif args.cmd == "append":
         from tlhop_library_spark.index import add_documents
 

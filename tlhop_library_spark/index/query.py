@@ -947,6 +947,37 @@ class IndexReader:
         )
         return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
 
+    def suggest(
+        self, term: str, max_edits: int = 2, n: int = 5
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean: the ``n`` dictionary terms closest to
+        ``term``, as (term, distance, df) ranked by (edit distance
+        asc, df desc, term asc). One length-pruned distributed
+        dictionary scan; ``orderBy().limit(n)`` keeps the collect to n
+        rows. An exact vocabulary hit ranks first (distance 0)."""
+        toks = py_tokens(term)
+        if len(toks) != 1:
+            raise ValueError(
+                "suggest() takes a single analyzable term; got "
+                f"{term!r} -> {toks}"
+            )
+        q = toks[0]
+        rows = (
+            self._dict.where(
+                (F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
+                & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+            )
+            .select(
+                "term",
+                F.levenshtein(F.col("term"), F.lit(q)).alias("dist"),
+                "df",
+            )
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [(r["term"], r["dist"], r["df"]) for r in rows]
+
     def search_fuzzy(
         self, query_text: str, k: int = 10, max_edits: int = 1,
         mode: str = "auto",
