@@ -35,6 +35,8 @@ from tlhop_library_spark.index.boolq import (  # noqa: E402
 from tlhop_library_spark.index.query import (  # noqa: E402
     fuzzy_exhaustive as _fuzzy_exhaustive,
     oracle_sql_bm25,
+    oracle_sql_bm25_wildcard,
+    wildcard_exhaustive as _wildcard_exhaustive,
     oracle_sql_bm25_conjunctive,
     oracle_sql_bm25_filtered,
     oracle_sql_bm25_fuzzy,
@@ -67,6 +69,7 @@ BM25_QUERY_1 = "spark join filter"
 BM25_QUERY_2 = "the"
 BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
 FUZZY_QUERY = "sparq filtr"  # 1-edit typos of corpus terms
+WILD_QUERY = "spar* filter"  # prefix atom + exact term
 PHRASE_QUERY_1 = "spark join"      # mid-selectivity bigram (~7% of docs)
 PHRASE_QUERY_2 = "hash scan join"  # selective trigram
 PROX_QUERY, PROX_WINDOW = "spark vector", 5
@@ -185,6 +188,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bm25_fuzzy_exhaustive"] = lambda s, d: _fuzzy_exhaustive(
         _t(s, d, "documents"), FUZZY_QUERY, k=10, max_edits=1
+    )
+
+    # wildcard/prefix retrieval: '*'-suffixed words expand against the
+    # dictionary (startswith scan), expanded set scored as plain OR BM25
+    q["bm25_wildcard"] = lambda s, d: _indexed_reader(s, d).search_wildcard(
+        WILD_QUERY, k=10
+    )
+    q["bm25_wildcard_exhaustive"] = lambda s, d: _wildcard_exhaustive(
+        _t(s, d, "documents"), WILD_QUERY, k=10
     )
 
     # facet histogram over ALL matching docs (per-range dedup kernel →
@@ -892,6 +904,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_fuzzy_exhaustive"] = oracle_sql_bm25_fuzzy(
         FUZZY_QUERY, k=10, max_edits=1
     )
+    o["bm25_wildcard"] = oracle_sql_bm25_wildcard(WILD_QUERY, k=10)
+    o["bm25_wildcard_exhaustive"] = oracle_sql_bm25_wildcard(WILD_QUERY, k=10)
     o["facet_lang"] = oracle_sql_facets(BM25_QUERY_1, "lang")
     # delete masking: score over ALL docs (stale stats, Lucene
     # semantics), drop deleted ids BEFORE ranking

@@ -189,6 +189,10 @@ def main() -> None:
         reader.facet_counts("bace cada", docs, "lang").collect()
         per_query["index_facets"] = round(time.time() - t0, 3)
         total += per_query["index_facets"]
+        t0 = time.time()
+        reader.search_wildcard("bac* cada", 10).collect()
+        per_query["index_query_wildcard"] = round(time.time() - t0, 3)
+        total += per_query["index_query_wildcard"]
 
         batch_in = [(i, q, k) for i, (q, k) in enumerate(BENCH_QUERIES)]
         t0 = time.time()

@@ -90,6 +90,47 @@ def test_fuzzy_typo_recovers_results(reader, corpus_df):
     assert _rows(reader.search_fuzzy("bXce", 10))
 
 
+# ---------------------------------------------------------------------
+# wildcard
+# ---------------------------------------------------------------------
+WILDCARD_QUERIES = ["bac*", "bac* cada", "informaç*", "zzz*"]
+
+
+def test_wildcard_indexed_matches_exhaustive_and_duckdb(
+    reader, corpus_df, corpus_path
+):
+    from tlhop_library_spark.index.query import (
+        oracle_sql_bm25_wildcard,
+        wildcard_exhaustive,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'")
+    for q in WILDCARD_QUERIES:
+        ix = _rows(reader.search_wildcard(q, 10))
+        assert ix == _rows(wildcard_exhaustive(corpus_df, q, 10)), q
+        want = [
+            (r[0], r[1], r[2])
+            for r in con.execute(oracle_sql_bm25_wildcard(q, 10)).fetchall()
+        ]
+        assert ix == want, q
+
+
+def test_wildcard_no_star_is_plain_search(reader):
+    assert _rows(reader.search_wildcard("bace cada", 10)) == _rows(
+        reader.search("bace cada", 10)
+    )
+
+
+def test_wildcard_guards(reader):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        reader.search_wildcard("ba*", 10)       # stem too short
+    with _pt.raises(ValueError):
+        reader.search_wildcard("bace cad*", 10, max_expansions=1)
+
+
 def test_suggest_ranks_by_distance_then_df(reader):
     out = reader.suggest("bace", max_edits=1, n=5)
     assert out and out[0][0] == "bace" and out[0][1] == 0

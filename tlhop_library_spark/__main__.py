@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         help="attach first-match snippets (needs the docs table path)",
     )
     s.add_argument(
+        "--wildcard", action="store_true",
+        help="expand '*'-suffixed words against the dictionary "
+        "(prefix search)",
+    )
+    s.add_argument(
         "--serve", action="store_true",
         help="low-latency serving path: driver-side chunk scan, "
         "auto-routed by posting volume",
@@ -150,6 +155,9 @@ def main(argv: list[str] | None = None) -> int:
             rows = reader.search_fuzzy(
                 args.query, args.k, max_edits=args.fuzzy
             ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.wildcard:
+            rows = reader.search_wildcard(args.query, args.k).collect()
             print(json.dumps([r.asDict() for r in rows]))
         elif args.serve:
             rows = reader.search_serve(args.query, args.k).collect()

@@ -347,6 +347,101 @@ def oracle_sql_bm25_fuzzy(
     )
 
 
+def parse_wildcard_query(query_text: str) -> tuple[list[str], list[str]]:
+    """Split a wildcard query into (exact_terms, prefixes). A
+    whitespace word ending in ``*`` is a prefix atom — its stem must
+    analyze to exactly one token (≥ 2 chars); any other word is
+    analyzed normally (and may contribute several exact terms)."""
+    exact: list[str] = []
+    prefixes: list[str] = []
+    for w in query_text.split():
+        if w.endswith("*") and len(w) > 1:
+            stem = py_tokens(w[:-1])
+            if len(stem) != 1:
+                raise ValueError(
+                    f"wildcard stem {w!r} must analyze to one token; "
+                    f"got {stem}"
+                )
+            # ≥ 3 keeps stems inside the analyzer's min token length
+            # (so the oracle's seed tokens survive) and bounds fan-out
+            if len(stem[0]) < 3:
+                raise ValueError(f"wildcard stem {w!r} too short")
+            prefixes.append(stem[0])
+        else:
+            exact.extend(py_tokens(w))
+    return sorted(set(exact)), sorted(set(prefixes))
+
+
+def wildcard_exhaustive(
+    docs: DataFrame, query_text: str, k: int = 10,
+    doc_col: str = "doc_id", max_expansions: int = 1000,
+) -> DataFrame:
+    """Declarative twin of :meth:`IndexReader.search_wildcard`:
+    expand prefixes against the distinct corpus tokens, then standard
+    exhaustive BM25 over the expanded ∪ exact term set."""
+    exact, prefixes = parse_wildcard_query(query_text)
+    if not exact and not prefixes:
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+    expanded = set(exact)
+    if prefixes:
+        vocab = (
+            docs.where(F.col("text").isNotNull())
+            .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+            .distinct()
+        )
+        cond = None
+        for p in prefixes:
+            c = F.col("term").startswith(p)
+            cond = c if cond is None else (cond | c)
+        hits = [r["term"] for r in vocab.where(cond).collect()]
+        if len(hits) > max_expansions:
+            raise ValueError(
+                f"wildcard expands to {len(hits)} terms "
+                f"(> {max_expansions})"
+            )
+        expanded.update(hits)
+    if not expanded:
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+    return score_exhaustive(docs, " ".join(sorted(expanded)), k, doc_col)
+
+
+def oracle_sql_bm25_wildcard(
+    query_text: str, k: int = 10, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for wildcard BM25: prefixes expand via LIKE over
+    the distinct-token vocabulary, then plain-oracle scoring."""
+    exact, prefixes = parse_wildcard_query(query_text)
+    preds = []
+    if exact:
+        lst = ", ".join("'" + t.replace("'", "''") + "'" for t in exact)
+        preds.append(f"term IN ({lst})")
+    preds += [
+        "term LIKE '" + p.replace("'", "''") + "%'" for p in prefixes
+    ]
+    pred = " OR ".join(preds)
+    # reuse the plain template: its term list is only a placeholder
+    # for the tf filter, which we swap for the expansion subquery
+    seed = sorted(set(exact) | set(prefixes))
+    base = oracle_sql_bm25(" ".join(seed), k, table, doc_col)
+    terms = sorted(set(py_tokens(" ".join(seed))))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    base = base.replace(
+        "), tf AS (",
+        "), expanded AS (\n"
+        f"  SELECT DISTINCT term FROM tok WHERE {pred}\n"
+        "), tf AS (",
+    )
+    return base.replace(
+        f"WHERE term IN ({terms_list})",
+        "WHERE term IN (SELECT term FROM expanded)",
+    )
+
+
 def facet_exhaustive(
     docs: DataFrame, query_text: str, facet_col: str = "lang",
     doc_col: str = "doc_id",
@@ -991,6 +1086,49 @@ class IndexReader:
         pruned segment scan of :meth:`search`."""
         terms = sorted(set(py_tokens(query_text)))
         info = self.lookup_terms_fuzzy(terms, max_edits)
+        return self._search_with_info(info, k, mode)
+
+    def lookup_terms_prefix(
+        self, prefixes: list[str], max_expansions: int = 1000
+    ) -> dict[str, tuple[int, int, int]]:
+        """Dictionary terms starting with any of ``prefixes`` — one
+        distributed dictionary scan (startswith is sargable against
+        the term-sorted row groups). Raises when the expansion
+        exceeds ``max_expansions`` (Lucene-style guard: an unbounded
+        head-prefix like 'a*' would OR thousands of posting lists)."""
+        cond = None
+        for p in prefixes:
+            c = F.col("term").startswith(p)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return {}
+        rows = (
+            self._dict.where(cond)
+            .select("term", "df", "bucket", "tid")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"wildcard expands to more than {max_expansions} terms"
+            )
+        return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
+
+    def search_wildcard(
+        self, query_text: str, k: int = 10, mode: str = "auto",
+        max_expansions: int = 1000,
+    ) -> DataFrame:
+        """Prefix/wildcard top-k: words ending in ``*`` expand to
+        every dictionary term with that prefix; the expanded ∪ exact
+        set is BM25-scored as a plain OR query (per-variant df/idf —
+        same spec as :func:`oracle_sql_bm25_wildcard`). Returns
+        (rank, doc_id, score)."""
+        exact, prefixes = parse_wildcard_query(query_text)
+        info = dict(self.lookup_terms(exact))
+        if prefixes:
+            info.update(
+                self.lookup_terms_prefix(prefixes, max_expansions)
+            )
         return self._search_with_info(info, k, mode)
 
     def facet_counts(
