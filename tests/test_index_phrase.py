@@ -175,3 +175,51 @@ def test_plain_search_prunes_position_streams(spark, pos_index_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "doc_bytes" in plan, "expected a real chunk scan in the plan"
     assert "pos_bytes" not in plan, "plain BM25 read the position stream"
+
+
+# ---------------------------------------------------------------------
+# serving-path twins (driver-side pyarrow scan, same kernels)
+# ---------------------------------------------------------------------
+def test_phrase_serving_identical(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+
+    def rows(df):
+        return [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in df.orderBy("rank").collect()
+        ]
+
+    hit_any = False
+    for phrase in PHRASES + ["ação zzzunseen", ""]:
+        got = rows(reader.search_phrase_local(phrase, 10))
+        assert got == rows(reader.search_phrase(phrase, 10)), phrase
+        hit_any = hit_any or bool(got)
+    assert hit_any
+
+
+def test_proximity_serving_identical(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+
+    def rows(df):
+        return [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in df.orderBy("rank").collect()
+        ]
+
+    for q, w in [("análise tupere", 5), ("pili página conteúdo", 8)]:
+        got = rows(reader.search_proximity_local(q, w, 10))
+        assert got == rows(reader.search_proximity(q, w, 10)), q
+
+
+def test_positional_serving_requires_positions(spark, index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    with pytest.raises(ValueError):
+        reader.search_phrase_local("bace cada")
+    with pytest.raises(ValueError):
+        reader.search_proximity_local("bace cada", 5)

@@ -924,6 +924,47 @@ class IndexReader:
                 self._bpp = 8.0
         return self._bpp
 
+    def _local_chunks(self, info, schema_fields) -> "pd.DataFrame | None":
+        """Driver-side chunk fetch for a resolved term set: pyarrow
+        scan pruned to the terms' (bucket, tid) sets, avgdl attached."""
+        import pyarrow.dataset as ds
+
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted({t for _, _, t in info.values()})
+        tbl = self._pa_segments().to_table(
+            columns=[f.name for f in schema_fields],
+            filter=ds.field("bucket").isin(buckets)
+            & ds.field("tid").isin(tids),
+        )
+        if tbl.num_rows == 0:
+            return None
+        pdf = tbl.to_pandas()
+        pdf["avgdl"] = float(self.stats["avgdl"])
+        return pdf
+
+    def _merge_local_topk(self, parts: list, k: int) -> DataFrame:
+        """Merge per-range kernel outputs exactly like the distributed
+        ranked_topk: round, (score desc, doc_id asc), rank 1..≤k."""
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        allp = pd.concat(parts) if parts else None
+        if allp is None or allp.empty:
+            return empty
+        r = np.round(allp["score"].to_numpy(np.float64), bm25.ROUND_DIGITS)
+        d = allp["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, -r))[:k]
+        out = pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": d[order],
+                "score": r[order],
+            }
+        )
+        return self.spark.createDataFrame(
+            out, schema="rank int, doc_id long, score double"
+        )
+
     def search_local(
         self, query_text: str, k: int = 10, mode: str = "auto"
     ) -> DataFrame:
@@ -943,30 +984,15 @@ class IndexReader:
         must stay on the distributed scan."""
         terms = sorted(set(py_tokens(query_text)))
         info = self.lookup_terms(terms)
-        empty = self.spark.createDataFrame(
-            [], "rank int, doc_id long, score double"
-        )
         if not info:
-            return empty
-        import pyarrow.dataset as ds
-
+            return self._merge_local_topk([], k)
         n_docs = self.stats["n_docs"]
-        avgdl = float(self.stats["avgdl"])
         idf_map = {
             tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
         }
-        buckets = sorted({b for _, b, _ in info.values()})
-        tids = sorted(idf_map)
-        cols = [f.name for f in SEGMENT_SCHEMA.fields]
-        tbl = self._pa_segments().to_table(
-            columns=cols,
-            filter=ds.field("bucket").isin(buckets)
-            & ds.field("tid").isin(tids),
-        )
-        if tbl.num_rows == 0:
-            return empty
-        pdf = tbl.to_pandas()
-        pdf["avgdl"] = avgdl
+        pdf = self._local_chunks(info, SEGMENT_SCHEMA.fields)
+        if pdf is None:
+            return self._merge_local_topk([], k)
         scorer = _range_scorer(
             idf_map, k, mode, None, None,
             bound_scale=self._bound_scale(), deleted=self._deleted,
@@ -975,22 +1001,77 @@ class IndexReader:
             scorer((rid,), g)
             for rid, g in pdf.groupby("range_id", sort=False)
         ]
-        allp = pd.concat(parts) if parts else None
-        if allp is None or allp.empty:
-            return empty
-        r = np.round(allp["score"].to_numpy(np.float64), bm25.ROUND_DIGITS)
-        d = allp["doc_id"].to_numpy(np.int64)
-        order = np.lexsort((d, -r))[:k]
-        out = pd.DataFrame(
-            {
-                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
-                "doc_id": d[order],
-                "score": r[order],
-            }
+        return self._merge_local_topk(parts, k)
+
+    def search_phrase_local(
+        self, phrase_text: str, k: int = 10
+    ) -> DataFrame:
+        """Serving-path twin of :meth:`search_phrase`: the positional
+        chunks of the phrase's terms are read driver-side and the SAME
+        phrase kernel runs per range — rank-identical, no Spark job."""
+        from tlhop_library_spark.index.phrase import phrase_range_scorer
+
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "phrase/proximity queries need a positional index"
+            )
+        slots = py_tokens(phrase_text)
+        if not slots:
+            return self._merge_local_topk([], k)
+        info = self.lookup_terms(sorted(set(slots)))
+        if len(info) < len(set(slots)):
+            return self._merge_local_topk([], k)
+        n_docs = self.stats["n_docs"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        pdf = self._local_chunks(info, POS_SEGMENT_SCHEMA.fields)
+        if pdf is None:
+            return self._merge_local_topk([], k)
+        scorer = phrase_range_scorer(
+            [info[t][2] for t in slots], idf_map, k,
+            deleted=self._deleted,
         )
-        return self.spark.createDataFrame(
-            out, schema="rank int, doc_id long, score double"
+        parts = [
+            scorer((rid,), g)
+            for rid, g in pdf.groupby("range_id", sort=False)
+        ]
+        return self._merge_local_topk(parts, k)
+
+    def search_proximity_local(
+        self, query_text: str, window: int, k: int = 10
+    ) -> DataFrame:
+        """Serving-path twin of :meth:`search_proximity`."""
+        from tlhop_library_spark.index.phrase import (
+            proximity_range_scorer,
         )
+
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "phrase/proximity queries need a positional index"
+            )
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._merge_local_topk([], k)
+        info = self.lookup_terms(terms)
+        if len(info) < len(terms):
+            return self._merge_local_topk([], k)
+        n_docs = self.stats["n_docs"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        pdf = self._local_chunks(info, POS_SEGMENT_SCHEMA.fields)
+        if pdf is None:
+            return self._merge_local_topk([], k)
+        scorer = proximity_range_scorer(
+            sorted(info[t][2] for t in terms), idf_map, window, k,
+            deleted=self._deleted,
+        )
+        parts = [
+            scorer((rid,), g)
+            for rid, g in pdf.groupby("range_id", sort=False)
+        ]
+        return self._merge_local_topk(parts, k)
 
     def search_serve(
         self, query_text: str, k: int = 10, mode: str = "auto",
