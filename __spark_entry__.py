@@ -35,7 +35,9 @@ from tlhop_library_spark.index.boolq import (  # noqa: E402
 from tlhop_library_spark.index.query import (  # noqa: E402
     fuzzy_exhaustive as _fuzzy_exhaustive,
     oracle_sql_bm25,
+    oracle_sql_bm25_explain,
     oracle_sql_bm25_wildcard,
+    oracle_sql_count_matches,
     wildcard_exhaustive as _wildcard_exhaustive,
     oracle_sql_bm25_conjunctive,
     oracle_sql_bm25_filtered,
@@ -178,6 +180,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and to the same DuckDB oracle
     q["bm25_serving"] = lambda s, d: _indexed_reader(s, d).search_serve(
         BM25_QUERY_1, k=10
+    )
+
+    def _sharded_reader(s, d):
+        """Federated search (index/sharded.py): TWO per-partition
+        indexes built at gate time over doc_id % 2 halves with
+        heterogeneous bucket counts, queried with Σ-across-shards
+        global stats — must be rank-AND-score identical to the same
+        DuckDB SQL the single-index gate uses (the 10^12-doc
+        deployment shape: one index per corpus partition)."""
+        import json as _json
+        import os
+        import shutil
+        import tempfile
+
+        from tlhop_library_spark.index import ShardedIndexReader, build_index
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "tlhop_gate_shards_" + d.strip("/").replace("/", "_"),
+        )
+        docs = _t(s, d, "documents")
+        n_live = docs.where(F.col("text").isNotNull()).count()
+        dirs = [os.path.join(base, "s0"), os.path.join(base, "s1")]
+        total = 0
+        for sd in dirs:
+            sp = os.path.join(sd, "stats.json")
+            if not os.path.exists(sp):
+                total = -1
+                break
+            with open(sp) as f:
+                total += _json.load(f)["n_docs"]
+        if total != n_live:
+            shutil.rmtree(base, ignore_errors=True)
+            for i, (sd, nb) in enumerate(zip(dirs, (8, 4))):
+                build_index(
+                    s, docs.where(F.col("doc_id") % 2 == i), sd,
+                    n_buckets=nb,
+                )
+        return ShardedIndexReader(s, dirs)
+
+    q["bm25_sharded"] = lambda s, d: _sharded_reader(s, d).search(
+        BM25_QUERY_1, k=10, mode="bmw"
+    )
+
+    # Lucene-explain parity: per-(top-k doc, term) BM25 component rows
+    # — tf, dl, idf, per-term weight, doc total — from the indexed
+    # engine; DuckDB recomputes the identical breakdown from raw text
+    q["bm25_explain"] = lambda s, d: _indexed_reader(s, d).explain(
+        BM25_QUERY_1, k=10
+    )
+
+    # total-hits counts (Lucene totalHits): per-range count kernels,
+    # one long per range leaves the executors
+    q["bm25_count_any"] = lambda s, d: _indexed_reader(s, d).count_matches(
+        BM25_QUERY_1, match="any"
+    )
+    q["bm25_count_all"] = lambda s, d: _indexed_reader(s, d).count_matches(
+        BM25_QUERY_1, match="all"
     )
 
     # typo-tolerant retrieval: query terms expand to every dictionary
@@ -900,6 +960,11 @@ def oracle_sql() -> dict[str, str]:
         BM25_QUERY_1, k=10, where_sql="lang = 'en'"
     )
     o["bm25_serving"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
+    # federated shards with global stats ≡ one index ≡ the plain SQL
+    o["bm25_sharded"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
+    o["bm25_explain"] = oracle_sql_bm25_explain(BM25_QUERY_1, k=10)
+    o["bm25_count_any"] = oracle_sql_count_matches(BM25_QUERY_1, "any")
+    o["bm25_count_all"] = oracle_sql_count_matches(BM25_QUERY_1, "all")
     o["bm25_fuzzy"] = oracle_sql_bm25_fuzzy(FUZZY_QUERY, k=10, max_edits=1)
     o["bm25_fuzzy_exhaustive"] = oracle_sql_bm25_fuzzy(
         FUZZY_QUERY, k=10, max_edits=1

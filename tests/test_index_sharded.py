@@ -1,0 +1,173 @@
+"""Sharded (federated) search: rank/score identity with one big index.
+
+The invariant under test: ShardedIndexReader over per-partition
+indexes with GLOBAL (Σ-across-shards) n_docs/sum_dl/df statistics is
+rank- AND score-identical to a single IndexReader over one index built
+on the union of the shards' corpora — which is itself rank-identical
+to score_exhaustive (covered elsewhere)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+QUERIES = [
+    "bace cada",            # mid-frequency pair
+    "informação",           # accented single term
+    "de",                   # head term (block-max pruning engages)
+    "bace zzznope",         # one absent term
+    "zzznope",              # fully absent
+    "",                     # empty query
+    "pili página conteúdo tesa",  # wide OR
+]
+
+
+def rows(df):
+    return [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, corpus_df, index_dir, tmp_path_factory):
+    """Three shards over doc_id % 3 (disjoint doc-id spaces), with
+    DIFFERENT bucket/range counts per shard — federation must not
+    depend on homogeneous shard layout."""
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("shards")
+    dirs = []
+    for i, (nb, nr) in enumerate([(8, 8), (4, 4), (8, 2)]):
+        d = str(base / f"shard{i}")
+        part = corpus_df.where(F.col("doc_id") % 3 == i)
+        IndexBuilder(spark, d, n_buckets=nb, n_ranges=nr, n_jobs=2).build(
+            part
+        )
+        dirs.append(d)
+    return ShardedIndexReader(spark, dirs)
+
+
+def test_global_stats_match_single_index(spark, sharded, index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    single = IndexReader(spark, index_dir)
+    assert sharded.n_docs == single.stats["n_docs"]
+    assert sharded.sum_dl == single.stats["sum_dl"]
+    assert sharded.avgdl == pytest.approx(single.stats["avgdl"])
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw", "auto"])
+def test_sharded_rank_identical_to_single(spark, sharded, index_dir, mode):
+    from tlhop_library_spark.index import IndexReader
+
+    single = IndexReader(spark, index_dir)
+    hit_any = False
+    for q in QUERIES:
+        got = rows(sharded.search(q, k=10, mode=mode))
+        want = rows(single.search(q, k=10, mode=mode))
+        assert got == want, (mode, q)
+        hit_any = hit_any or bool(got)
+    assert hit_any
+
+
+def test_sharded_serving_twin_identical(spark, sharded):
+    for q in QUERIES:
+        assert rows(sharded.search_local(q, k=10)) == rows(
+            sharded.search(q, k=10)
+        ), q
+
+
+def test_local_stats_would_misrank(spark, corpus_df, tmp_path_factory):
+    """The reason federation needs global stats: a term whose df is
+    skewed across shards gets a different idf from local stats. Build
+    a 2-shard split where some query term's df differs by shard and
+    check that global-df idf ≠ either local idf (so scoring locally
+    could not be score-identical)."""
+    from tlhop_library_spark import bm25
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("skewshards")
+    dirs = []
+    for i in range(2):
+        d = str(base / f"s{i}")
+        IndexBuilder(spark, d, n_buckets=4, n_ranges=4, n_jobs=2).build(
+            corpus_df.where(F.col("doc_id") % 2 == i)
+        )
+        dirs.append(d)
+    sh = ShardedIndexReader(spark, dirs)
+    infos, idf_by_term = sh._resolve("bace cada de")
+    skewed = [
+        t
+        for t in idf_by_term
+        if len({info[t][0] for info in infos if t in info}) > 1
+    ]
+    assert skewed, "expected at least one term with shard-skewed df"
+    t = skewed[0]
+    for info, r in zip(infos, sh.readers):
+        if t in info:
+            local_idf = bm25.idf(r.stats["n_docs"], info[t][0])
+            assert local_idf != pytest.approx(idf_by_term[t])
+
+
+def test_deletes_respected_per_shard(spark, sharded, index_dir,
+                                     tmp_path_factory, corpus_df):
+    """Tombstoning a doc in ONE shard must drop it from federated
+    results exactly as deleting it from the single index does."""
+    import shutil
+
+    from tlhop_library_spark.index import (
+        IndexReader,
+        ShardedIndexReader,
+        delete_documents,
+    )
+
+    victim = rows(sharded.search("bace cada", k=1))
+    if not victim:
+        pytest.skip("no hits to delete")
+    doc = victim[0][1]
+
+    # copy the shard holding `doc` and the single index, tombstone both
+    shard_src = sharded.readers[doc % 3].index_dir
+    base = tmp_path_factory.mktemp("delshards")
+    shard_cp = str(base / "shard_cp")
+    single_cp = str(base / "single_cp")
+    shutil.copytree(shard_src, shard_cp)
+    shutil.copytree(index_dir, single_cp)
+    delete_documents(spark, shard_cp, [doc])
+    delete_documents(spark, single_cp, [doc])
+
+    dirs = [
+        shard_cp if i == doc % 3 else r.index_dir
+        for i, r in enumerate(sharded.readers)
+    ]
+    sh2 = ShardedIndexReader(spark, dirs)
+    single2 = IndexReader(spark, single_cp)
+    got = rows(sh2.search("bace cada", k=10))
+    assert doc not in [d for _, d, _ in got]
+    assert got == rows(single2.search("bace cada", k=10))
+
+
+def test_mismatched_shard_config_rejected(spark, corpus_df,
+                                          tmp_path_factory, index_dir):
+    import json
+    import os
+    import shutil
+
+    from tlhop_library_spark.index import ShardedIndexReader
+
+    base = tmp_path_factory.mktemp("badshard")
+    bad = str(base / "bad")
+    shutil.copytree(index_dir, bad)
+    sp = os.path.join(bad, "stats.json")
+    with open(sp) as f:
+        st = json.load(f)
+    st["k1"] = 9.9
+    with open(sp, "w") as f:
+        json.dump(st, f)
+    with pytest.raises(ValueError, match="k1"):
+        ShardedIndexReader(spark, [index_dir, bad])
+    with pytest.raises(ValueError):
+        ShardedIndexReader(spark, [])

@@ -7,8 +7,10 @@ from tlhop_library_spark.index.delete import (
 )
 from tlhop_library_spark.index.merge import merge_index_ranges
 from tlhop_library_spark.index.query import IndexReader, score_exhaustive
+from tlhop_library_spark.index.sharded import ShardedIndexReader
 
 __all__ = [
+    "ShardedIndexReader",
     "IndexBuilder",
     "build_index",
     "IndexReader",

@@ -490,6 +490,87 @@ GROUP BY facet
 """
 
 
+def oracle_sql_count_matches(
+    query_text: str, match: str = "any", table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`IndexReader.count_matches`."""
+    terms = sorted(set(py_tokens(query_text)))
+    if not terms:
+        return "SELECT CAST(0 AS BIGINT) AS n_docs"
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    pred = (
+        f"len(list_intersect(tokens, [{terms_list}])) > 0"
+        if match == "any"
+        else f"len(list_intersect(tokens, [{terms_list}])) = {len(terms)}"
+    )
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs
+FROM base WHERE {pred}
+"""
+
+
+def oracle_sql_bm25_explain(
+    query_text: str, k: int = 10, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`IndexReader.explain` — the per-term
+    BM25 component rows of the top-k docs (same CTE chain as
+    :func:`oracle_sql_bm25`, kept un-aggregated)."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    rd = bm25.ROUND_DIGITS
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(tf.dl AS BIGINT) AS dl,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf_raw,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         AS w_raw
+  FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+), scored AS (
+  SELECT doc_id, round(sum(w_raw), {rd}) AS score FROM contrib
+  GROUP BY doc_id
+), topk AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, score
+  FROM scored
+  QUALIFY rank <= {k}
+)
+SELECT topk.rank, topk.doc_id, contrib.term, contrib.tf, contrib.dl,
+       round(contrib.idf_raw, {rd}) AS idf,
+       round(contrib.w_raw, {rd}) AS weight,
+       topk.score
+FROM topk JOIN contrib ON topk.doc_id = contrib.doc_id
+ORDER BY topk.rank, contrib.term
+"""
+
+
 def filtered_range_scorer(idf_map: dict[int, float], k: int,
                           deleted: "np.ndarray | None" = None):
     """Cogrouped kernel for ONE doc range: (segment chunks, allowed
@@ -843,6 +924,161 @@ class IndexReader:
         info = self.lookup_terms(terms)
         return self._search_with_info(info, k, mode, with_pruning_stats)
 
+    def explain(
+        self, query_text: str, k: int = 10, mode: str = "auto"
+    ) -> DataFrame:
+        """Lucene-`explain`-style scoring breakdown: one row per
+        (top-k doc, query term occurring in it) with every BM25
+        component — (rank, doc_id, term, tf, dl, idf, weight, score)
+        where ``weight`` is that term's contribution
+        idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)) and ``score`` the
+        doc's (rounded) total, identical to :meth:`search`.
+
+        Shape at scale: the top-k ids (≤ k rows) ride into the decode
+        kernel's closure; the chunk scan is (bucket, tid)-pruned
+        exactly like a search, and only the ≤ k·n_terms component rows
+        leave the executors — no full-corpus rescore."""
+        schema = (
+            "rank int, doc_id long, term string, tf long, dl long, "
+            "idf double, weight double, score double"
+        )
+        empty = self.spark.createDataFrame([], schema)
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        if not info:
+            return empty
+        topk = self.search(query_text, k, mode).collect()
+        if not topk:
+            return empty
+        keep = np.sort(
+            np.array([r["doc_id"] for r in topk], dtype=np.int64)
+        )
+        n_docs = self.stats["n_docs"]
+        avgdl = float(self.stats["avgdl"])
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted({t for _, _, t in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cols = {"doc_id": [], "tid": [], "tf": [], "dl": []}
+            for ri in range(len(pdf)):
+                row = pdf.iloc[ri]
+                docs_, tfs_, dls_ = decode_chunk(row)
+                m = np.isin(docs_, keep, assume_unique=True)
+                if not m.any():
+                    continue
+                cols["doc_id"].append(docs_[m])
+                cols["tf"].append(tfs_[m])
+                cols["dl"].append(dls_[m])
+                cols["tid"].append(
+                    np.full(int(m.sum()), int(row["tid"]), dtype=np.int64)
+                )
+            if not cols["doc_id"]:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols}
+                )
+            return pd.DataFrame(
+                {c: np.concatenate(v).astype(np.int64)
+                 for c, v in cols.items()}
+            )
+
+        rows = seg.groupBy("range_id").applyInPandas(
+            emit, schema="doc_id long, tid long, tf long, dl long"
+        )
+        lut = self.spark.createDataFrame(
+            [
+                (tid, t, bm25.idf(n_docs, df))
+                for t, (df, _, tid) in info.items()
+            ],
+            "tid long, term string, idf double",
+        )
+        ranks = self.spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in topk],
+            "rank int, doc_id long, score double",
+        )
+        k1, b = bm25.K1, bm25.B
+        w = (
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        return (
+            rows.join(F.broadcast(lut), "tid")
+            .join(F.broadcast(ranks), "doc_id")
+            .select(
+                "rank", "doc_id", "term", "tf", "dl",
+                F.round("idf", bm25.ROUND_DIGITS).alias("idf"),
+                F.round(w, bm25.ROUND_DIGITS).alias("weight"),
+                "score",
+            )
+            .orderBy("rank", "term")
+        )
+
+    def count_matches(
+        self, query_text: str, match: str = "any"
+    ) -> DataFrame:
+        """Exact total-hits count (Lucene ``totalHits`` parity):
+        one row (n_docs long). ``match='any'`` counts docs containing
+        ≥ 1 query term, ``'all'`` docs containing every term.
+
+        Per-range kernels count locally (ranges partition the doc
+        space, so the per-range counts sum exactly); only ONE long per
+        range leaves the executors. Tombstoned docs are excluded."""
+        if match not in ("any", "all"):
+            raise ValueError("match must be 'any' or 'all'")
+        zero = self.spark.createDataFrame([(0,)], "n_docs long")
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        if not info or (match == "all" and len(info) < len(terms)):
+            return zero
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted({t for _, _, t in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+        deleted = self._deleted
+        n_terms = len(tids)
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        def count_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            per_tid: dict[int, list] = {}
+            for ri in range(len(pdf)):
+                row = pdf.iloc[ri]
+                docs_, _, _ = decode_chunk(row)
+                per_tid.setdefault(int(row["tid"]), []).append(docs_)
+            out = pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+            if not per_tid:
+                return out
+            if match == "all" and len(per_tid) < n_terms:
+                return out
+            lists = sorted(
+                (np.concatenate(v) for v in per_tid.values()), key=len
+            )
+            if match == "any":
+                hits = np.unique(np.concatenate(lists))
+            else:
+                hits = lists[0]
+                for arr in lists[1:]:
+                    if hits.size == 0:
+                        return out
+                    hits = hits[np.isin(hits, arr)]
+            if deleted is not None and deleted.size:
+                hits = hits[~np.isin(hits, deleted)]
+            out["n"] = np.int64(hits.size)
+            return out
+
+        counts = seg.groupBy("range_id").applyInPandas(
+            count_range, schema="n long"
+        )
+        return counts.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs")
+        )
+
     def _search_with_info(
         self, info: dict[str, tuple[int, int, int]], k: int = 10,
         mode: str = "auto", with_pruning_stats: bool = False,
@@ -856,12 +1092,41 @@ class IndexReader:
         if not info:
             return empty
         n_docs = self.stats["n_docs"]
-        avgdl = self.stats["avgdl"]
         idf_map = {
             tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
         }
+        local = self._local_winners(
+            info, idf_map, float(self.stats["avgdl"]), k, mode,
+            with_pruning_stats,
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        # global merge: TakeOrderedAndProject over the ≤ k·n_ranges
+        # local winners (k per range leave the executors), then rank
+        # the ≤k survivors
+        return ranked_topk(
+            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        ).select("rank", "doc_id", "score")
+
+    def _local_winners(
+        self, info: dict[str, tuple[int, int, int]],
+        idf_map: dict[int, float], avgdl: float, k: int,
+        mode: str = "auto", with_pruning_stats: bool = False,
+    ) -> DataFrame:
+        """Per-range local top-k winners (doc_id, score) for a resolved
+        term set, scored with the CALLER's idf_map/avgdl — the corpus
+        stats for a plain search, or the federation-global stats when
+        called from :class:`ShardedIndexReader` (index/sharded.py).
+
+        Stored ``block_max_w`` bounds bake each group's encode-time
+        avgdl in; ``max(1, avgdl/min_encode_avgdl)`` keeps them true
+        upper bounds for ANY query-time avgdl ≥ 0 (tf_weight is
+        monotone in avgdl) — the same mechanism the append path uses,
+        so pruning stays exact under global-stats scoring too."""
         buckets = sorted({b for _, b, _ in info.values()})
-        tids = sorted(idf_map)
+        tids = sorted({t for _, _, t in info.values()})
         # explicit column pruning: a POSITIONAL index carries pos_bytes /
         # block_pos_offsets; plain BM25 must never read (or ship to
         # Python) those streams
@@ -875,23 +1140,15 @@ class IndexReader:
             sc = self.spark.sparkContext
             acc_d, acc_t = sc.accumulator(0), sc.accumulator(0)
             self._acc = (acc_d, acc_t)
+        enc = float(self.stats.get("min_encode_avgdl", avgdl) or avgdl)
+        bound_scale = max(1.0, avgdl / enc) if enc > 0 else 1.0
         scorer = _range_scorer(
             idf_map, k, mode, acc_d, acc_t,
-            bound_scale=self._bound_scale(), deleted=self._deleted,
+            bound_scale=bound_scale, deleted=self._deleted,
         )
-        local = seg.groupBy("range_id").applyInPandas(
+        return seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
-        from tlhop_library_spark.operators.relational import ranked_topk
-
-        # global merge: TakeOrderedAndProject over the ≤ k·n_ranges
-        # local winners (k per range leave the executors), then rank
-        # the ≤k survivors
-        return ranked_topk(
-            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
-            [F.desc("score"), F.asc("doc_id")],
-            k,
-        ).select("rank", "doc_id", "score")
 
     def _pa_segments(self):
         """Memoized pyarrow dataset over the segment tree (hive

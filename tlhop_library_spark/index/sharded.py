@@ -1,0 +1,187 @@
+"""Sharded (federated) BM25 search across independent indexes.
+
+At 10^12 documents a single monolithic index build is the wrong
+deployment: the natural shape is one index per corpus partition (crawl
+snapshot, url-prefix range, ingest day), each built, appended,
+compacted, and checkpoint-resumed independently — and queried in
+federation.  BM25 scores depend on corpus-GLOBAL statistics (N, avgdl,
+per-term df); scoring each shard with its local stats would NOT be
+rank-identical to one big index (a term rare in shard A but common in
+shard B would be over-weighted in A).  :class:`ShardedIndexReader`
+therefore:
+
+1. aggregates global ``n_docs`` / ``sum_dl`` driver-side from each
+   shard's ``stats.json`` (tiny, one file per shard),
+2. resolves the query terms against every shard's dictionary and sums
+   per-term df across shards,
+3. scores EVERY shard with the global idf/avgdl through the same
+   per-range kernels (``IndexReader._local_winners``) — block-max
+   pruning stays exact because the stored ``block_max_w`` bounds are
+   idf-free and the reader inflates them by
+   ``max(1, global_avgdl / shard.min_encode_avgdl)``, the same
+   mechanism the incremental-append path uses (index/append.py),
+4. unions the ≤ k-per-range shard winners and takes the global top-k
+   via ``TakeOrderedAndProject`` (only k·n_ranges·n_shards candidate
+   rows ever leave the executors).
+
+Per-shard top-k with the identical scoring function followed by a
+merge of the per-shard winner sets is exactly the global top-k, so the
+result is rank- AND score-identical to a single index built over the
+union of the shards' corpora.  Shards are assumed to hold disjoint
+doc_id spaces (what per-partition lineage guarantees in deployment); a
+doc_id present in several shards would double-count, as in any
+federated search system.
+
+Reference parity note: the reference library has no sharding concept —
+this is the piece Spark needs to make its row-wise pipeline shape
+(reference/tlhop/shodan_dataset_manager.py processes one yearly Delta
+partition at a time) queryable as ONE logical corpus.
+
+Scale notes (100 TB):
+- Global-stats aggregation is O(n_shards) driver-side JSON reads plus
+  one dictionary lookup per shard (driver-memory map or a
+  pushdown-filtered parquet read — never a scan).
+- Each shard scores only its own (bucket, tid)-pruned chunks; the
+  shard jobs are independent Spark stages with no cross-shard shuffle;
+  the only cross-shard data movement is the ≤ k·n_ranges winner rows.
+- The serving twin (:meth:`search_local`) reads only the query terms'
+  chunks of every shard driver-side (pyarrow, hive-partition + row
+  group pruning) — latency stays O(postings of the query terms),
+  independent of shard count beyond the per-shard dictionary probe.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlhop_library_spark import bm25
+from tlhop_library_spark.analyzer import py_tokens
+from tlhop_library_spark.index.query import (
+    SEGMENT_SCHEMA,
+    IndexReader,
+    _range_scorer,
+)
+
+__all__ = ["ShardedIndexReader"]
+
+
+class ShardedIndexReader:
+    """Federated reader over ``index_dirs`` — rank-identical to one
+    index over the union of the shards' corpora."""
+
+    def __init__(
+        self, spark: SparkSession, index_dirs: list[str],
+        preload_dictionary: int | None = 2_000_000,
+    ):
+        if not index_dirs:
+            raise ValueError("need at least one shard index dir")
+        self.spark = spark
+        self.readers = [
+            IndexReader(spark, d, preload_dictionary) for d in index_dirs
+        ]
+        r0 = self.readers[0].stats
+        for r in self.readers[1:]:
+            for key in ("analyzer", "k1", "b"):
+                if r.stats.get(key) != r0.get(key):
+                    raise ValueError(
+                        f"shard stats disagree on {key!r}: "
+                        f"{r.stats.get(key)} vs {r0.get(key)}"
+                    )
+        self.n_docs = sum(r.stats["n_docs"] for r in self.readers)
+        self.sum_dl = sum(r.stats["sum_dl"] for r in self.readers)
+        self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+    # ------------------------------------------------------------------
+    def _resolve(self, query_text: str):
+        """Per-shard term info + federation-global idf per term.
+
+        Returns (per_shard_info, global_idf_by_term) where
+        per_shard_info[i] maps term → (df, bucket, tid) in shard i and
+        global idf uses Σ-across-shards df against global n_docs."""
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return [], {}
+        infos = [r.lookup_terms(terms) for r in self.readers]
+        global_df: dict[str, int] = {}
+        for info in infos:
+            for t, (df, _, _) in info.items():
+                global_df[t] = global_df.get(t, 0) + df
+        idf_by_term = {
+            t: bm25.idf(self.n_docs, df) for t, df in global_df.items()
+        }
+        return infos, idf_by_term
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+
+    # ------------------------------------------------------------------
+    def search(
+        self, query_text: str, k: int = 10, mode: str = "auto"
+    ) -> DataFrame:
+        """Disjunctive BM25 top-k over all shards with global stats.
+
+        Returns (rank int, doc_id long, score double), rank ≤ k —
+        rank- and score-identical to ``IndexReader.search`` on a
+        single index built over the concatenated corpora."""
+        infos, idf_by_term = self._resolve(query_text)
+        parts = []
+        for r, info in zip(self.readers, infos):
+            if not info:
+                continue
+            # tids are per-shard (content-hashed); key this shard's
+            # kernel by ITS tids, values from the global idf table
+            idf_map = {
+                tid: idf_by_term[t] for t, (_, _, tid) in info.items()
+            }
+            parts.append(
+                r._local_winners(info, idf_map, self.avgdl, k, mode)
+            )
+        if not parts:
+            return self._empty()
+        local = reduce(DataFrame.unionByName, parts)
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        ).select("rank", "doc_id", "score")
+
+    # ------------------------------------------------------------------
+    def search_local(
+        self, query_text: str, k: int = 10, mode: str = "auto"
+    ) -> DataFrame:
+        """Serving-path twin of :meth:`search`: every shard's matching
+        chunks are fetched driver-side (pruned pyarrow scan) and scored
+        by the same kernels with the same global stats — no Spark job.
+        Rank-identical to :meth:`search`."""
+        infos, idf_by_term = self._resolve(query_text)
+        parts = []
+        for r, info in zip(self.readers, infos):
+            if not info:
+                continue
+            idf_map = {
+                tid: idf_by_term[t] for t, (_, _, tid) in info.items()
+            }
+            pdf = r._local_chunks(info, SEGMENT_SCHEMA.fields)
+            if pdf is None:
+                continue
+            pdf["avgdl"] = self.avgdl  # global, not the shard's own
+            enc = float(
+                r.stats.get("min_encode_avgdl", self.avgdl) or self.avgdl
+            )
+            scale = max(1.0, self.avgdl / enc) if enc > 0 else 1.0
+            scorer = _range_scorer(
+                idf_map, k, mode, None, None,
+                bound_scale=scale, deleted=r._deleted,
+            )
+            parts.extend(
+                scorer((rid,), g)
+                for rid, g in pdf.groupby("range_id", sort=False)
+            )
+        return self.readers[0]._merge_local_topk(parts, k)
