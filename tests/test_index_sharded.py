@@ -79,6 +79,34 @@ def test_sharded_serving_twin_identical(spark, sharded):
         ), q
 
 
+def test_sharded_counts_identical_to_single(spark, sharded, index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    single = IndexReader(spark, index_dir)
+    for q in QUERIES:
+        for match in ("any", "all"):
+            got = sharded.count_matches(q, match).collect()[0]["n_docs"]
+            want = single.count_matches(q, match).collect()[0]["n_docs"]
+            assert got == want, (q, match)
+    assert (
+        sharded.count_matches("bace cada", "any").collect()[0]["n_docs"] > 0
+    )
+
+
+def test_sharded_explain_identical_to_single(spark, sharded, index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    single = IndexReader(spark, index_dir)
+
+    def ex_rows(df):
+        return [tuple(r) for r in df.orderBy("rank", "term").collect()]
+
+    for q in ["bace cada", "informação", "zzznope"]:
+        got = ex_rows(sharded.explain(q, k=10))
+        want = ex_rows(single.explain(q, k=10))
+        assert got == want, q
+
+
 def test_local_stats_would_misrank(spark, corpus_df, tmp_path_factory):
     """The reason federation needs global stats: a term whose df is
     skewed across shards gets a different idf from local stats. Build

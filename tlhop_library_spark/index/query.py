@@ -490,6 +490,34 @@ GROUP BY facet
 """
 
 
+def _attach_explain(
+    spark: SparkSession, labeled: DataFrame, topk: list, avgdl: float
+) -> DataFrame:
+    """Finish an explain(): join the (doc_id, term, tf, dl, idf)
+    component rows to the ≤ k (rank, doc_id, score) winners and
+    compute the per-term BM25 weight JVM-side with the caller's
+    avgdl (corpus or federation-global)."""
+    ranks = spark.createDataFrame(
+        [(r["rank"], r["doc_id"], r["score"]) for r in topk],
+        "rank int, doc_id long, score double",
+    )
+    k1, b = bm25.K1, bm25.B
+    w = (
+        F.col("idf") * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        labeled.join(F.broadcast(ranks), "doc_id")
+        .select(
+            "rank", "doc_id", "term", "tf", "dl",
+            F.round("idf", bm25.ROUND_DIGITS).alias("idf"),
+            F.round(w, bm25.ROUND_DIGITS).alias("weight"),
+            "score",
+        )
+        .orderBy("rank", "term")
+    )
+
+
 def oracle_sql_count_matches(
     query_text: str, match: str = "any", table: str = "documents",
     doc_col: str = "doc_id",
@@ -954,7 +982,23 @@ class IndexReader:
             np.array([r["doc_id"] for r in topk], dtype=np.int64)
         )
         n_docs = self.stats["n_docs"]
-        avgdl = float(self.stats["avgdl"])
+        idf_by_term = {
+            t: bm25.idf(n_docs, df) for t, (df, _, _) in info.items()
+        }
+        labeled = self._component_rows(info, keep, idf_by_term)
+        return _attach_explain(
+            self.spark, labeled, topk, float(self.stats["avgdl"])
+        )
+
+    def _component_rows(
+        self, info: dict[str, tuple[int, int, int]],
+        keep: "np.ndarray", idf_by_term: dict[str, float],
+    ) -> DataFrame:
+        """(doc_id, term, tf, dl, idf) posting-component rows for
+        ``info``'s terms restricted to doc_ids in the sorted array
+        ``keep`` — the decode half of :meth:`explain`, shared with
+        :class:`ShardedIndexReader` (which passes federation-global
+        idf values)."""
         buckets = sorted({b for _, b, _ in info.values()})
         tids = sorted({t for _, _, t in info.values()})
         seg = self._segments.where(
@@ -990,34 +1034,12 @@ class IndexReader:
         )
         lut = self.spark.createDataFrame(
             [
-                (tid, t, bm25.idf(n_docs, df))
-                for t, (df, _, tid) in info.items()
+                (tid, t, idf_by_term[t])
+                for t, (_, _, tid) in info.items()
             ],
             "tid long, term string, idf double",
         )
-        ranks = self.spark.createDataFrame(
-            [(r["rank"], r["doc_id"], r["score"]) for r in topk],
-            "rank int, doc_id long, score double",
-        )
-        k1, b = bm25.K1, bm25.B
-        w = (
-            F.col("idf") * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-            )
-        )
-        return (
-            rows.join(F.broadcast(lut), "tid")
-            .join(F.broadcast(ranks), "doc_id")
-            .select(
-                "rank", "doc_id", "term", "tf", "dl",
-                F.round("idf", bm25.ROUND_DIGITS).alias("idf"),
-                F.round(w, bm25.ROUND_DIGITS).alias("weight"),
-                "score",
-            )
-            .orderBy("rank", "term")
-        )
+        return rows.join(F.broadcast(lut), "tid")
 
     def count_matches(
         self, query_text: str, match: str = "any"

@@ -153,6 +153,54 @@ class ShardedIndexReader:
         ).select("rank", "doc_id", "score")
 
     # ------------------------------------------------------------------
+    def count_matches(
+        self, query_text: str, match: str = "any"
+    ) -> DataFrame:
+        """Federated total-hits: shards hold disjoint doc spaces, so
+        the exact global count is the Σ of per-shard counts — one long
+        per shard range crosses the wire, nothing else."""
+        parts = [
+            r.count_matches(query_text, match) for r in self.readers
+        ]
+        return reduce(DataFrame.unionByName, parts).agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs")
+        )
+
+    def explain(
+        self, query_text: str, k: int = 10, mode: str = "auto"
+    ) -> DataFrame:
+        """Federated scoring breakdown: identical to
+        ``IndexReader.explain`` on a single union index — components
+        are decoded per shard, weighted with the federation-global
+        idf/avgdl."""
+        from tlhop_library_spark.index.query import _attach_explain
+
+        schema = (
+            "rank int, doc_id long, term string, tf long, dl long, "
+            "idf double, weight double, score double"
+        )
+        import numpy as np
+
+        infos, idf_by_term = self._resolve(query_text)
+        if not idf_by_term:
+            return self.spark.createDataFrame([], schema)
+        topk = self.search(query_text, k, mode).collect()
+        if not topk:
+            return self.spark.createDataFrame([], schema)
+        keep = np.sort(
+            np.array([r["doc_id"] for r in topk], dtype=np.int64)
+        )
+        parts = [
+            r._component_rows(info, keep, idf_by_term)
+            for r, info in zip(self.readers, infos)
+            if info
+        ]
+        labeled = reduce(DataFrame.unionByName, parts)
+        return _attach_explain(self.spark, labeled, topk, self.avgdl)
+
+    # ------------------------------------------------------------------
     def search_local(
         self, query_text: str, k: int = 10, mode: str = "auto"
     ) -> DataFrame:
