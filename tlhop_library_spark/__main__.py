@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--out", required=True)
     mg.add_argument("--factor", type=int, default=4)
 
+    fs = sub.add_parser("fsck")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--strict", action="store_true",
+                    help="exit 1 on any failed check")
+
     pr = sub.add_parser("prep")
     pr.add_argument("--docs", required=True)
     pr.add_argument("--out", required=True)
@@ -231,6 +236,13 @@ def main(argv: list[str] | None = None) -> int:
 
         stats = merge_index_ranges(spark, args.index, args.out, args.factor)
         print(json.dumps(stats))
+    elif args.cmd == "fsck":
+        from tlhop_library_spark.index.fsck import verify_index
+
+        rows = [r.asDict() for r in verify_index(spark, args.index).collect()]
+        print(json.dumps(rows))
+        if args.strict and any(r["status"] != "ok" for r in rows):
+            return 1
     elif args.cmd == "prep":
         from tlhop_library_spark.pipeline import prepare_training_data
 

@@ -5,6 +5,10 @@ from tlhop_library_spark.index.delete import (
     expunge_deletes,
     load_tombstones,
 )
+from tlhop_library_spark.index.fsck import (
+    IndexCorruption,
+    verify_index,
+)
 from tlhop_library_spark.index.merge import merge_index_ranges
 from tlhop_library_spark.index.query import IndexReader, score_exhaustive
 from tlhop_library_spark.index.sharded import ShardedIndexReader
@@ -21,4 +25,6 @@ __all__ = [
     "delete_documents",
     "expunge_deletes",
     "load_tombstones",
+    "verify_index",
+    "IndexCorruption",
 ]
