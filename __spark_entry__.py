@@ -224,12 +224,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, k=10, mode="bmw"
     )
 
+    def _multifield_reader(s, d):
+        """Multi-field search (index/multifield.py): one range-aligned
+        index per field — title = first 6 space-split tokens of text,
+        body = text, both derived identically in the DuckDB oracle —
+        scored as boost-weighted per-field BM25 sums (Lucene
+        MultiFieldQueryParser semantics)."""
+        import json as _json
+        import os
+        import shutil
+        import tempfile
+
+        from tlhop_library_spark.index import (
+            MultiFieldIndexReader,
+            build_index,
+        )
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "tlhop_gate_mf_" + d.strip("/").replace("/", "_"),
+        )
+        docs = _t(s, d, "documents")
+        n_live = docs.where(F.col("text").isNotNull()).count()
+        fields = {
+            "title": F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 6), " "
+            ),
+            "body": F.col("text"),
+        }
+        dirs = {f: os.path.join(base, f) for f in fields}
+        fresh = True
+        for fd in dirs.values():
+            sp = os.path.join(fd, "stats.json")
+            if not os.path.exists(sp):
+                fresh = False
+                break
+            with open(sp) as fh:
+                if _json.load(fh)["n_docs"] != n_live:
+                    fresh = False
+                    break
+        if not fresh:
+            shutil.rmtree(base, ignore_errors=True)
+            for f, col in fields.items():
+                build_index(
+                    s, docs.select("doc_id", col.alias("text")),
+                    dirs[f], n_buckets=8, n_ranges=16,
+                )
+        return MultiFieldIndexReader(s, dirs)
+
+    q["bm25_multifield"] = lambda s, d: _multifield_reader(s, d).search(
+        BM25_QUERY_1, k=10, boosts={"title": 2.0, "body": 1.0}
+    )
+
     # Lucene-explain parity: per-(top-k doc, term) BM25 component rows
     # — tf, dl, idf, per-term weight, doc total — from the indexed
     # engine; DuckDB recomputes the identical breakdown from raw text
     q["bm25_explain"] = lambda s, d: _indexed_reader(s, d).explain(
         BM25_QUERY_1, k=10
     )
+
+    # dictionary-backed term statistics: (term, df, cf, idf) straight
+    # from the index's vocabulary table — DuckDB recomputes all three
+    # from the raw text
+    q["term_stats_indexed"] = lambda s, d: _indexed_reader(
+        s, d
+    ).term_stats()
 
     # total-hits counts (Lucene totalHits): per-range count kernels,
     # one long per range leaves the executors
@@ -963,8 +1022,39 @@ def oracle_sql() -> dict[str, str]:
     # federated shards with global stats ≡ one index ≡ the plain SQL
     o["bm25_sharded"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_explain"] = oracle_sql_bm25_explain(BM25_QUERY_1, k=10)
+    from tlhop_library_spark.index.multifield import (
+        oracle_sql_bm25_multifield,
+    )
+
+    o["bm25_multifield"] = oracle_sql_bm25_multifield(
+        BM25_QUERY_1,
+        {
+            "title": "array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')",
+            "body": "text",
+        },
+        {"title": 2.0, "body": 1.0},
+        k=10,
+    )
     o["bm25_count_any"] = oracle_sql_count_matches(BM25_QUERY_1, "any")
     o["bm25_count_all"] = oracle_sql_count_matches(BM25_QUERY_1, "all")
+    from tlhop_library_spark import bm25 as _bm25
+
+    o["term_stats_indexed"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), d AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM documents WHERE text IS NOT NULL
+)
+SELECT term, df, cf,
+       round({_bm25.idf_sql("n.n", "d.df")}, {_bm25.ROUND_DIGITS}) AS idf
+FROM d, n
+"""
     o["bm25_fuzzy"] = oracle_sql_bm25_fuzzy(FUZZY_QUERY, k=10, max_edits=1)
     o["bm25_fuzzy_exhaustive"] = oracle_sql_bm25_fuzzy(
         FUZZY_QUERY, k=10, max_edits=1

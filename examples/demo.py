@@ -82,6 +82,36 @@ def main() -> None:
     print(f"boolean hits: {nb}; fuzzy('seguranca') hits: {nf}; "
           f"facets: {facets}")
 
+    # 4c. round-2.3: explain / total-hits / fsck / federation
+    top_ex = reader.explain(q, k=3).collect()
+    print(f"explain rows for top-3 (term components): {len(top_ex)}; "
+          f"first: {top_ex[0].asDict() if top_ex else None}")
+    n_any = reader.count_matches(q, "any").collect()[0]["n_docs"]
+    n_all = reader.count_matches(q, "all").collect()[0]["n_docs"]
+    print(f"total hits: any={n_any} all={n_all}")
+    from tlhop_library_spark.index import (
+        ShardedIndexReader,
+        verify_index,
+    )
+
+    checks = {r["check"]: r["status"] for r in
+              verify_index(spark, f"{work}/idx").collect()}
+    print(f"fsck: {checks}")
+    for i in range(2):
+        build_index(
+            spark, docs.where(F.col("doc_id") % 2 == i),
+            f"{work}/shard{i}", n_buckets=4,
+        )
+    sharded = ShardedIndexReader(
+        spark, [f"{work}/shard0", f"{work}/shard1"]
+    )
+    sh_rows = sharded.search(q, k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in sh_rows] == [
+        (r["doc_id"], r["score"]) for r in idx_rows
+    ], "federated shards disagree with the single index!"
+    print("sharded federation (2 shards, global Σ-stats): "
+          "rank-identical to the single index")
+
     # 5. the tlhop-style extension accessor
     install()
     print("\nlanguage frequency (df.tlhop.frequency):")

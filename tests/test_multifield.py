@@ -1,0 +1,173 @@
+"""Multi-field search: per-field BM25 with query-time boosts, summed.
+
+Identity oracles:
+- a single-field MultiFieldIndexReader ≡ plain IndexReader.search
+- two-field scores ≡ a numpy recomputation from the raw corpus text
+- boost linearity: doubling every boost doubles every score, ranks fixed
+- zero-boosted fields are skipped entirely
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tlhop_library_spark import bm25
+from tlhop_library_spark.analyzer import py_tokens
+
+TITLE_TOKENS = 6
+QUERIES = ["bace cada", "informação", "de", "zzznope", ""]
+
+
+def title_expr():
+    return F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, TITLE_TOKENS), " "
+    )
+
+
+def py_title(text: str) -> str:
+    return " ".join(text.split(" ")[:TITLE_TOKENS])
+
+
+def rows(df):
+    return [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def mf(spark, corpus_df, tmp_path_factory):
+    from tlhop_library_spark.index import (
+        MultiFieldIndexReader,
+        build_index,
+    )
+
+    base = tmp_path_factory.mktemp("mfidx")
+    dirs = {}
+    for field, col in [
+        ("title", title_expr()), ("body", F.col("text")),
+    ]:
+        d = str(base / field)
+        build_index(
+            spark,
+            corpus_df.select("doc_id", col.alias("text")),
+            d, n_buckets=4, n_ranges=8,
+        )
+        dirs[field] = d
+    return MultiFieldIndexReader(spark, dirs)
+
+
+def test_single_field_equals_plain_search(spark, corpus_df, index_dir,
+                                          tmp_path_factory):
+    from tlhop_library_spark.index import (
+        IndexReader,
+        MultiFieldIndexReader,
+    )
+
+    single = IndexReader(spark, index_dir)
+    mf1 = MultiFieldIndexReader(spark, {"body": index_dir})
+    for q in QUERIES:
+        assert rows(mf1.search(q, k=10)) == rows(
+            single.search(q, k=10)
+        ), q
+
+
+def _numpy_multifield_topk(texts: dict[int, str], terms, boosts, k):
+    """Reference recomputation of the weighted-sum spec."""
+    fields = {
+        "title": {d: py_title(t) for d, t in texts.items()},
+        "body": texts,
+    }
+    totals: dict[int, float] = {}
+    for f, fd in fields.items():
+        toks = {d: py_tokens(t) for d, t in fd.items()}
+        dls = {d: len(tk) for d, tk in toks.items()}
+        n = len(fd)
+        avgdl = sum(dls.values()) / n
+        for term in terms:
+            df = sum(1 for tk in toks.values() if term in tk)
+            if not df:
+                continue
+            idf = bm25.idf(n, df)
+            for d, tk in toks.items():
+                tf = tk.count(term)
+                if not tf:
+                    continue
+                w = (
+                    boosts[f] * idf * tf * (bm25.K1 + 1)
+                    / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dls[d] / avgdl))
+                )
+                totals[d] = totals.get(d, 0.0) + w
+    ranked = sorted(
+        ((round(s, bm25.ROUND_DIGITS), d) for d, s in totals.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return [
+        (i + 1, d, s) for i, (s, d) in enumerate(ranked)
+    ]
+
+
+def test_two_field_scores_match_reference_spec(spark, corpus_df, mf):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in corpus_df.where(F.col("text").isNotNull()).collect()
+    }
+    boosts = {"title": 2.5, "body": 1.0}
+    for q in ["bace cada", "informação"]:
+        got = rows(mf.search(q, k=10, boosts=boosts))
+        want = _numpy_multifield_topk(
+            texts, sorted(set(py_tokens(q))), boosts, 10
+        )
+        assert got == want, q
+
+
+def test_boost_linearity_and_title_promotion(spark, mf):
+    base = rows(mf.search("bace cada", k=10))
+    doubled = rows(
+        mf.search("bace cada", k=10, boosts={"title": 2.0, "body": 2.0})
+    )
+    assert [(r, d) for r, d, _ in base] == [(r, d) for r, d, _ in doubled]
+    for (_, _, s1), (_, _, s2) in zip(base, doubled):
+        assert s2 == pytest.approx(2 * s1, abs=2e-4)
+
+
+def test_zero_boost_skips_field(spark, mf, corpus_df, index_dir,
+                                tmp_path_factory):
+    """boost 0 on title must equal a body-only search — and must not
+    even scan the title index."""
+    got = rows(mf.search("bace cada", k=10, boosts={"title": 0.0}))
+    body_only = rows(
+        mf.search("bace cada", k=10, boosts={"title": 0.0, "body": 1.0})
+    )
+    assert got == body_only
+    from tlhop_library_spark.index import MultiFieldIndexReader
+
+    mf_body = MultiFieldIndexReader(
+        spark, {"body": mf.readers["body"].index_dir}
+    )
+    assert got == rows(mf_body.search("bace cada", k=10))
+
+
+def test_misaligned_ranges_rejected(spark, corpus_df, tmp_path_factory):
+    from tlhop_library_spark.index import (
+        MultiFieldIndexReader,
+        build_index,
+    )
+
+    base = tmp_path_factory.mktemp("mfbad")
+    a = str(base / "a")
+    b = str(base / "b")
+    build_index(
+        spark, corpus_df.select("doc_id", "text"), a,
+        n_buckets=4, n_ranges=8,
+    )
+    build_index(
+        spark, corpus_df.select("doc_id", "text"), b,
+        n_buckets=4, n_ranges=2,
+    )
+    with pytest.raises(ValueError, match="range-aligned"):
+        MultiFieldIndexReader(spark, {"a": a, "b": b})
+    with pytest.raises(ValueError):
+        MultiFieldIndexReader(spark, {})

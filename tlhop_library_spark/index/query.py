@@ -940,6 +940,24 @@ class IndexReader:
         )
         return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
 
+    def term_stats(self, terms: list[str] | None = None) -> DataFrame:
+        """Per-term corpus statistics straight from the dictionary —
+        (term, df, cf, idf) — no posting stream is ever read (df/cf
+        are maintained by build/append; stale-by-design under
+        tombstones, like every df in the index). ``terms=None``
+        returns the full vocabulary (a vocabulary-sized scan);
+        otherwise a pushdown-filtered probe."""
+        d = self._dict.select("term", "df", "cf")
+        if terms is not None:
+            d = d.where(F.col("term").isin(list(terms)))
+        n = int(self.stats["n_docs"])
+        return d.select(
+            "term", "df", "cf",
+            F.round(
+                F.expr(bm25.idf_sql(str(n), "df")), bm25.ROUND_DIGITS
+            ).alias("idf"),
+        )
+
     def search(
         self, query_text: str, k: int = 10, mode: str = "auto",
         with_pruning_stats: bool = False,

@@ -275,8 +275,18 @@ def minhash_near_dup_pairs(
     cands = minhash_lsh_candidates(docs, n, max_shingle_df).select(
         "doc_a", "doc_b"
     )
+    # verification cost scales with CANDIDATE docs, not the corpus:
+    # semi-join-prune the shingle-set aggregation to docs that appear
+    # in at least one candidate pair before grouping (at 10^12 docs
+    # the candidate set is orders of magnitude smaller than the corpus)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sets = (
         shingles(docs, n, max_shingle_df)
+        .join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
     )
