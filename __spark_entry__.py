@@ -283,6 +283,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, k=10
     )
 
+    # pseudo-relevance feedback (RM3-style): top-5 feedback docs →
+    # Σ tf/dl expansion weights → top-3 expansion terms at weight 0.5
+    # → weighted union rescore; DuckDB replays the whole two-pass
+    # pipeline from raw text
+    q["bm25_expanded"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_expanded(
+        BM25_QUERY_1, k=10, fb_docs=5, fb_terms=3, expansion_weight=0.5
+    )
+
     # dictionary-backed term statistics: (term, df, cf, idf) straight
     # from the index's vocabulary table — DuckDB recomputes all three
     # from the raw text
@@ -1034,6 +1044,11 @@ def oracle_sql() -> dict[str, str]:
         },
         {"title": 2.0, "body": 1.0},
         k=10,
+    )
+    from tlhop_library_spark.index.query import oracle_sql_bm25_expanded
+
+    o["bm25_expanded"] = oracle_sql_bm25_expanded(
+        BM25_QUERY_1, k=10, fb_docs=5, fb_terms=3, expansion_weight=0.5
     )
     o["bm25_count_any"] = oracle_sql_count_matches(BM25_QUERY_1, "any")
     o["bm25_count_all"] = oracle_sql_count_matches(BM25_QUERY_1, "all")

@@ -490,6 +490,92 @@ GROUP BY facet
 """
 
 
+def oracle_sql_bm25_expanded(
+    query_text: str, k: int = 10, fb_docs: int = 5, fb_terms: int = 3,
+    expansion_weight: float = 0.5, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`IndexReader.search_expanded` — the full
+    two-pass RM3 pipeline recomputed from raw text: stage-1 top
+    ``fb_docs``, relevance-model expansion weights Σ tf/dl over ALL
+    feedback-doc terms, (round(w) desc, term asc) top-``fb_terms``
+    excluding the query terms, then the weighted union rescore."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    terms_vals = ", ".join(
+        "('" + t.replace("'", "''") + "')" for t in terms
+    )
+    rd = bm25.ROUND_DIGITS
+    idf = bm25.idf_sql("stats.n", "qdf.df")
+    idf2 = bm25.idf_sql("stats.n", "fdf.df")
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), qtf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), qdf AS (
+  SELECT term, count(*) AS df FROM qtf GROUP BY term
+), s1 AS (
+  SELECT qtf.doc_id,
+         round(sum({idf}
+            * (qtf.tf * ({bm25.K1} + 1)) /
+              (qtf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (qtf.dl / stats.avgdl)))
+         ), {rd}) AS score
+  FROM qtf, qdf, stats WHERE qtf.term = qdf.term
+  GROUP BY qtf.doc_id
+), topn AS (
+  SELECT doc_id FROM s1 ORDER BY score DESC, doc_id ASC LIMIT {fb_docs}
+), fbtf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE doc_id IN (SELECT doc_id FROM topn)
+  GROUP BY doc_id, term
+), fbw AS (
+  SELECT term, sum(CAST(tf AS DOUBLE) / dl) AS w
+  FROM fbtf GROUP BY term
+), picked AS (
+  SELECT term, CAST({expansion_weight} AS DOUBLE) AS wt
+  FROM fbw WHERE term NOT IN ({terms_list})
+  ORDER BY round(w, {rd}) DESC, term ASC LIMIT {fb_terms}
+), allterms AS (
+  SELECT term, 1.0 AS wt FROM (VALUES {terms_vals}) v(term)
+  UNION ALL
+  SELECT term, wt FROM picked
+), ftf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN (SELECT term FROM allterms)
+  GROUP BY doc_id, term
+), fdf AS (
+  SELECT term, count(*) AS df FROM ftf GROUP BY term
+), scored AS (
+  SELECT ftf.doc_id,
+         round(sum(allterms.wt * {idf2}
+            * (ftf.tf * ({bm25.K1} + 1)) /
+              (ftf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (ftf.dl / stats.avgdl)))
+         ), {rd}) AS score
+  FROM ftf
+  JOIN fdf ON ftf.term = fdf.term
+  JOIN allterms ON ftf.term = allterms.term
+  CROSS JOIN stats
+  GROUP BY ftf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
 def _attach_explain(
     spark: SparkSession, labeled: DataFrame, topk: list, avgdl: float
 ) -> DataFrame:
@@ -939,6 +1025,116 @@ class IndexReader:
             .collect()
         )
         return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
+
+    def search_expanded(
+        self, query_text: str, k: int = 10, fb_docs: int = 5,
+        fb_terms: int = 3, expansion_weight: float = 0.5,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Pseudo-relevance feedback (RM3-style two-pass retrieval):
+
+        1. retrieve the top ``fb_docs`` docs for the plain query;
+        2. rank every term occurring in those docs by the relevance-
+           model weight  w(t) = Σ_{d∈fb} tf(t,d)/dl(d)  (rounded to
+           ROUND_DIGITS; ties broken term-asc), drop the original
+           query terms, keep the top ``fb_terms`` as expansion terms;
+        3. re-score with the union term set, original terms weighted
+           1.0 and expansion terms ``expansion_weight`` — the weight
+           folds into the per-term idf (score = Σ_t w_t·idf_t·tfnorm),
+           so block-max bounds stay exact upper bounds and the normal
+           pruned search machinery runs unchanged.
+
+        Scale shape: step 2 scans ONLY the segment chunks of the
+        feedback docs' ranges (range_id pushdown — a handful of doc-
+        space slices regardless of corpus size), masks the decoded
+        postings to the ≤ fb_docs ids riding in the kernel closure,
+        and ships one (tid, weight) row per distinct feedback-doc term;
+        expansion selection is a distributed (weight, term) top-m via
+        the dictionary join — no driver-side vocabulary scan."""
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms(terms)
+        if not info:
+            return empty
+        # weight 0 ⇒ expansion terms cannot contribute: skip the
+        # feedback pass entirely (same contract as a zero field boost
+        # in multifield.py — zero-weighted work is never scanned)
+        if expansion_weight == 0.0:
+            return self._search_with_info(info, k, mode)
+        top = self.search(query_text, fb_docs, mode).collect()
+        if not top:
+            return empty
+        fb_ids = np.sort(
+            np.array([r["doc_id"] for r in top], dtype=np.int64)
+        )
+        range_size = int(self.stats["range_size"])
+        ranges = sorted({int(d) // range_size for d in fb_ids})
+        seg = self._segments.where(
+            F.col("range_id").isin(ranges)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        def fb_weights(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            tids_out, w_out = [], []
+            for ri in range(len(pdf)):
+                row = pdf.iloc[ri]
+                docs_, tfs_, dls_ = decode_chunk(row)
+                m = np.isin(docs_, fb_ids, assume_unique=True)
+                if not m.any():
+                    continue
+                tids_out.append(int(row["tid"]))
+                w_out.append(
+                    float(
+                        (tfs_[m].astype(np.float64)
+                         / dls_[m].astype(np.float64)).sum()
+                    )
+                )
+            return pd.DataFrame(
+                {"tid": pd.Series(tids_out, dtype="int64"),
+                 "w": pd.Series(w_out, dtype="float64")}
+            )
+
+        cand = (
+            seg.groupBy("range_id")
+            .applyInPandas(fb_weights, schema="tid long, w double")
+            .groupBy("tid")
+            .agg(F.sum("w").alias("w"))
+        )
+        picked = (
+            cand.join(
+                self._dict.select("tid", "term", "df", "bucket"), "tid"
+            )
+            .where(~F.col("term").isin(terms))
+            .orderBy(
+                F.round("w", bm25.ROUND_DIGITS).desc(), F.asc("term")
+            )
+            .limit(fb_terms)
+            .collect()
+        )
+        n_docs = self.stats["n_docs"]
+        new_info = dict(info)
+        weights = {t: 1.0 for t in info}
+        for r in picked:
+            new_info[r["term"]] = (r["df"], r["bucket"], r["tid"])
+            weights[r["term"]] = float(expansion_weight)
+        idf_map = {
+            tid: weights[t] * bm25.idf(n_docs, df)
+            for t, (df, _, tid) in new_info.items()
+        }
+        local = self._local_winners(
+            new_info, idf_map, float(self.stats["avgdl"]), k, mode
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local.withColumn(
+                "score", F.round("score", bm25.ROUND_DIGITS)
+            ),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        ).select("rank", "doc_id", "score")
 
     def term_stats(self, terms: list[str] | None = None) -> DataFrame:
         """Per-term corpus statistics straight from the dictionary —
