@@ -72,6 +72,7 @@ BM25_QUERY_2 = "the"
 BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
 FUZZY_QUERY = "sparq filtr"  # 1-edit typos of corpus terms
 WILD_QUERY = "spar* filter"  # prefix atom + exact term
+SYNONYMS = {"join": ["merge", "hash"], "filter": ["scan"]}
 PHRASE_QUERY_1 = "spark join"      # mid-selectivity bigram (~7% of docs)
 PHRASE_QUERY_2 = "hash scan join"  # selective trigram
 PROX_QUERY, PROX_WINDOW = "spark vector", 5
@@ -281,6 +282,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # engine; DuckDB recomputes the identical breakdown from raw text
     q["bm25_explain"] = lambda s, d: _indexed_reader(s, d).explain(
         BM25_QUERY_1, k=10
+    )
+
+    # Lucene SynonymQuery semantics: synonym group = ONE pseudo-term
+    # (tf summed across members, idf from max member df); DuckDB
+    # recomputes the grouped scoring from raw text
+    q["bm25_synonyms"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_synonyms(BM25_QUERY_1, SYNONYMS, k=10)
+
+    # paged retrieval (Lucene from+size): ranks 6..15 of the head query
+    q["bm25_page2"] = lambda s, d: _indexed_reader(s, d).search_page(
+        BM25_QUERY_2, page_size=10, offset=5
     )
 
     # pseudo-relevance feedback (RM3-style): top-5 feedback docs →
@@ -1045,8 +1058,19 @@ def oracle_sql() -> dict[str, str]:
         {"title": 2.0, "body": 1.0},
         k=10,
     )
-    from tlhop_library_spark.index.query import oracle_sql_bm25_expanded
+    from tlhop_library_spark.index.query import (
+        oracle_sql_bm25_expanded,
+        oracle_sql_bm25_synonyms,
+    )
 
+    o["bm25_synonyms"] = oracle_sql_bm25_synonyms(
+        BM25_QUERY_1, SYNONYMS, k=10
+    )
+    # page 2 of the head query: same CTE chain, rank window 6..15
+    _page_sql = oracle_sql_bm25(BM25_QUERY_2, k=15)
+    o["bm25_page2"] = _page_sql.replace(
+        "QUALIFY rank <= 15", "QUALIFY rank <= 15 AND rank > 5"
+    )
     o["bm25_expanded"] = oracle_sql_bm25_expanded(
         BM25_QUERY_1, k=10, fb_docs=5, fb_terms=3, expansion_weight=0.5
     )

@@ -490,6 +490,78 @@ GROUP BY facet
 """
 
 
+def oracle_sql_bm25_synonyms(
+    query_text: str, synonyms: dict[str, list[str]], k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`IndexReader.search_synonyms` — the
+    SynonymQuery semantics recomputed from raw text: members mapped to
+    groups with the engine's assignment rule, tf summed per (doc,
+    group), idf from the max assigned-member df."""
+    qterms = sorted(set(py_tokens(query_text)))
+    groups: list[list[str]] = []
+    for t in qterms:
+        member_tokens = set([t])
+        for s in synonyms.get(t, []):
+            member_tokens.update(py_tokens(s))
+        groups.append(sorted(member_tokens))
+    term_group: dict[str, int] = {}
+    for gi, members in enumerate(groups):
+        for m in members:
+            term_group[m] = gi
+    mapping_vals = ", ".join(
+        f"('{m.replace(chr(39), chr(39) * 2)}', {gi})"
+        for m, gi in sorted(term_group.items())
+    )
+    all_list = ", ".join(
+        "'" + m.replace("'", "''") + "'" for m in sorted(term_group)
+    )
+    rd = bm25.ROUND_DIGITS
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({all_list}) GROUP BY doc_id, term
+), mapping(term, gid) AS (
+  VALUES {mapping_vals}
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), gdf AS (
+  SELECT mapping.gid, max(dfreq.df) AS df
+  FROM dfreq JOIN mapping ON dfreq.term = mapping.term
+  GROUP BY mapping.gid
+), gtf AS (
+  SELECT tf.doc_id, mapping.gid, sum(tf.tf) AS tf, max(tf.dl) AS dl
+  FROM tf JOIN mapping ON tf.term = mapping.term
+  GROUP BY tf.doc_id, mapping.gid
+), scored AS (
+  SELECT gtf.doc_id,
+         round(sum(
+            {bm25.idf_sql("stats.n", "gdf.df")}
+            * (gtf.tf * ({bm25.K1} + 1)) /
+              (gtf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (gtf.dl / stats.avgdl)))
+         ), {rd}) AS score
+  FROM gtf JOIN gdf ON gtf.gid = gdf.gid CROSS JOIN stats
+  GROUP BY gtf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
 def oracle_sql_bm25_expanded(
     query_text: str, k: int = 10, fb_docs: int = 5, fb_terms: int = 3,
     expansion_weight: float = 0.5, table: str = "documents",
@@ -1025,6 +1097,147 @@ class IndexReader:
             .collect()
         )
         return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
+
+    def search_synonyms(
+        self, query_text: str, synonyms: dict[str, list[str]],
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene ``SynonymQuery`` semantics: each query term and its
+        synonyms form ONE scoring group — term frequencies are SUMMED
+        across the group's members per document, and the group idf
+        uses the MAX member df (Lucene's blended docFreq) — so a doc
+        saying "car" twice and "automobile" once scores exactly like a
+        doc saying "car" three times, instead of the double-counted
+        idf a plain OR over the synonyms would give.
+
+        ``synonyms``: query term → list of equivalent terms. Terms of
+        the query absent from the dict score as their own group.
+
+        Scale shape: identical to a plain search over the union term
+        set — (bucket, tid)-pruned chunk scan, per-range kernels,
+        k winners per range; the group merge is a per-range numpy
+        sum over the members' already-decoded postings."""
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        qterms = sorted(set(py_tokens(query_text)))
+        if not qterms:
+            return empty
+        # group id = position of the query term; members analyzed too
+        groups: list[list[str]] = []
+        for t in qterms:
+            member_tokens = set([t])
+            for s in synonyms.get(t, []):
+                member_tokens.update(py_tokens(s))
+            groups.append(sorted(member_tokens))
+        all_terms = sorted({m for g in groups for m in g})
+        info = self.lookup_terms(all_terms)
+        if not info:
+            return empty
+        n_docs = self.stats["n_docs"]
+        avgdl = float(self.stats["avgdl"])
+        # term → group assignment first (a term named in several
+        # groups lands in the LAST one), then idf from the max df of
+        # the ASSIGNED members — mirrored exactly by the SQL oracle
+        term_group: dict[str, int] = {}
+        for gi, members in enumerate(groups):
+            for m in members:
+                term_group[m] = gi
+        tid_group: dict[int, int] = {}
+        group_dfs: dict[int, list[int]] = {}
+        for m, gi in term_group.items():
+            if m in info:
+                tid_group[info[m][2]] = gi
+                group_dfs.setdefault(gi, []).append(info[m][0])
+        group_idf = {
+            gi: bm25.idf(n_docs, max(dfs))
+            for gi, dfs in group_dfs.items()
+        }
+        if not group_idf:
+            return empty
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted({t for _, _, t in info.values()})
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+        deleted = self._deleted
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            emptyp = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            # gather per-group member postings
+            per_group: dict[int, list] = {}
+            for ri in range(len(pdf)):
+                row = pdf.iloc[ri]
+                gi = tid_group.get(int(row["tid"]))
+                if gi is None:
+                    continue
+                docs_, tfs_, dls_ = decode_chunk(row)
+                if deleted is not None and deleted.size:
+                    from tlhop_library_spark.index.delete import (
+                        mask_deleted,
+                    )
+
+                    docs_, tfs_, dls_, _ = mask_deleted(
+                        docs_, tfs_, dls_, deleted
+                    )
+                if len(docs_):
+                    per_group.setdefault(gi, []).append(
+                        (docs_, tfs_, dls_)
+                    )
+            parts_d, parts_s = [], []
+            for gi, chunks in per_group.items():
+                docs_ = np.concatenate([c[0] for c in chunks])
+                tfs_ = np.concatenate([c[1] for c in chunks])
+                dls_ = np.concatenate([c[2] for c in chunks])
+                # SUM tf per doc across the group's members (a doc's
+                # dl is identical in every member's posting)
+                uniq, inv = np.unique(docs_, return_inverse=True)
+                tf_sum = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(tf_sum, inv, tfs_.astype(np.float64))
+                dl_u = np.zeros(len(uniq), dtype=np.float64)
+                dl_u[inv] = dls_.astype(np.float64)
+                parts_d.append(uniq)
+                parts_s.append(
+                    group_idf[gi]
+                    * bm25.tf_weight_np(tf_sum, dl_u, avgdl)
+                )
+            if not parts_d:
+                return emptyp
+            alldocs = np.concatenate(parts_d)
+            allsc = np.concatenate(parts_s)
+            uniq, inv = np.unique(alldocs, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sums, inv, allsc)
+            r = np.round(sums, bm25.ROUND_DIGITS)
+            order = np.lexsort((uniq, -r))[:k]
+            return pd.DataFrame(
+                {"doc_id": uniq[order].astype(np.int64),
+                 "score": r[order]}
+            )
+
+        local = seg.groupBy("range_id").applyInPandas(
+            score_range, schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_page(
+        self, query_text: str, page_size: int = 10, offset: int = 0,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Paged retrieval: rows ranked offset+1 … offset+page_size.
+        Implemented as a k = offset+page_size search then a rank
+        filter — exactly Lucene's from+size mechanics, with the same
+        deep-paging cost caveat (per-range heaps grow with the page
+        depth; for cursor-style deep paging batch the offsets)."""
+        full = self.search(query_text, offset + page_size, mode)
+        return full.where(F.col("rank") > offset)
 
     def search_expanded(
         self, query_text: str, k: int = 10, fb_docs: int = 5,
