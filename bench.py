@@ -189,6 +189,25 @@ def main() -> None:
         reader.facet_counts("bace cada", docs, "lang").collect()
         per_query["index_facets"] = round(time.time() - t0, 3)
         total += per_query["index_facets"]
+        # round-2.3 modes over the same warm index
+        t0 = time.time()
+        reader.search_expanded("bace cada", 10).collect()
+        per_query["index_query_expanded"] = round(time.time() - t0, 3)
+        total += per_query["index_query_expanded"]
+        t0 = time.time()
+        reader.search_synonyms(
+            "informação", {"informação": ["segurança"]}, 10
+        ).collect()
+        per_query["index_query_synonyms"] = round(time.time() - t0, 3)
+        total += per_query["index_query_synonyms"]
+        t0 = time.time()
+        reader.explain("bace cada", 10).collect()
+        per_query["index_query_explain"] = round(time.time() - t0, 3)
+        total += per_query["index_query_explain"]
+        t0 = time.time()
+        reader.count_matches("bace cada", "any").collect()
+        per_query["index_count_any"] = round(time.time() - t0, 3)
+        total += per_query["index_count_any"]
         t0 = time.time()
         reader.search_wildcard("bac* cada", 10).collect()
         per_query["index_query_wildcard"] = round(time.time() - t0, 3)
