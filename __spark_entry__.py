@@ -284,6 +284,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, k=10
     )
 
+    # Lucene RegexpQuery: full-term dictionary expansion → OR scoring
+    q["bm25_regexp"] = lambda s, d: _indexed_reader(s, d).search_regexp(
+        "s.*k|jo.n", k=10
+    )
+
+    # Lucene MoreLikeThis: source doc = min live doc_id; its terms
+    # ranked by (tf/dl)·idf, top-10 as the query, source excluded
+    def bm25_mlt(s, d):
+        src = (
+            _t(s, d, "documents")
+            .where(F.col("text").isNotNull())
+            .agg(F.min("doc_id"))
+            .collect()[0][0]
+        )
+        return _indexed_reader(s, d).more_like_this(
+            int(src), k=10, max_terms=10
+        )
+
+    q["bm25_mlt"] = bm25_mlt
+
     # Lucene SynonymQuery semantics: synonym group = ONE pseudo-term
     # (tf summed across members, idf from max member df); DuckDB
     # recomputes the grouped scoring from raw text
@@ -1060,7 +1080,15 @@ def oracle_sql() -> dict[str, str]:
     )
     from tlhop_library_spark.index.query import (
         oracle_sql_bm25_expanded,
+        oracle_sql_bm25_regexp,
         oracle_sql_bm25_synonyms,
+        oracle_sql_more_like_this,
+    )
+
+    o["bm25_regexp"] = oracle_sql_bm25_regexp("s.*k|jo.n", k=10)
+    o["bm25_mlt"] = oracle_sql_more_like_this(
+        "(SELECT min(doc_id) FROM documents WHERE text IS NOT NULL)",
+        k=10, max_terms=10,
     )
 
     o["bm25_synonyms"] = oracle_sql_bm25_synonyms(

@@ -490,6 +490,117 @@ GROUP BY facet
 """
 
 
+def oracle_sql_bm25_regexp(
+    pattern: str, k: int = 10, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for regexp retrieval: the pattern expands against
+    the distinct-token vocabulary (full match), then plain scoring."""
+    esc = pattern.replace("'", "''")
+    rd = bm25.ROUND_DIGITS
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), expanded AS (
+  SELECT DISTINCT term FROM tok WHERE regexp_full_match(term, '{esc}')
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN (SELECT term FROM expanded)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            {bm25.idf_sql("stats.n", "dfreq.df")}
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {rd}) AS score
+  FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_more_like_this(
+    doc_sql: str, k: int = 10, max_terms: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`IndexReader.more_like_this`.
+    ``doc_sql``: a scalar SQL expression for the source doc id (e.g.
+    a literal, or ``(SELECT min(doc_id) FROM documents WHERE text IS
+    NOT NULL)``)."""
+    rd = bm25.ROUND_DIGITS
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), src AS (
+  SELECT {doc_sql} AS doc_id
+), dtf AS (
+  SELECT term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE doc_id = (SELECT doc_id FROM src) GROUP BY term
+), alldf AS (
+  SELECT tok.term, count(DISTINCT tok.doc_id) AS df
+  FROM tok WHERE tok.term IN (SELECT term FROM dtf)
+  GROUP BY tok.term
+), wtab AS (
+  SELECT dtf.term,
+         (CAST(dtf.tf AS DOUBLE) / dtf.dl)
+           * {bm25.idf_sql("stats.n", "alldf.df")} AS w
+  FROM dtf JOIN alldf ON dtf.term = alldf.term CROSS JOIN stats
+), picked AS (
+  SELECT term FROM wtab ORDER BY round(w, {rd}) DESC, term ASC
+  LIMIT {max_terms}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN (SELECT term FROM picked)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            {bm25.idf_sql("stats.n", "dfreq.df")}
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {rd}) AS score
+  FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+  GROUP BY tf.doc_id
+), others AS (
+  SELECT doc_id, score FROM scored
+  WHERE doc_id != (SELECT doc_id FROM src)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM others
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
 def oracle_sql_bm25_synonyms(
     query_text: str, synonyms: dict[str, list[str]], k: int = 10,
     table: str = "documents", doc_col: str = "doc_id",
@@ -1097,6 +1208,115 @@ class IndexReader:
             .collect()
         )
         return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
+
+    def lookup_terms_regexp(
+        self, pattern: str, max_expansions: int = 1000
+    ) -> dict[str, tuple[int, int, int]]:
+        """Dictionary terms fully matching ``pattern`` (Lucene
+        RegexpQuery semantics: the whole term must match). One
+        distributed dictionary scan; raises past ``max_expansions``
+        like the wildcard guard."""
+        anchored = f"^(?:{pattern})$"
+        rows = (
+            self._dict.where(F.col("term").rlike(anchored))
+            .select("term", "df", "bucket", "tid")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"regexp expands to more than {max_expansions} terms"
+            )
+        return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
+
+    def search_regexp(
+        self, pattern: str, k: int = 10, mode: str = "auto",
+        max_expansions: int = 1000,
+    ) -> DataFrame:
+        """Regexp retrieval: the pattern expands against the
+        dictionary (full-term match), the expanded set scores as a
+        plain OR — same shape as wildcard/fuzzy expansion."""
+        info = self.lookup_terms_regexp(pattern, max_expansions)
+        return self._search_with_info(info, k, mode)
+
+    def more_like_this(
+        self, doc_id: int, k: int = 10, max_terms: int = 10,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Lucene MoreLikeThis: rank the source doc's terms by
+        (tf/dl)·idf (rounded; ties term-asc), take the top
+        ``max_terms`` as the query, score as plain OR BM25, and drop
+        the source doc from the results.
+
+        Scale shape: the term-vector read decodes only the source
+        doc's RANGE (one doc-space slice — range_id pushdown), masks
+        to the single doc id, and ships one (tid, weight) row per
+        distinct term of that doc; everything after is a standard
+        pruned search."""
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        range_size = int(self.stats["range_size"])
+        seg = self._segments.where(
+            F.col("range_id") == int(doc_id) // range_size
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+        fb_ids = np.array([int(doc_id)], dtype=np.int64)
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        def doc_terms(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            tids_out, w_out = [], []
+            for ri in range(len(pdf)):
+                row = pdf.iloc[ri]
+                docs_, tfs_, dls_ = decode_chunk(row)
+                m = np.isin(docs_, fb_ids, assume_unique=True)
+                if not m.any():
+                    continue
+                tids_out.append(int(row["tid"]))
+                w_out.append(
+                    float(tfs_[m][0]) / float(dls_[m][0])
+                )
+            return pd.DataFrame(
+                {"tid": pd.Series(tids_out, dtype="int64"),
+                 "w": pd.Series(w_out, dtype="float64")}
+            )
+
+        n_docs = self.stats["n_docs"]
+        cand = (
+            seg.groupBy("range_id")
+            .applyInPandas(doc_terms, schema="tid long, w double")
+            .groupBy("tid")
+            .agg(F.sum("w").alias("w"))
+            .join(self._dict.select("tid", "term", "df", "bucket"), "tid")
+            .withColumn(
+                "w",
+                F.col("w") * F.expr(bm25.idf_sql(str(n_docs), "df")),
+            )
+            .orderBy(
+                F.round("w", bm25.ROUND_DIGITS).desc(), F.asc("term")
+            )
+            .limit(max_terms)
+            .collect()
+        )
+        if not cand:
+            return empty
+        info = {
+            r["term"]: (r["df"], r["bucket"], r["tid"]) for r in cand
+        }
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        local = self._local_winners(
+            info, idf_map, float(self.stats["avgdl"]), k + 1, mode
+        ).where(F.col("doc_id") != int(doc_id))
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local.withColumn(
+                "score", F.round("score", bm25.ROUND_DIGITS)
+            ),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        ).select("rank", "doc_id", "score")
 
     def search_synonyms(
         self, query_text: str, synonyms: dict[str, list[str]],
