@@ -178,6 +178,92 @@ def test_deletes_respected_per_shard(spark, sharded, index_dir,
     assert got == rows(single2.search("bace cada", k=10))
 
 
+def test_sharded_phrase_proximity_identical(spark, corpus_df,
+                                            tmp_path_factory):
+    """Federated phrase/proximity over positional shards ≡ one
+    positional union index. Also: non-positional shards are rejected."""
+    from tlhop_library_spark.index import (
+        IndexReader,
+        ShardedIndexReader,
+    )
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("posshards")
+    single_dir = str(base / "single")
+    IndexBuilder(
+        spark, single_dir, n_buckets=4, n_ranges=4, positions=True
+    ).build(corpus_df)
+    dirs = []
+    for i in range(2):
+        d = str(base / f"s{i}")
+        IndexBuilder(
+            spark, d, n_buckets=4, n_ranges=4, positions=True
+        ).build(corpus_df.where(F.col("doc_id") % 2 == i))
+        dirs.append(d)
+    single = IndexReader(spark, single_dir)
+    sh = ShardedIndexReader(spark, dirs)
+    hit = False
+    for ph in ["bace cada", "informação segurança", "zzznope x", ""]:
+        got = rows(sh.search_phrase(ph, k=10))
+        want = rows(single.search_phrase(ph, k=10))
+        assert got == want, ph
+        hit = hit or bool(got)
+    assert hit
+    for q, w in [("informação segurança", 6), ("bace pili", 9)]:
+        assert rows(sh.search_proximity(q, w, k=10)) == rows(
+            single.search_proximity(q, w, k=10)
+        ), q
+
+    plain = str(base / "plain")
+    IndexBuilder(spark, plain, n_buckets=4, n_ranges=4).build(corpus_df)
+    bad = ShardedIndexReader(spark, [dirs[0], plain])
+    with pytest.raises(ValueError, match="positional"):
+        bad.search_phrase("bace cada")
+
+
+def test_random_split_property(spark, corpus_df, index_dir,
+                               tmp_path_factory):
+    """Property: for RANDOM (seeded) shard assignments — unbalanced,
+    possibly empty-ish shards — federation stays rank-identical to
+    the single index. Catches global-stat bugs that a clean modular
+    split can hide."""
+    import random
+
+    from tlhop_library_spark.index import (
+        IndexReader,
+        ShardedIndexReader,
+    )
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    single = IndexReader(spark, index_dir)
+    rng = random.Random(1234)
+    for trial in range(2):
+        # weighted assignment: shard 0 gets ~70%, shard 1 ~25%,
+        # shard 2 ~5% — deterministic per doc via a seeded hash
+        salt = rng.randrange(1 << 30)
+        base = tmp_path_factory.mktemp(f"prop{trial}")
+        dirs = []
+        exprs = [
+            F.pmod(F.xxhash64(F.col("doc_id") + F.lit(salt)), F.lit(20)),
+        ]
+        bounds = [(0, 13), (14, 18), (19, 19)]
+        for i, (lo, hi) in enumerate(bounds):
+            d = str(base / f"s{i}")
+            part = corpus_df.where(
+                exprs[0].between(lo, hi)
+            )
+            IndexBuilder(
+                spark, d, n_buckets=4, n_ranges=4, n_jobs=1
+            ).build(part)
+            dirs.append(d)
+        sh = ShardedIndexReader(spark, dirs)
+        assert sh.n_docs == single.stats["n_docs"]
+        for q in ["bace cada", "informação", "de"]:
+            assert rows(sh.search(q, k=10)) == rows(
+                single.search(q, k=10)
+            ), (trial, q)
+
+
 def test_mismatched_shard_config_rejected(spark, corpus_df,
                                           tmp_path_factory, index_dir):
     import json

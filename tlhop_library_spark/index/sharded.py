@@ -61,6 +61,7 @@ from tlhop_library_spark import bm25
 from tlhop_library_spark.analyzer import py_tokens
 from tlhop_library_spark.index.query import (
     SEGMENT_SCHEMA,
+    _SCORE_SCHEMA,
     IndexReader,
     _range_scorer,
 )
@@ -151,6 +152,99 @@ class ShardedIndexReader:
             [F.desc("score"), F.asc("doc_id")],
             k,
         ).select("rank", "doc_id", "score")
+
+    # ------------------------------------------------------------------
+    def _positional_local(
+        self, query_text: str, k: int, make_scorer
+    ) -> DataFrame:
+        """Shared shape of federated phrase/proximity: per-shard
+        positional chunk scans scored with GLOBAL idf/avgdl by the
+        kernel ``make_scorer(reader, info, idf_by_term)`` builds; a
+        shard missing any query term is skipped (no doc in it can
+        match — docs live wholly in one shard), but its df
+        contributions still feed the global idf like in a single
+        union index."""
+        from tlhop_library_spark.index.build import POS_SEGMENT_SCHEMA
+
+        for r in self.readers:
+            if not r.stats.get("positions"):
+                raise ValueError(
+                    "phrase/proximity federation needs positional "
+                    f"shards; {r.index_dir} is not positional"
+                )
+        infos, idf_by_term = self._resolve(query_text)
+        n_terms = len(set(py_tokens(query_text)))
+        parts = []
+        for r, info in zip(self.readers, infos):
+            if len(info) < n_terms:
+                continue
+            scorer = make_scorer(r, info, idf_by_term)
+            buckets = sorted({b for _, b, _ in info.values()})
+            tids = sorted({t for _, _, t in info.values()})
+            seg = r._segments.where(
+                F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+            ).select(
+                *[fld.name for fld in POS_SEGMENT_SCHEMA.fields]
+            ).withColumn("avgdl", F.lit(self.avgdl))
+            def _wrap(s):
+                return lambda key, pdf: s(key, pdf)
+
+            parts.append(
+                seg.groupBy("range_id").applyInPandas(
+                    _wrap(scorer), schema=_SCORE_SCHEMA
+                )
+            )
+        if not parts:
+            return self._empty()
+        local = reduce(DataFrame.unionByName, parts)
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_phrase(self, phrase_text: str, k: int = 10) -> DataFrame:
+        """Federated exact-phrase top-k — rank-identical to
+        ``IndexReader.search_phrase`` on a single union index."""
+        from tlhop_library_spark.index.phrase import phrase_range_scorer
+
+        slots = py_tokens(phrase_text)
+        if not slots:
+            return self._empty()
+
+        def make(r, info, idf_by_term):
+            idf_map = {
+                tid: idf_by_term[t] for t, (_, _, tid) in info.items()
+            }
+            return phrase_range_scorer(
+                [info[t][2] for t in slots], idf_map, k,
+                deleted=r._deleted,
+            )
+
+        return self._positional_local(phrase_text, k, make)
+
+    def search_proximity(
+        self, query_text: str, window: int, k: int = 10
+    ) -> DataFrame:
+        """Federated proximity top-k — rank-identical to
+        ``IndexReader.search_proximity`` on a single union index."""
+        from tlhop_library_spark.index.phrase import (
+            proximity_range_scorer,
+        )
+
+        if not py_tokens(query_text):
+            return self._empty()
+
+        def make(r, info, idf_by_term):
+            idf_map = {
+                tid: idf_by_term[t] for t, (_, _, tid) in info.items()
+            }
+            return proximity_range_scorer(
+                sorted(info[t][2] for t in info), idf_map, window, k,
+                deleted=r._deleted,
+            )
+
+        return self._positional_local(query_text, k, make)
 
     # ------------------------------------------------------------------
     def count_matches(
