@@ -40,6 +40,7 @@ from tlhop_library_spark.index.query import (  # noqa: E402
     oracle_sql_count_matches,
     wildcard_exhaustive as _wildcard_exhaustive,
     oracle_sql_bm25_conjunctive,
+    oracle_sql_bm25_msm,
     oracle_sql_bm25_filtered,
     oracle_sql_bm25_fuzzy,
     oracle_sql_bm25_snippets,
@@ -149,6 +150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rarest-first posting intersection per range, BM25-ranked
     q["bm25_conjunctive"] = lambda s, d: _indexed_reader(s, d).search_and(
         BM25_QUERY_1, k=10
+    )
+
+    # minimum-should-match (Lucene minimumNumberShouldMatch): docs with
+    # ≥2 of the 3 query terms, BM25-ranked over the terms they contain
+    q["bm25_msm"] = lambda s, d: _indexed_reader(s, d).search_msm(
+        BM25_QUERY_1, k=10, min_should_match=2
     )
 
     # display snippets over the indexed hits: broadcast the ≤k hit rows
@@ -1056,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_incremental"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_snippets"] = oracle_sql_bm25_snippets(BM25_QUERY_1, k=10)
     o["bm25_conjunctive"] = oracle_sql_bm25_conjunctive(BM25_QUERY_1, k=10)
+    o["bm25_msm"] = oracle_sql_bm25_msm(BM25_QUERY_1, min_match=2, k=10)
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_filtered"] = oracle_sql_bm25_filtered(

@@ -270,6 +270,74 @@ def oracle_sql_bm25_conjunctive(
     )
 
 
+def msm_range_scorer(tids: list[int], idf_map: dict, k: int,
+                     min_match: int,
+                     deleted: "np.ndarray | None" = None):
+    """applyInPandas kernel for minimum-should-match retrieval over
+    ONE doc range (Lucene ``BooleanQuery.setMinimumNumberShouldMatch``
+    semantics): a doc qualifies iff it contains at least ``min_match``
+    DISTINCT query terms; qualifying docs are BM25-scored over every
+    query term they contain. ``min_match == len(tids)`` degenerates to
+    :func:`conjunctive_range_scorer`; ``min_match == 1`` to plain OR
+    retrieval. Doc-space range partitioning makes the per-range count
+    exact — a doc's postings live in exactly one range."""
+    from tlhop_library_spark.index.phrase import _score_docs, decode_chunk
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        avgdl = float(pdf["avgdl"].iloc[0])
+        parts: dict[int, list] = {}
+        for ri in range(len(pdf)):
+            row = pdf.iloc[ri]
+            tid = int(row["tid"])
+            if tid not in tids:
+                continue
+            docs_, tfs_, dls_ = decode_chunk(row)
+            if deleted is not None and deleted.size:
+                from tlhop_library_spark.index.delete import mask_deleted
+
+                docs_, tfs_, dls_, _ = mask_deleted(
+                    docs_, tfs_, dls_, deleted
+                )
+            parts.setdefault(tid, []).append((docs_, tfs_, dls_))
+        # unlike AND, a range missing some terms can still qualify —
+        # only fewer present terms than min_match makes it empty
+        if len(parts) < min_match:
+            return empty
+        per_term = {}
+        for tid, chunks in parts.items():
+            chunks.sort(key=lambda c: int(c[0][0]) if len(c[0]) else 0)
+            per_term[tid] = tuple(
+                np.concatenate([c[i] for c in chunks]) for i in range(3)
+            ) + (None, None)  # shape-compatible with phrase kernels
+        present = sorted(per_term)
+        # per-doc distinct-term count: each term's doc list is unique,
+        # so concatenating and counting multiplicities counts terms
+        alld = np.concatenate([per_term[t][0] for t in present])
+        uniq, cnt = np.unique(alld, return_counts=True)
+        matched = uniq[cnt >= min_match]
+        if matched.size == 0:
+            return empty
+        return _score_docs(per_term, present, idf_map, matched, avgdl, k)
+
+    return score_range
+
+
+def oracle_sql_bm25_msm(
+    query_text: str, min_match: int, k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Minimum-should-match BM25 oracle: same scoring SQL, restricted
+    to docs containing ≥ ``min_match`` distinct query terms."""
+    base = oracle_sql_bm25(query_text, k, table, doc_col)
+    return base.replace(
+        "  GROUP BY tf.doc_id",
+        f"  GROUP BY tf.doc_id\n  HAVING count(*) >= {min_match}",
+    )
+
+
 def oracle_sql_bm25_filtered(
     query_text: str, k: int = 10, table: str = "documents",
     doc_col: str = "doc_id", where_sql: str = "TRUE",
@@ -2212,6 +2280,54 @@ class IndexReader:
         ).withColumn("avgdl", F.lit(avgdl))
         scorer = conjunctive_range_scorer(
             tids, idf_map, k, deleted=self._deleted
+        )
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        ).select("rank", "doc_id", "score")
+
+    def search_msm(
+        self, query_text: str, k: int = 10, min_should_match: int = 1
+    ) -> DataFrame:
+        """Minimum-should-match top-k (Lucene
+        ``minimumNumberShouldMatch``): docs containing at least
+        ``min_should_match`` distinct query terms, BM25-ranked over
+        the terms they contain. ``min_should_match=1`` ≡ plain OR
+        search; ``= n_terms`` ≡ :meth:`search_and`. Returns
+        (rank, doc_id, score). Scale shape = plain indexed search:
+        one (bucket, tid)-pruned segment scan, per-range kernels,
+        ≤ k rows per range leave the executors."""
+        terms = sorted(set(py_tokens(query_text)))
+        m = max(1, int(min_should_match))
+        info = self.lookup_terms(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        # absent terms can never match; fewer present terms than m
+        # means no doc can reach the threshold (Lucene semantics: the
+        # threshold counts the query's clauses, not the resolvable ones)
+        if not info or len(info) < m:
+            return empty
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        buckets = sorted({b for _, b, _ in info.values()})
+        tids = sorted(idf_map)
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(
+            *[f.name for f in SEGMENT_SCHEMA.fields]
+        ).withColumn("avgdl", F.lit(avgdl))
+        scorer = msm_range_scorer(
+            tids, idf_map, k, m, deleted=self._deleted
         )
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
