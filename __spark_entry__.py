@@ -158,6 +158,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, k=10, min_should_match=2
     )
 
+    # pluggable similarities (similarities.py): the SAME index ranks
+    # under classic TF-IDF and LM Dirichlet — similarity is query-time
+    q["tfidf_topk"] = lambda s, d: _indexed_reader(s, d).search_sim(
+        BM25_QUERY_1, k=10, similarity="classic"
+    )
+    q["lmdirichlet_topk"] = lambda s, d: _indexed_reader(s, d).search_sim(
+        BM25_QUERY_1, k=10, similarity="lmdirichlet"
+    )
+
     # display snippets over the indexed hits: broadcast the ≤k hit rows
     # back onto the docs scan; snippet window is a pure JVM expression
     q["bm25_snippets"] = lambda s, d: _indexed_reader(s, d).search_snippets(
@@ -1064,6 +1073,13 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_snippets"] = oracle_sql_bm25_snippets(BM25_QUERY_1, k=10)
     o["bm25_conjunctive"] = oracle_sql_bm25_conjunctive(BM25_QUERY_1, k=10)
     o["bm25_msm"] = oracle_sql_bm25_msm(BM25_QUERY_1, min_match=2, k=10)
+    from tlhop_library_spark.similarities import (
+        oracle_sql_classic,
+        oracle_sql_lmdirichlet,
+    )
+
+    o["tfidf_topk"] = oracle_sql_classic(BM25_QUERY_1, k=10)
+    o["lmdirichlet_topk"] = oracle_sql_lmdirichlet(BM25_QUERY_1, k=10)
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_filtered"] = oracle_sql_bm25_filtered(

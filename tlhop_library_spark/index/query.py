@@ -325,6 +325,54 @@ def msm_range_scorer(tids: list[int], idf_map: dict, k: int,
     return score_range
 
 
+def similarity_range_scorer(weight_of: dict, k: int,
+                            deleted: "np.ndarray | None" = None):
+    """applyInPandas kernel for pluggable-similarity retrieval over ONE
+    doc range: decode every chunk of the query terms (OR semantics),
+    apply the per-tid vectorized weight closure from
+    ``similarities.weight_fns``, accumulate per doc. Block-max bounds
+    are BM25-specific, so this kernel always scans exhaustively within
+    the range — the same work BM25 ``mode='exhaustive'`` does, with the
+    same ≤ k rows leaving the range."""
+    from tlhop_library_spark.index.phrase import decode_chunk
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        parts_d, parts_s = [], []
+        for ri in range(len(pdf)):
+            row = pdf.iloc[ri]
+            tid = int(row["tid"])
+            if tid not in weight_of:
+                continue
+            docs_, tfs_, dls_ = decode_chunk(row)
+            if deleted is not None and deleted.size:
+                from tlhop_library_spark.index.delete import mask_deleted
+
+                docs_, tfs_, dls_, _ = mask_deleted(
+                    docs_, tfs_, dls_, deleted
+                )
+            if not len(docs_):
+                continue
+            parts_d.append(docs_)
+            parts_s.append(weight_of[tid](tfs_, dls_))
+        if not parts_d:
+            return empty
+        alldocs = np.concatenate(parts_d)
+        allsc = np.concatenate(parts_s)
+        uniq, inv = np.unique(alldocs, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, allsc)
+        r = np.round(sums, bm25.ROUND_DIGITS)
+        order = np.lexsort((uniq, -r))[:k]
+        return pd.DataFrame(
+            {"doc_id": uniq[order].astype(np.int64), "score": r[order]}
+        )
+
+    return score_range
+
+
 def oracle_sql_bm25_msm(
     query_text: str, min_match: int, k: int = 10,
     table: str = "documents", doc_col: str = "doc_id",
@@ -2290,6 +2338,63 @@ class IndexReader:
             local.withColumn("score", F.round("score", bm25.ROUND_DIGITS)),
             [F.desc("score"), F.asc("doc_id")],
             k,
+        ).select("rank", "doc_id", "score")
+
+    def lookup_terms_full(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, int, int, int]]:
+        """term → (df, cf, bucket, tid) — like :meth:`lookup_terms`
+        but carrying the collection frequency (language-model
+        similarities need p(t|C) = cf / total_tokens)."""
+        rows = (
+            self._dict.where(F.col("term").isin(terms))
+            .select("term", "df", "cf", "bucket", "tid")
+            .collect()
+        )
+        return {
+            r["term"]: (r["df"], r["cf"], r["bucket"], r["tid"])
+            for r in rows
+        }
+
+    def search_sim(
+        self, query_text: str, k: int = 10, similarity: str = "classic"
+    ) -> DataFrame:
+        """Top-k under a pluggable similarity (Lucene's per-field
+        ``Similarity``): ``'classic'`` (TF-IDF) or ``'lmdirichlet'``
+        (μ=2000). One index serves every ranking model — the raw
+        (tf, dl) streams are similarity-agnostic; only the query-time
+        weight function changes (tlhop_library_spark/similarities.py,
+        the frozen spec shared with the DuckDB oracles). Returns
+        (rank, doc_id, score). For BM25 use :meth:`search`, which
+        additionally exploits the BM25-specific block-max metadata."""
+        from tlhop_library_spark import similarities
+
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_full(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        weight_of = similarities.weight_fns(
+            similarity, info, self.stats["n_docs"],
+            int(self.stats["sum_dl"]),
+        )
+        buckets = sorted({b for _, _, b, _ in info.values()})
+        tids = sorted(weight_of)
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+        scorer = similarity_range_scorer(
+            weight_of, k, deleted=self._deleted
+        )
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
     def search_msm(
