@@ -71,6 +71,8 @@ _LSH_PLANES, _LSH_TABLES, _EMB_DIM = 4, 8, 64
 BM25_QUERY_1 = "spark join filter"
 BM25_QUERY_2 = "the"
 BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
+BOOSTED_QUERY = "spark^2.5 join filter^0.5"
+FACET_BOUNDS = [0.0, 200.0, 400.0, 800.0, 1600.0, 1e9]
 FUZZY_QUERY = "sparq filtr"  # 1-edit typos of corpus terms
 WILD_QUERY = "spar* filter"  # prefix atom + exact term
 SYNONYMS = {"join": ["merge", "hash"], "filter": ["scan"]}
@@ -165,6 +167,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["lmdirichlet_topk"] = lambda s, d: _indexed_reader(s, d).search_sim(
         BM25_QUERY_1, k=10, similarity="lmdirichlet"
+    )
+
+    # per-term query boosts (Lucene "term^2.5" syntax) and
+    # DisjunctionMax combination — same pruned-scan scale shape
+    q["bm25_boosted"] = lambda s, d: _indexed_reader(s, d).search_boosted(
+        BOOSTED_QUERY, k=10
+    )
+    q["bm25_dismax"] = lambda s, d: _indexed_reader(s, d).search_dismax(
+        BM25_QUERY_1, k=10, tie_breaker=0.3
+    )
+
+    # collector-style operators over the full matching set: field sort
+    # (Lucene Sort(SortField)), collapse (grouping module), numeric
+    # range facets — hit stream joined to the docs scan, distributed
+    # windows / TakeOrderedAndProject, never a driver funnel
+    q["bm25_sorted_by"] = lambda s, d: _indexed_reader(s, d).search_sorted_by(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars", k=15
+    )
+    q["bm25_collapse"] = lambda s, d: _indexed_reader(s, d).search_collapse(
+        BM25_QUERY_1, _t(s, d, "documents"), "source", k=10
+    )
+    q["facet_ranges_nchars"] = lambda s, d: _indexed_reader(s, d).facet_ranges(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars", FACET_BOUNDS
     )
 
     # display snippets over the indexed hits: broadcast the ≤k hit rows
@@ -1080,6 +1105,27 @@ def oracle_sql() -> dict[str, str]:
 
     o["tfidf_topk"] = oracle_sql_classic(BM25_QUERY_1, k=10)
     o["lmdirichlet_topk"] = oracle_sql_lmdirichlet(BM25_QUERY_1, k=10)
+    from tlhop_library_spark.index.query import (
+        oracle_sql_bm25_boosted,
+        oracle_sql_bm25_collapse,
+        oracle_sql_bm25_dismax,
+        oracle_sql_bm25_sorted_by,
+        oracle_sql_facet_ranges,
+    )
+
+    o["bm25_boosted"] = oracle_sql_bm25_boosted(BOOSTED_QUERY, k=10)
+    o["bm25_dismax"] = oracle_sql_bm25_dismax(
+        BM25_QUERY_1, k=10, tie_breaker=0.3
+    )
+    o["bm25_sorted_by"] = oracle_sql_bm25_sorted_by(
+        BM25_QUERY_1, "n_chars", k=15
+    )
+    o["bm25_collapse"] = oracle_sql_bm25_collapse(
+        BM25_QUERY_1, "source", k=10
+    )
+    o["facet_ranges_nchars"] = oracle_sql_facet_ranges(
+        BM25_QUERY_1, "n_chars", FACET_BOUNDS
+    )
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_filtered"] = oracle_sql_bm25_filtered(

@@ -1,0 +1,164 @@
+"""Collector-style retrieval extras: query boosts, DisjunctionMax,
+field sort, collapse/grouping, numeric range facets. Each is checked
+against either the plain search path (degenerate-parameter identity)
+or an independent reconstruction from the full hit stream."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.index.query import (
+    IndexReader,
+    parse_boosted_query,
+)
+
+Q = "informação segurança dados"
+BOUNDS = [0.0, 300.0, 600.0, 1200.0, 1e9]
+
+
+def _ranks(df):
+    return [
+        (x["rank"], x["doc_id"], x["score"])
+        for x in df.orderBy("rank").collect()
+    ]
+
+
+def test_parse_boosted_query():
+    b = parse_boosted_query("Spark^2.5 JOIN filter^0.5")
+    assert b == {"spark": 2.5, "join": 1.0, "filter": 0.5}
+    # multi-token clause spreads its boost; last boost wins on dup
+    assert parse_boosted_query("a-big-phrase^2 big^3") == {
+        "big": 3.0,
+        "phrase": 2.0,
+    }
+    assert parse_boosted_query("") == {}
+
+
+def test_boosted_all_ones_equals_plain_search(spark, index_dir):
+    r = IndexReader(spark, index_dir)
+    assert _ranks(r.search_boosted(Q, k=10)) == _ranks(r.search(Q, k=10))
+
+
+def test_boosted_weights_shift_ranking(spark, index_dir):
+    """Boosting one term reweights: scores change, and a doc strong in
+    the boosted term overtakes the plain-BM25 winner ordering."""
+    r = IndexReader(spark, index_dir)
+    plain = _ranks(r.search(Q, k=10))
+    boosted = _ranks(r.search_boosted("informação^5 segurança dados", 10))
+    assert [x[1] for x in boosted] != [] and boosted != plain
+
+
+def test_dismax_tie_one_equals_plain_search(spark, index_dir):
+    """tie_breaker=1.0 → max + (sum − max) = sum = plain OR BM25."""
+    r = IndexReader(spark, index_dir)
+    assert _ranks(r.search_dismax(Q, k=10, tie_breaker=1.0)) == _ranks(
+        r.search(Q, k=10)
+    )
+
+
+def test_dismax_tie_zero_is_max_term_weight(spark, index_dir, corpus_df):
+    """tie=0 top-k equals a python brute force taking each doc's single
+    best per-term BM25 contribution (spec identity, not just shape)."""
+    from tlhop_library_spark import bm25
+    from tlhop_library_spark.analyzer import py_tokens
+
+    r = IndexReader(spark, index_dir)
+    got = _ranks(r.search_dismax(Q, k=5, tie_breaker=0.0))
+    assert got
+    rows = corpus_df.select("doc_id", "text").collect()
+    docs = {
+        x["doc_id"]: py_tokens(x["text"])
+        for x in rows
+        if x["text"] is not None
+    }
+    terms = sorted(set(py_tokens(Q)))
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: sum(1 for tk in docs.values() if t in tk) for t in terms}
+    scored = []
+    for d, tk in docs.items():
+        ws = []
+        for t in terms:
+            tf = tk.count(t)
+            if tf:
+                dl = len(tk)
+                w = bm25.idf(n, df[t]) * (
+                    tf * (bm25.K1 + 1)
+                ) / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl))
+                ws.append(w)
+        if ws:
+            scored.append((d, round(max(ws), bm25.ROUND_DIGITS)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    expect = [
+        (i + 1, d, s) for i, (d, s) in enumerate(scored[:5])
+    ]
+    assert got == expect
+
+
+def test_sorted_by_is_topk_of_matching_by_field(spark, index_dir, corpus_df):
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text"))
+    got = r.search_sorted_by(Q, docs, "n_chars", k=8, ascending=True)
+    rows = got.orderBy("rank").collect()
+    assert len(rows) == 8
+    fields = [x["n_chars"] for x in rows]
+    assert fields == sorted(fields)
+    # the k smallest among ALL matching docs, not just the score top-k
+    hits = {x["doc_id"] for x in r._matching_scores(Q).collect()}
+    all_fields = sorted(
+        (x["n_chars"], x["doc_id"])
+        for x in docs.where(F.col("doc_id").isin(list(hits)))
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    assert [(f, d) for f, d in all_fields[:8]] == [
+        (x["n_chars"], x["doc_id"]) for x in rows
+    ]
+
+
+def test_collapse_one_best_doc_per_group(spark, index_dir, corpus_df):
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn(
+        "grp", (F.col("doc_id") % 7).cast("string")
+    )
+    got = r.search_collapse(Q, docs, "grp", k=5).orderBy("rank").collect()
+    assert got
+    groups = [x["grp"] for x in got]
+    assert len(groups) == len(set(groups))
+    # each returned doc is the argmax of its group over the hit stream
+    hit_rows = r._matching_scores(Q).collect()
+    gmap = {
+        x["doc_id"]: x["grp"]
+        for x in docs.select("doc_id", "grp").collect()
+    }
+    best = {}
+    for h in hit_rows:
+        g = gmap[h["doc_id"]]
+        cand = (-h["score"], h["doc_id"])
+        if g not in best or cand < best[g]:
+            best[g] = cand
+    for row in got:
+        assert best[row["grp"]] == (-row["score"], row["doc_id"])
+    # ranks follow group-best scores descending
+    scores = [x["score"] for x in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_facet_ranges_counts_partition_matching_set(
+    spark, index_dir, corpus_df
+):
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text"))
+    got = {
+        x["bucket"]: x["cnt"]
+        for x in r.facet_ranges(Q, docs, "n_chars", BOUNDS).collect()
+    }
+    n_hits = r._matching_scores(Q).count()
+    # bounds cover [0, 1e9) → every matching doc lands in one bucket
+    assert sum(got.values()) == n_hits
+    assert all(c > 0 for c in got.values())
+
+
+def test_boosted_dismax_absent_query(spark, index_dir):
+    r = IndexReader(spark, index_dir)
+    assert r.search_boosted("zzznope^2", k=5).count() == 0
+    assert r.search_dismax("zzznope", k=5).count() == 0

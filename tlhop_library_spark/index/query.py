@@ -161,6 +161,48 @@ def snippet_sql(text_expr: str, terms: list[str], before: int = 40,
     )
 
 
+def _bm25_scored_cte(query_text: str, table: str, doc_col: str,
+                     boosts: dict[str, float] | None = None) -> str:
+    """Shared DuckDB CTE prefix ending in ``scored(doc_id, score)`` —
+    every matching doc's OR-semantics BM25 score (optionally with
+    per-term query boosts). Suffixed by the per-oracle final SELECT."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    boost_expr = ""
+    if boosts and any(b != 1.0 for b in boosts.values()):
+        cases = " ".join(
+            f"WHEN '{t}' THEN {b!r}" for t, b in sorted(boosts.items())
+        )
+        boost_expr = f"(CASE tf.term {cases} ELSE 1.0 END) * "
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum({boost_expr}
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+  GROUP BY tf.doc_id
+)"""
+
+
 def oracle_sql_bm25(query_text: str, k: int = 10, table: str = "documents",
                     doc_col: str = "doc_id") -> str:
     """DuckDB SQL implementing the identical spec (oracle for the gate)."""
@@ -325,7 +367,7 @@ def msm_range_scorer(tids: list[int], idf_map: dict, k: int,
     return score_range
 
 
-def similarity_range_scorer(weight_of: dict, k: int,
+def similarity_range_scorer(weight_of: dict, k: "int | None",
                             deleted: "np.ndarray | None" = None):
     """applyInPandas kernel for pluggable-similarity retrieval over ONE
     doc range: decode every chunk of the query terms (OR semantics),
@@ -365,12 +407,223 @@ def similarity_range_scorer(weight_of: dict, k: int,
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, allsc)
         r = np.round(sums, bm25.ROUND_DIGITS)
+        order = np.lexsort((uniq, -r))
+        if k is not None:
+            order = order[:k]
+        return pd.DataFrame(
+            {"doc_id": uniq[order].astype(np.int64), "score": r[order]}
+        )
+
+    return score_range
+
+
+def dismax_range_scorer(weight_of: dict, k: int, tie_breaker: float,
+                        deleted: "np.ndarray | None" = None):
+    """applyInPandas kernel for DisjunctionMaxQuery retrieval over ONE
+    doc range (Lucene ``DisMaxQuery``): per doc,
+    ``score = max_t w_t + tie_breaker · (Σ_t w_t − max_t w_t)``.
+    Per-term weights are summed WITHIN a term first (a term's postings
+    for one doc may span append-boundary chunks), so the max/sum
+    combination always sees exactly one weight per (doc, term)."""
+    from tlhop_library_spark.index.phrase import decode_chunk
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        by_tid: dict[int, list] = {}
+        for ri in range(len(pdf)):
+            row = pdf.iloc[ri]
+            tid = int(row["tid"])
+            if tid not in weight_of:
+                continue
+            docs_, tfs_, dls_ = decode_chunk(row)
+            if deleted is not None and deleted.size:
+                from tlhop_library_spark.index.delete import mask_deleted
+
+                docs_, tfs_, dls_, _ = mask_deleted(
+                    docs_, tfs_, dls_, deleted
+                )
+            if len(docs_):
+                by_tid.setdefault(tid, []).append((docs_, tfs_, dls_))
+        if not by_tid:
+            return empty
+        td, tw = [], []
+        for tid, parts in by_tid.items():
+            d = np.concatenate([p[0] for p in parts])
+            w = weight_of[tid](
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+            ud, inv = np.unique(d, return_inverse=True)
+            uw = np.zeros(len(ud), dtype=np.float64)
+            np.add.at(uw, inv, w)
+            td.append(ud)
+            tw.append(uw)
+        alld = np.concatenate(td)
+        allw = np.concatenate(tw)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        ssum = np.zeros(len(uniq), dtype=np.float64)
+        smax = np.full(len(uniq), -np.inf, dtype=np.float64)
+        np.add.at(ssum, inv, allw)
+        np.maximum.at(smax, inv, allw)
+        r = np.round(
+            smax + tie_breaker * (ssum - smax), bm25.ROUND_DIGITS
+        )
         order = np.lexsort((uniq, -r))[:k]
         return pd.DataFrame(
             {"doc_id": uniq[order].astype(np.int64), "score": r[order]}
         )
 
     return score_range
+
+
+_BOOST_RE = None
+
+
+def parse_boosted_query(query_text: str) -> dict[str, float]:
+    """Lucene ``term^2.5`` query-boost syntax → analyzed term → boost.
+    Clauses without ``^`` get boost 1.0; a clause whose term part
+    analyzes to several tokens applies its boost to each; duplicate
+    terms keep the LAST boost (Lucene parser behavior)."""
+    import re
+
+    global _BOOST_RE
+    if _BOOST_RE is None:
+        _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+    boosts: dict[str, float] = {}
+    for clause in query_text.split():
+        m = _BOOST_RE.match(clause)
+        raw, boost = (m.group(1), float(m.group(2))) if m else (clause, 1.0)
+        for t in py_tokens(raw):
+            boosts[t] = boost
+    return boosts
+
+
+def oracle_sql_bm25_boosted(
+    boosted_query: str, k: int = 10, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for per-term query boosts (``term^2.5`` syntax)."""
+    boosts = parse_boosted_query(boosted_query)
+    plain = " ".join(sorted(boosts))
+    cte = _bm25_scored_cte(plain, table, doc_col, boosts=boosts)
+    return f"""{cte}
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_dismax(
+    query_text: str, k: int = 10, tie_breaker: float = 0.0,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for DisjunctionMax retrieval:
+    score = max_t w_t + tie · (Σ_t w_t − max_t w_t)."""
+    terms = sorted(set(py_tokens(query_text)))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), termw AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * ({bm25.K1} + 1)) /
+           (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         AS w
+  FROM tf, dfreq, stats WHERE tf.term = dfreq.term
+), scored AS (
+  SELECT doc_id,
+         round(max(w) + {tie_breaker!r} * (sum(w) - max(w)),
+               {bm25.ROUND_DIGITS}) AS score
+  FROM termw GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_sorted_by(
+    query_text: str, field: str, k: int = 10, ascending: bool = True,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for field-sorted retrieval (Lucene Sort(SortField)):
+    ALL matching docs, top-k by the metadata field, score carried."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    direction = "ASC" if ascending else "DESC"
+    return f"""{cte}
+SELECT CAST(row_number() OVER (
+           ORDER BY d.{field} {direction}, s.doc_id ASC) AS INT) AS rank,
+       s.doc_id, CAST(d.{field} AS BIGINT) AS {field}, s.score
+FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_collapse(
+    query_text: str, group_field: str, k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for collapse/grouping retrieval (Lucene grouping module):
+    best-scoring doc per group, top-k groups by that doc's score."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, joined AS (
+  SELECT s.doc_id, s.score, d.{group_field} AS grp
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+), best AS (
+  SELECT * FROM joined
+  QUALIFY row_number() OVER (
+      PARTITION BY grp ORDER BY score DESC, doc_id ASC) = 1
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       grp AS {group_field}, doc_id, score
+FROM best
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_facet_ranges(
+    query_text: str, field: str, bounds: list[float],
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for numeric range facets over the matching set:
+    half-open buckets [b_i, b_{i+1}) labeled 'lo-hi'."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    cases = " ".join(
+        f"WHEN d.{field} >= {lo!r} AND d.{field} < {hi!r} "
+        f"THEN '{lo:g}-{hi:g}'"
+        for lo, hi in zip(bounds, bounds[1:])
+    )
+    return f"""{cte}, bucketed AS (
+  SELECT CASE {cases} ELSE NULL END AS bucket
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM bucketed WHERE bucket IS NOT NULL
+GROUP BY bucket ORDER BY bucket
+"""
 
 
 def oracle_sql_bm25_msm(
@@ -2396,6 +2649,169 @@ class IndexReader:
         return ranked_topk(
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
+
+    def _bm25_weight_fns(self, info, boosts=None):
+        """term-closures for the frozen BM25 weights (optionally
+        query-boosted) — shared by the boosted/dismax/field-sort/
+        collapse/facet-range paths."""
+        from tlhop_library_spark import similarities
+
+        return similarities.weight_fns(
+            "bm25", info, self.stats["n_docs"],
+            int(self.stats["sum_dl"]), avgdl=float(self.stats["avgdl"]),
+            boosts=boosts,
+        )
+
+    def _pruned_segments(self, info):
+        """(bucket, tid)-pruned segment scan for a resolved query."""
+        buckets = sorted({b for *_, b, _ in info.values()})
+        tids = sorted({t for *_, t in info.values()})
+        return self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+
+    def search_boosted(self, boosted_query: str, k: int = 10) -> DataFrame:
+        """Top-k under per-term query boosts — Lucene ``term^2.5``
+        syntax (``parse_boosted_query``). Scale shape = plain indexed
+        search: pruned segment scan, per-range kernels, ≤ k rows per
+        range leave the executors. Returns (rank, doc_id, score)."""
+        boosts = parse_boosted_query(boosted_query)
+        info = self.lookup_terms_full(sorted(boosts))
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        scorer = similarity_range_scorer(
+            self._bm25_weight_fns(info, boosts), k, deleted=self._deleted
+        )
+        local = self._pruned_segments(info).groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_dismax(
+        self, query_text: str, k: int = 10, tie_breaker: float = 0.0
+    ) -> DataFrame:
+        """DisjunctionMax top-k (Lucene ``DisMaxQuery``): per doc,
+        ``score = max_t w_t + tie_breaker·(Σ_t w_t − max_t w_t)``.
+        ``tie_breaker=1.0`` degenerates to plain OR search. Returns
+        (rank, doc_id, score); scale shape = plain indexed search."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_full(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        scorer = dismax_range_scorer(
+            self._bm25_weight_fns(info), k, float(tie_breaker),
+            deleted=self._deleted,
+        )
+        local = self._pruned_segments(info).groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def _matching_scores(self, query_text: str) -> DataFrame:
+        """(doc_id, score) for EVERY doc matching the OR query — the
+        hit stream Lucene's collectors consume. No k-cut: downstream
+        field-sort/collapse/facet operators decide what survives, so
+        the shuffle is sized by the matching set (as in Lucene), not
+        the corpus; the segment scan is still (bucket, tid)-pruned."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_full(terms)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not info:
+            return empty
+        scorer = similarity_range_scorer(
+            self._bm25_weight_fns(info), None, deleted=self._deleted
+        )
+        return self._pruned_segments(info).groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+
+    def search_sorted_by(
+        self, query_text: str, docs: DataFrame, field: str, k: int = 10,
+        ascending: bool = True,
+    ) -> DataFrame:
+        """Field-sorted retrieval (Lucene ``Sort(SortField)``): among
+        ALL docs matching the OR query, the top-k by a metadata column
+        of ``docs`` (BM25 score carried along, not used for ordering).
+        Integer fields only (result casts the field to long). Shape:
+        hit stream equi-joined to the docs scan on doc_id, then
+        ``ranked_topk`` (TakeOrderedAndProject) on (field, doc_id) —
+        only k rows reach the driver."""
+        hits = self._matching_scores(query_text)
+        j = hits.join(
+            docs.select("doc_id", F.col(field).cast("long").alias(field)),
+            "doc_id",
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        order = F.asc(field) if ascending else F.desc(field)
+        return ranked_topk(j, [order, F.asc("doc_id")], k).select(
+            "rank", "doc_id", field, "score"
+        )
+
+    def search_collapse(
+        self, query_text: str, docs: DataFrame, group_field: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """Collapse/grouping retrieval (Lucene grouping module): the
+        best-scoring matching doc per ``group_field`` value, top-k
+        groups ranked by that doc's score. Shape: hit stream joined to
+        docs, window PARTITIONED BY the group field (distributed — no
+        global window), then ``ranked_topk`` over the one-per-group
+        survivors. Returns (rank, group_field, doc_id, score)."""
+        hits = self._matching_scores(query_text)
+        j = hits.join(docs.select("doc_id", group_field), "doc_id")
+        w = Window.partitionBy(group_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        best = (
+            j.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            best, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", group_field, "doc_id", "score")
+
+    def facet_ranges(
+        self, query_text: str, docs: DataFrame, field: str,
+        bounds: list[float],
+    ) -> DataFrame:
+        """Numeric range facets over the matching set (Lucene
+        ``LongRangeFacetCounts``): half-open buckets [b_i, b_{i+1})
+        labeled 'lo-hi'. Shape: hit ids semi-joined to the docs scan,
+        when/otherwise bucket expression (pure JVM), groupBy count.
+        Returns (bucket string, cnt long) ordered by bucket."""
+        hits = self._matching_scores(query_text).select("doc_id")
+        j = docs.join(hits, "doc_id", "left_semi").select(field)
+        expr = F.lit(None).cast("string")
+        for lo, hi in zip(bounds, bounds[1:]):
+            expr = F.when(
+                (F.col(field) >= F.lit(lo)) & (F.col(field) < F.lit(hi)),
+                F.lit(f"{lo:g}-{hi:g}"),
+            ).otherwise(expr)
+        return (
+            j.withColumn("bucket", expr)
+            .where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("bucket")
+        )
 
     def search_msm(
         self, query_text: str, k: int = 10, min_should_match: int = 1

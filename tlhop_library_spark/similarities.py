@@ -77,21 +77,39 @@ def weight_fns(
     info: dict[str, tuple[int, int, int, int]],
     n_docs: int,
     sum_dl: int,
+    avgdl: float | None = None,
+    boosts: dict[str, float] | None = None,
 ):
     """tid → vectorized ``f(tfs, dls) -> per-posting score`` closures
-    for a resolved query (``info``: term → (df, cf, bucket, tid))."""
+    for a resolved query (``info``: term → (df, cf, bucket, tid)).
+
+    ``similarity='bm25'`` (requires ``avgdl``) yields the frozen
+    ``bm25.py`` weights — used by the boosted/dismax retrieval paths,
+    which need per-term closures rather than the block-max kernel.
+    ``boosts`` (term → multiplier, Lucene ``term^2.5`` query boosts)
+    scales any similarity's per-term weight; missing terms default 1.
+    """
     fns = {}
-    for _t, (df, cf, _b, tid) in info.items():
+    for t, (df, cf, _b, tid) in info.items():
+        boost = float(boosts.get(t, 1.0)) if boosts else 1.0
         if similarity == "classic":
-            w = classic_idf(n_docs, df) ** 2
+            w = boost * classic_idf(n_docs, df) ** 2
 
             def f(tfs, dls, _w=w):
                 return _w * classic_weight_np(tfs, dls)
 
         elif similarity == "lmdirichlet":
 
-            def f(tfs, dls, _cf=cf):
-                return lmd_weight_np(tfs, dls, _cf, sum_dl)
+            def f(tfs, dls, _cf=cf, _bst=boost):
+                return _bst * lmd_weight_np(tfs, dls, _cf, sum_dl)
+
+        elif similarity == "bm25":
+            if avgdl is None:
+                raise ValueError("bm25 weight_fns requires avgdl")
+            w = boost * bm25.idf(n_docs, df)
+
+            def f(tfs, dls, _w=w, _avgdl=float(avgdl)):
+                return _w * bm25.tf_weight_np(tfs, dls, _avgdl)
 
         else:
             raise ValueError(f"unknown similarity: {similarity!r}")
