@@ -73,6 +73,7 @@ BM25_QUERY_2 = "the"
 BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
 BOOSTED_QUERY = "spark^2.5 join filter^0.5"
 FACET_BOUNDS = [0.0, 200.0, 400.0, 800.0, 1600.0, 1e9]
+STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
 FUZZY_QUERY = "sparq filtr"  # 1-edit typos of corpus terms
 WILD_QUERY = "spar* filter"  # prefix atom + exact term
 SYNONYMS = {"join": ["merge", "hash"], "filter": ["scan"]}
@@ -578,6 +579,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stopword_stats"] = lambda s, d: text.stopword_stats(
         _t(s, d, "documents")
     )
+
+    # ---- corpus statistics (operators/corpus_stats.py) ----
+    from tlhop_library_spark.operators import corpus_stats
+
+    q["tfidf_keywords"] = lambda s, d: corpus_stats.tfidf_keywords(
+        _t(s, d, "documents"), m=3
+    )
+    q["pmi_collocations"] = lambda s, d: corpus_stats.pmi_collocations(
+        _t(s, d, "documents"), min_count=5, top=20
+    )
+    # contamination: treat source='src0' as the held-out benchmark
+    # slice, every other source as training data
+    q["contamination"] = lambda s, d: corpus_stats.contamination_score(
+        _t(s, d, "documents").where(F.col("source") != "src0"),
+        _t(s, d, "documents").where(F.col("source") == "src0"),
+        n=8,
+    )
+    q["stratified_sample"] = lambda s, d: corpus_stats.stratified_sample(
+        _t(s, d, "documents"), "lang", STRATA_FRACTIONS
+    ).select("doc_id", "lang", "source")
 
     # rolling-hash winnowing fingerprint (selected-set as csv string so
     # the hash compare sees a scalar column)
@@ -1325,6 +1346,91 @@ SELECT doc_id, n_tokens, n_stopwords,
              THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
          AS stopword_ratio
 FROM c
+"""
+
+    from tlhop_library_spark.operators.corpus_stats import sql_strata_hash
+
+    o["tfidf_keywords"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM base
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM base
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n + 1.0) / (dfq.df + 1.0)), 4) AS score
+  FROM tf, dfq, n WHERE tf.term = dfq.term
+)
+SELECT doc_id, term, score,
+       CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS pos
+FROM scored
+QUALIFY pos <= 3
+"""
+
+    o["pmi_collocations"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), pairs AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+), uni AS (
+  SELECT term AS w, count(*) AS c
+  FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pairs) AS t,
+         (SELECT CAST(sum(len(toks)) AS DOUBLE) FROM base) AS u
+), scored AS (
+  SELECT big.w1, big.w2, CAST(big.c12 AS BIGINT) AS c12,
+         round(ln((big.c12 / tot.t) /
+                  ((u1.c / tot.u) * (u2.c / tot.u))), 4) AS pmi
+  FROM big, uni u1, uni u2, tot
+  WHERE big.w1 = u1.w AND big.w2 = u2.w AND big.c12 >= 5
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT)
+         AS rank, w1, w2, c12, pmi
+FROM scored
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+    o["contamination"] = f"""
+WITH base AS (
+  SELECT doc_id, source, {_TOKENS} AS toks
+  FROM documents WHERE text IS NOT NULL
+), trs AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM base, unnest(range(1, len(toks) - 8 + 2)) AS t(i)
+  WHERE source <> 'src0' AND len(toks) >= 8
+), bes AS (
+  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM base, unnest(range(1, len(toks) - 8 + 2)) AS t(i)
+  WHERE source = 'src0' AND len(toks) >= 8
+)
+SELECT trs.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(bes.shingle) AS BIGINT) AS n_contaminated,
+       round(CAST(count(bes.shingle) AS DOUBLE) / count(*), 4)
+         AS contamination
+FROM trs LEFT JOIN bes ON trs.shingle = bes.shingle
+GROUP BY trs.doc_id
+"""
+
+    _strata_pred = " OR ".join(
+        f"(lang = '{stratum}' AND "
+        f"{sql_strata_hash('lang', 'doc_id')} < {int(round(f * 10000))})"
+        for stratum, f in sorted(STRATA_FRACTIONS.items())
+    )
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang, source FROM documents WHERE {_strata_pred}
 """
 
     o["winnow_fingerprint"] = f"""

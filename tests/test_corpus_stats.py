@@ -1,0 +1,107 @@
+"""Corpus-statistics operators: invariants independent of the DuckDB
+oracles (which already pin exact values at the gate)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.operators import corpus_stats
+
+
+def test_tfidf_keywords_per_doc_topm(spark, corpus_df):
+    got = corpus_stats.tfidf_keywords(corpus_df, m=2)
+    rows = got.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["score"]))
+    for doc, entries in by_doc.items():
+        entries.sort()
+        assert len(entries) <= 2
+        assert [p for p, _ in entries] == list(range(1, len(entries) + 1))
+        scores = [s for _, s in entries]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pmi_favors_exclusive_bigram(spark):
+    """A bigram whose parts only ever co-occur outranks one whose
+    parts are everywhere."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "zephyr quartz common common"))
+    for i in range(30, 60):
+        rows.append((i, "common filler common words common stuff"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = corpus_stats.pmi_collocations(docs, min_count=5, top=5).collect()
+    assert got[0]["w1"] == "zephyr" and got[0]["w2"] == "quartz"
+    pmis = [r["pmi"] for r in got]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_contamination_bounds_and_self(spark, corpus_df):
+    docs = corpus_df.limit(50)
+    # benchmark == train → every shingle contaminated
+    full = corpus_stats.contamination_score(docs, docs, n=5).collect()
+    assert full and all(r["contamination"] == 1.0 for r in full)
+    # disjoint benchmark built from synthetic text → zero overlap
+    bench = spark.createDataFrame(
+        [(999999, " ".join(f"uniquetok{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    zero = corpus_stats.contamination_score(docs, bench, n=5).collect()
+    assert zero and all(r["contamination"] == 0.0 for r in zero)
+    for r in zero:
+        assert 0 < r["n_shingles"] and r["n_contaminated"] == 0
+
+
+def test_stratified_sample_deterministic_and_consistent(spark, corpus_df):
+    docs = corpus_df.select("doc_id", "lang")
+    frac = {"en": 0.5, "de": 0.2}
+    a = sorted(
+        r["doc_id"]
+        for r in corpus_stats.stratified_sample(docs, "lang", frac).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in corpus_stats.stratified_sample(
+            docs.repartition(7), "lang", frac
+        ).collect()
+    )
+    assert a == b and a  # layout-independent
+    # matches the frozen md5 formula row-for-row
+    rows = docs.collect()
+    expect = sorted(
+        r["doc_id"]
+        for r in rows
+        if r["lang"] in frac
+        and int(
+            hashlib.md5(
+                f"v1|{r['lang']}|{r['doc_id']}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        % 10000
+        < frac[r["lang"]] * 10000
+    )
+    assert a == expect
+    # excluded strata are dropped entirely
+    kept_langs = {
+        r["lang"]
+        for r in corpus_stats.stratified_sample(docs, "lang", frac)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert kept_langs <= set(frac)
+
+
+def test_stratified_sample_no_shuffle(spark, corpus_df):
+    plan = (
+        corpus_stats.stratified_sample(
+            corpus_df, "lang", {"en": 0.5}
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
