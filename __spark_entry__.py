@@ -507,6 +507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["proximity_topk"] = lambda s, d: _indexed_reader(s, d).search_proximity(
         PROX_QUERY, window=PROX_WINDOW, k=10
     )
+    q["span_first"] = lambda s, d: _indexed_reader(s, d).search_span_first(
+        "spark", end=20, k=10
+    )
 
     def term_df(s, d):
         docs = _t(s, d, "documents").where(F.col("text").isNotNull())
@@ -1231,6 +1234,9 @@ FROM d, n
     o["proximity_topk"] = oracle_sql_proximity(
         PROX_QUERY, window=PROX_WINDOW, k=10
     )
+    from tlhop_library_spark.index.phrase import oracle_sql_span_first
+
+    o["span_first"] = oracle_sql_span_first("spark", end=20, k=10)
 
     o["term_df"] = f"""
 WITH tok AS (

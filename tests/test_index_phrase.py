@@ -223,3 +223,59 @@ def test_positional_serving_requires_positions(spark, index_dir):
         reader.search_phrase_local("bace cada")
     with pytest.raises(ValueError):
         reader.search_proximity_local("bace cada", 5)
+
+
+@pytest.mark.parametrize("term,end", [("informação", 15), ("tupere", 40)])
+def test_span_first_matches_brute_force(
+    spark, pos_index_dir, tokenized, term, end
+):
+    """SpanFirst ≡ python brute force: docs whose first occurrence of
+    the term sits at 0-based position < end, BM25-scored on the term."""
+    from tlhop_library_spark.index import IndexReader
+
+    matched = {
+        d: tk for d, tk in tokenized.items() if term in tk[:end]
+    }
+    assert matched, "weak fixture — term never early enough"
+    n = len(tokenized)
+    avgdl = sum(len(t) for t in tokenized.values()) / n
+    df = sum(1 for tk in tokenized.values() if term in tk)
+    idf = bm25.idf(n, df)
+    scored = sorted(
+        (
+            (
+                d,
+                round(
+                    idf
+                    * (tk.count(term) * (bm25.K1 + 1))
+                    / (
+                        tk.count(term)
+                        + bm25.K1
+                        * (1 - bm25.B + bm25.B * len(tk) / avgdl)
+                    ),
+                    bm25.ROUND_DIGITS,
+                ),
+            )
+            for d, tk in matched.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    expect = [(i + 1, d, s) for i, (d, s) in enumerate(scored)]
+    reader = IndexReader(spark, pos_index_dir)
+    got = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search_span_first(term, end, 10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_span_first_end_zero_and_missing(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    assert reader.search_span_first("informação", 0, 5).count() == 0
+    assert reader.search_span_first("zzznope", 10, 5).count() == 0
+    with pytest.raises(ValueError):
+        reader.search_span_first("two terms", 10)

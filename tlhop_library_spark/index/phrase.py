@@ -328,6 +328,83 @@ def phrase_exhaustive(
     ).select("rank", "doc_id", "score")
 
 
+def span_first_range_scorer(tid: int, idf_map: dict, end: int, k: int,
+                            deleted=None):
+    """applyInPandas kernel for SpanFirstQuery over ONE doc range:
+    docs whose FIRST occurrence of the term sits within the first
+    ``end`` tokens (0-based position < end, i.e. Lucene
+    ``span.end() <= end`` for a single-term span), BM25-scored on the
+    term over the matching docs."""
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if int(tid) not in set(int(t) for t in pdf["tid"]):
+            return _EMPTY
+        per_term = _decode_terms(pdf, [tid], deleted)
+        docs, _tfs, _dls, inst_docs, inst_pos = per_term[tid]
+        if docs.size == 0:
+            return _EMPTY
+        # first instance index per doc: inst_docs ascends by doc and
+        # positions ascend within a doc, so unique's first hit is the
+        # doc's first occurrence
+        _, first_idx = np.unique(inst_docs, return_index=True)
+        matched = inst_docs[first_idx][inst_pos[first_idx] < end]
+        if matched.size == 0:
+            return _EMPTY
+        return _score_docs(per_term, [tid], idf_map, matched,
+                           float(pdf["avgdl"].iloc[0]), k)
+
+    return score_range
+
+
+def oracle_sql_span_first(term_text: str, end: int, k: int = 10,
+                          table: str = "documents",
+                          doc_col: str = "doc_id") -> str:
+    """DuckDB SQL implementing the identical SpanFirst spec
+    (``list_position`` is 1-based; position < end ⟺ list_position
+    ≤ end)."""
+    (term,) = py_tokens(term_text)
+    t = term.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), hits AS (
+  SELECT doc_id FROM base_dl
+  WHERE list_position(tokens, '{t}') IS NOT NULL
+    AND list_position(tokens, '{t}') <= {end}
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term = '{t}' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tf, dfreq, stats
+  WHERE tf.term = dfreq.term
+    AND tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
 def oracle_sql_phrase(phrase_text: str, k: int = 10, table: str = "documents",
                       doc_col: str = "doc_id") -> str:
     """DuckDB SQL implementing the identical phrase spec."""

@@ -3074,6 +3074,42 @@ class IndexReader:
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def search_span_first(
+        self, term_text: str, end: int, k: int = 10
+    ) -> DataFrame:
+        """SpanFirstQuery (Lucene ``SpanFirstQuery``): docs whose
+        FIRST occurrence of the term lies within the first ``end``
+        tokens (0-based position < end), BM25-ranked on the term.
+        Needs a positional index. Returns (rank, doc_id, score);
+        scale shape = plain indexed search."""
+        from tlhop_library_spark.index.phrase import (
+            span_first_range_scorer,
+        )
+
+        toks = py_tokens(term_text)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if len(toks) != 1:
+            raise ValueError("search_span_first takes exactly one term")
+        info, seg = self._positional_seg(toks)
+        if seg is None:
+            return empty
+        n_docs = self.stats["n_docs"]
+        (df, _b, tid) = info[toks[0]]
+        scorer = span_first_range_scorer(
+            tid, {tid: bm25.idf(n_docs, df)}, int(end), k,
+            deleted=self._deleted,
+        )
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
     def last_pruning_stats(self) -> dict:
         """(blocks decoded, total blocks) of the last stats-enabled
         search, after its action completed."""
