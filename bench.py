@@ -61,6 +61,10 @@ HEADLINE = [
     "ivf_topk",
     "winnow_fingerprint",
     "training_data_prep",
+    "tfidf_keywords",
+    "pmi_collocations",
+    "contamination",
+    "stratified_sample",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
@@ -212,6 +216,19 @@ def main() -> None:
         reader.search_wildcard("bac* cada", 10).collect()
         per_query["index_query_wildcard"] = round(time.time() - t0, 3)
         total += per_query["index_query_wildcard"]
+        # round-2.4 modes: collector-style operators + rescoring models
+        t0 = time.time()
+        reader.search_dismax("bace cada", 10, tie_breaker=0.3).collect()
+        per_query["index_query_dismax"] = round(time.time() - t0, 3)
+        total += per_query["index_query_dismax"]
+        t0 = time.time()
+        reader.search_sim("bace cada", 10, "lmdirichlet").collect()
+        per_query["index_query_lmdirichlet"] = round(time.time() - t0, 3)
+        total += per_query["index_query_lmdirichlet"]
+        t0 = time.time()
+        reader.search_collapse("bace cada", docs, "lang", 10).collect()
+        per_query["index_query_collapse"] = round(time.time() - t0, 3)
+        total += per_query["index_query_collapse"]
 
         batch_in = [(i, q, k) for i, (q, k) in enumerate(BENCH_QUERIES)]
         t0 = time.time()
