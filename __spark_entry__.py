@@ -179,6 +179,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, k=10, tie_breaker=0.3
     )
 
+    def _bm25_after_cursor(s, d):
+        """Cursor deep paging (Lucene searchAfter): page 2 fetched via
+        the rank-10 row as cursor — the cursor predicate runs INSIDE
+        the per-range kernels, so heaps stay size k at any depth."""
+        r = _indexed_reader(s, d)
+        row = (
+            r.search(BM25_QUERY_1, k=10)
+            .orderBy(F.desc("rank"))
+            .limit(1)
+            .collect()[0]
+        )
+        return r.search_after(
+            BM25_QUERY_1, (row["score"], row["doc_id"]), k=10
+        )
+
+    q["bm25_search_after"] = _bm25_after_cursor
+
     # collector-style operators over the full matching set: field sort
     # (Lucene Sort(SortField)), collapse (grouping module), numeric
     # range facets — hit stream joined to the docs scan, distributed
@@ -1140,6 +1157,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_boosted"] = oracle_sql_bm25_boosted(BOOSTED_QUERY, k=10)
     o["bm25_dismax"] = oracle_sql_bm25_dismax(
         BM25_QUERY_1, k=10, tie_breaker=0.3
+    )
+    from tlhop_library_spark.index.query import oracle_sql_bm25_after
+
+    o["bm25_search_after"] = oracle_sql_bm25_after(
+        BM25_QUERY_1, cursor_rank=10, k=10
     )
     o["bm25_sorted_by"] = oracle_sql_bm25_sorted_by(
         BM25_QUERY_1, "n_chars", k=15

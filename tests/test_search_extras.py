@@ -162,3 +162,29 @@ def test_boosted_dismax_absent_query(spark, index_dir):
     r = IndexReader(spark, index_dir)
     assert r.search_boosted("zzznope^2", k=5).count() == 0
     assert r.search_dismax("zzznope", k=5).count() == 0
+
+
+def test_search_after_equals_page_slice(spark, index_dir):
+    """searchAfter with the rank-10 row as cursor ≡ ranks 11..20 of a
+    k=20 search (scores re-ranked 1..10), and chains across pages."""
+    r = IndexReader(spark, index_dir)
+    full = _ranks(r.search(Q, k=30))
+    assert len(full) == 30
+    cur = full[9]
+    page2 = _ranks(r.search_after(Q, (cur[2], cur[1]), k=10))
+    assert [(d, s) for _, d, s in page2] == [
+        (d, s) for _, d, s in full[10:20]
+    ]
+    assert [rk for rk, _, _ in page2] == list(range(1, 11))
+    cur2 = page2[-1]
+    page3 = _ranks(r.search_after(Q, (cur2[2], cur2[1]), k=10))
+    assert [(d, s) for _, d, s in page3] == [
+        (d, s) for _, d, s in full[20:30]
+    ]
+
+
+def test_search_after_past_end_and_absent(spark, index_dir):
+    r = IndexReader(spark, index_dir)
+    # cursor below every score → empty page
+    assert r.search_after(Q, (-1.0, 0), k=10).count() == 0
+    assert r.search_after("zzznope", (100.0, 0), k=10).count() == 0

@@ -368,14 +368,21 @@ def msm_range_scorer(tids: list[int], idf_map: dict, k: int,
 
 
 def similarity_range_scorer(weight_of: dict, k: "int | None",
-                            deleted: "np.ndarray | None" = None):
+                            deleted: "np.ndarray | None" = None,
+                            after: "tuple[float, int] | None" = None):
     """applyInPandas kernel for pluggable-similarity retrieval over ONE
     doc range: decode every chunk of the query terms (OR semantics),
     apply the per-tid vectorized weight closure from
     ``similarities.weight_fns``, accumulate per doc. Block-max bounds
     are BM25-specific, so this kernel always scans exhaustively within
     the range — the same work BM25 ``mode='exhaustive'`` does, with the
-    same ≤ k rows leaving the range."""
+    same ≤ k rows leaving the range.
+
+    ``after=(score, doc_id)``: cursor predicate applied INSIDE the
+    kernel (keep docs strictly after the cursor in the
+    (score DESC, doc_id ASC) total order) — per-range heaps stay size
+    k at ANY paging depth, unlike offset paging whose heaps grow with
+    the offset."""
     from tlhop_library_spark.index.phrase import decode_chunk
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -407,6 +414,12 @@ def similarity_range_scorer(weight_of: dict, k: "int | None",
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, allsc)
         r = np.round(sums, bm25.ROUND_DIGITS)
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (r < a_s) | ((r == a_s) & (uniq > a_d))
+            uniq, r = uniq[keep], r[keep]
+            if not len(uniq):
+                return empty
         order = np.lexsort((uniq, -r))
         if k is not None:
             order = order[:k]
@@ -512,6 +525,30 @@ def oracle_sql_bm25_boosted(
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
        doc_id, score
 FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_after(
+    query_text: str, cursor_rank: int, k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for cursor paging: the cursor is the rank-
+    ``cursor_rank`` row of the full ranking; the page is the next k
+    rows strictly after it in (score DESC, doc_id ASC) order."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+), cur AS (
+  SELECT score AS cs, doc_id AS cd FROM ranked WHERE rnk = {cursor_rank}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored, cur
+WHERE score < cur.cs OR (score = cur.cs AND doc_id > cur.cd)
 QUALIFY rank <= {k}
 ORDER BY rank
 """
@@ -1827,6 +1864,36 @@ class IndexReader:
         depth; for cursor-style deep paging batch the offsets)."""
         full = self.search(query_text, offset + page_size, mode)
         return full.where(F.col("rank") > offset)
+
+    def search_after(
+        self, query_text: str, after: tuple[float, int], k: int = 10
+    ) -> DataFrame:
+        """Cursor-based deep paging (Lucene ``searchAfter``): top-k
+        docs strictly AFTER ``after=(score, doc_id)`` in the
+        (score DESC, doc_id ASC) total order. The cursor predicate is
+        evaluated inside the per-range kernel, so per-range heaps stay
+        size k at any depth — the scalable alternative to
+        :meth:`search_page`, whose heaps grow with the offset.
+        Returns (rank, doc_id, score); rank restarts at 1 per page."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_full(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        scorer = similarity_range_scorer(
+            self._bm25_weight_fns(info), k, deleted=self._deleted,
+            after=(float(after[0]), int(after[1])),
+        )
+        local = self._pruned_segments(info).groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
 
     def search_expanded(
         self, query_text: str, k: int = 10, fb_docs: int = 5,
