@@ -285,3 +285,33 @@ def test_mismatched_shard_config_rejected(spark, corpus_df,
         ShardedIndexReader(spark, [index_dir, bad])
     with pytest.raises(ValueError):
         ShardedIndexReader(spark, [])
+
+
+def test_sharded_weighted_modes_identical_to_single(
+    spark, sharded, index_dir
+):
+    """Round-2.4 ranking modes federate with global collection stats:
+    each must be rank- AND score-identical to the single union index."""
+    from tlhop_library_spark.index import IndexReader
+
+    single = IndexReader(spark, index_dir)
+    q = "informação segurança dados"
+    for sim in ("classic", "lmdirichlet"):
+        assert rows(sharded.search_sim(q, 10, sim)) == rows(
+            single.search_sim(q, 10, sim)
+        ), sim
+    assert rows(sharded.search_dismax(q, 10, 0.3)) == rows(
+        single.search_dismax(q, 10, 0.3)
+    )
+    bq = "informação^3 segurança dados^0.5"
+    assert rows(sharded.search_boosted(bq, 10)) == rows(
+        single.search_boosted(bq, 10)
+    )
+    cur = rows(single.search(q, k=10))[-1]
+    assert rows(sharded.search_after(q, (cur[2], cur[1]), 10)) == rows(
+        single.search_after(q, (cur[2], cur[1]), 10)
+    )
+    # and the page really is ranks 11..20 of the union ranking
+    full = rows(single.search(q, k=20))
+    got = rows(sharded.search_after(q, (cur[2], cur[1]), 10))
+    assert [(d, s) for _, d, s in got] == [(d, s) for _, d, s in full[10:]]

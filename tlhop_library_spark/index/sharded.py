@@ -247,6 +247,118 @@ class ShardedIndexReader:
         return self._positional_local(query_text, k, make)
 
     # ------------------------------------------------------------------
+    def _resolve_full(self, query_text_or_terms):
+        """Per-shard full term info + Σ-across-shards df/cf (language-
+        model and TF-IDF similarities need global collection stats,
+        exactly like BM25 needs global idf)."""
+        if isinstance(query_text_or_terms, str):
+            terms = sorted(set(py_tokens(query_text_or_terms)))
+        else:
+            terms = sorted(set(query_text_or_terms))
+        if not terms:
+            return [], {}, {}
+        infos = [r.lookup_terms_full(terms) for r in self.readers]
+        gdf: dict[str, int] = {}
+        gcf: dict[str, int] = {}
+        for info in infos:
+            for t, (df, cf, _b, _tid) in info.items():
+                gdf[t] = gdf.get(t, 0) + df
+                gcf[t] = gcf.get(t, 0) + cf
+        return infos, gdf, gcf
+
+    def _weighted_local(
+        self, infos, gdf, gcf, k: int, similarity: str,
+        boosts=None, tie_breaker=None, after=None,
+    ) -> DataFrame:
+        """Union of per-shard weighted-kernel results: each shard's
+        weight closures are built from GLOBAL (n_docs, sum_dl, df, cf)
+        but keyed by the shard's own tids — the same global-stats
+        mechanism federated BM25 uses, generalized to any similarity.
+        ``tie_breaker`` switches to the DisMax kernel; ``after``
+        pushes a cursor predicate into the kernels."""
+        from tlhop_library_spark import similarities
+        from tlhop_library_spark.index.query import (
+            dismax_range_scorer,
+            similarity_range_scorer,
+        )
+
+        parts = []
+        for r, info in zip(self.readers, infos):
+            if not info:
+                continue
+            ginfo = {
+                t: (gdf[t], gcf[t], b, tid)
+                for t, (_df, _cf, b, tid) in info.items()
+            }
+            weight_of = similarities.weight_fns(
+                similarity, ginfo, self.n_docs, int(self.sum_dl),
+                avgdl=float(self.avgdl), boosts=boosts,
+            )
+            if tie_breaker is not None:
+                scorer = dismax_range_scorer(
+                    weight_of, k, float(tie_breaker), deleted=r._deleted
+                )
+            else:
+                scorer = similarity_range_scorer(
+                    weight_of, k, deleted=r._deleted, after=after
+                )
+
+            def _wrap(s):
+                return lambda key, pdf: s(key, pdf)
+
+            parts.append(
+                r._pruned_segments(ginfo)
+                .groupBy("range_id")
+                .applyInPandas(_wrap(scorer), schema=_SCORE_SCHEMA)
+            )
+        if not parts:
+            return self._empty()
+        local = reduce(DataFrame.unionByName, parts)
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_sim(
+        self, query_text: str, k: int = 10, similarity: str = "classic"
+    ) -> DataFrame:
+        """Federated pluggable-similarity top-k — rank-identical to
+        ``IndexReader.search_sim`` on a single union index (collection
+        stats are Σ-across-shards)."""
+        infos, gdf, gcf = self._resolve_full(query_text)
+        return self._weighted_local(infos, gdf, gcf, k, similarity)
+
+    def search_boosted(self, boosted_query: str, k: int = 10) -> DataFrame:
+        """Federated query-boosted BM25 (``term^2.5`` syntax)."""
+        from tlhop_library_spark.index.query import parse_boosted_query
+
+        boosts = parse_boosted_query(boosted_query)
+        infos, gdf, gcf = self._resolve_full(sorted(boosts))
+        return self._weighted_local(
+            infos, gdf, gcf, k, "bm25", boosts=boosts
+        )
+
+    def search_dismax(
+        self, query_text: str, k: int = 10, tie_breaker: float = 0.0
+    ) -> DataFrame:
+        """Federated DisjunctionMax top-k."""
+        infos, gdf, gcf = self._resolve_full(query_text)
+        return self._weighted_local(
+            infos, gdf, gcf, k, "bm25", tie_breaker=tie_breaker
+        )
+
+    def search_after(
+        self, query_text: str, after: tuple[float, int], k: int = 10
+    ) -> DataFrame:
+        """Federated cursor deep paging (Lucene ``searchAfter``)."""
+        infos, gdf, gcf = self._resolve_full(query_text)
+        return self._weighted_local(
+            infos, gdf, gcf, k, "bm25",
+            after=(float(after[0]), int(after[1])),
+        )
+
+    # ------------------------------------------------------------------
     def count_matches(
         self, query_text: str, match: str = "any"
     ) -> DataFrame:
