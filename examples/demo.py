@@ -179,6 +179,58 @@ def main() -> None:
     rep = CorpusReport(spark, f"{work}/report").run_all(docs)
     print("\nreport summary:", rep["summary"].collect()[0].asDict())
 
+    # 12. round-2.4: collector operators + ranking models on the same
+    # index — boosts, DisMax, pluggable similarities, cursor paging,
+    # field sort, collapse, range facets
+    reader = IndexReader(spark, f"{work}/idx")
+    print(
+        "\nboosted:",
+        [r["doc_id"] for r in reader.search_boosted(f"{q}^2", k=3).collect()],
+    )
+    print(
+        "dismax:",
+        [r["doc_id"] for r in reader.search_dismax(q, 3, 0.3).collect()],
+    )
+    print(
+        "lmdirichlet:",
+        [r["doc_id"] for r in reader.search_sim(q, 3, "lmdirichlet").collect()],
+    )
+    cur = reader.search(q, k=3).collect()[-1]
+    print(
+        "page-2 via searchAfter:",
+        [
+            r["doc_id"]
+            for r in reader.search_after(
+                q, (cur["score"], cur["doc_id"]), k=3
+            ).collect()
+        ],
+    )
+    docs_n = docs.withColumn("n_chars", F.length("text"))
+    print(
+        "shortest matching docs:",
+        [
+            (r["doc_id"], r["n_chars"])
+            for r in reader.search_sorted_by(q, docs_n, "n_chars", 3).collect()
+        ],
+    )
+    print(
+        "best per lang:",
+        [
+            (r["lang"], r["doc_id"])
+            for r in reader.search_collapse(q, docs, "lang", 3).collect()
+        ],
+    )
+
+    # 13. corpus statistics for a training-data pipeline
+    from tlhop_library_spark.operators import corpus_stats
+
+    kw = corpus_stats.tfidf_keywords(docs.limit(50), m=2).count()
+    print(f"\ntfidf keyword rows (50 docs, m=2): {kw}")
+    samp = corpus_stats.stratified_sample(
+        docs, "lang", {"pt": 0.5, "en": 0.5}
+    ).count()
+    print(f"deterministic stratified sample: {samp} docs kept")
+
 
 if __name__ == "__main__":
     main()

@@ -79,6 +79,23 @@ def main(argv: list[str] | None = None) -> int:
         help="print per-facet match counts instead of top-k "
         "(e.g. /data/docs.parquet:lang)",
     )
+    s.add_argument(
+        "--similarity", choices=["classic", "lmdirichlet"], default=None,
+        help="rank with a pluggable similarity instead of BM25",
+    )
+    s.add_argument(
+        "--dismax", type=float, default=None, metavar="TIE",
+        help="DisjunctionMax combination with the given tie-breaker",
+    )
+    s.add_argument(
+        "--boosted", action="store_true",
+        help="parse Lucene 'term^2.5' per-term query boosts",
+    )
+    s.add_argument(
+        "--after", metavar="SCORE,DOC_ID", default=None,
+        help="cursor deep paging: return the top-k strictly after "
+        "the (score, doc_id) cursor",
+    )
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
@@ -171,6 +188,25 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(args.snippets)
             rows = reader.search_snippets(
                 args.query, docs, args.k, mode=args.mode
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.similarity:
+            rows = reader.search_sim(
+                args.query, args.k, similarity=args.similarity
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.dismax is not None:
+            rows = reader.search_dismax(
+                args.query, args.k, tie_breaker=args.dismax
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.boosted:
+            rows = reader.search_boosted(args.query, args.k).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.after:
+            score_s, _, doc_s = args.after.partition(",")
+            rows = reader.search_after(
+                args.query, (float(score_s), int(doc_s)), args.k
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
         elif args.all_terms:
