@@ -74,6 +74,7 @@ BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
 BOOSTED_QUERY = "spark^2.5 join filter^0.5"
 FACET_BOUNDS = [0.0, 200.0, 400.0, 800.0, 1600.0, 1e9]
 STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
+TV_DOC_IDS = [1, 7, 42]
 FUZZY_QUERY = "sparq filtr"  # 1-edit typos of corpus terms
 WILD_QUERY = "spar* filter"  # prefix atom + exact term
 SYNONYMS = {"join": ["merge", "hash"], "filter": ["scan"]}
@@ -195,6 +196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_search_after"] = _bm25_after_cursor
+
+    # Lucene TermVectors: per-doc (term, tf, dl) straight from the
+    # index — range_id-pushdown decode of just the docs' ranges
+    q["term_vectors"] = lambda s, d: _indexed_reader(s, d).term_vectors(
+        TV_DOC_IDS
+    )
 
     # collector-style operators over the full matching set: field sort
     # (Lucene Sort(SortField)), collapse (grouping module), numeric
@@ -1163,6 +1170,18 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_search_after"] = oracle_sql_bm25_after(
         BM25_QUERY_1, cursor_rank=10, k=10
     )
+    _tv_ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    o["term_vectors"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+  WHERE text IS NOT NULL AND doc_id IN ({_tv_ids})
+), tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+)
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(max(dl) AS BIGINT) AS dl
+FROM tok GROUP BY doc_id, term
+"""
     o["bm25_sorted_by"] = oracle_sql_bm25_sorted_by(
         BM25_QUERY_1, "n_chars", k=15
     )

@@ -315,3 +315,17 @@ def test_sharded_weighted_modes_identical_to_single(
     full = rows(single.search(q, k=20))
     got = rows(sharded.search_after(q, (cur[2], cur[1]), 10))
     assert [(d, s) for _, d, s in got] == [(d, s) for _, d, s in full[10:]]
+
+
+def test_sharded_term_vectors_identical_to_single(
+    spark, sharded, index_dir
+):
+    from tlhop_library_spark.index import IndexReader
+
+    single = IndexReader(spark, index_dir)
+    ids = [2, 9, 31, 100]
+    got = sorted(
+        map(tuple, sharded.term_vectors(ids).collect())
+    )
+    want = sorted(map(tuple, single.term_vectors(ids).collect()))
+    assert got == want and got

@@ -188,3 +188,34 @@ def test_search_after_past_end_and_absent(spark, index_dir):
     # cursor below every score → empty page
     assert r.search_after(Q, (-1.0, 0), k=10).count() == 0
     assert r.search_after("zzznope", (100.0, 0), k=10).count() == 0
+
+
+def test_term_vectors_match_tokenizer(spark, index_dir, corpus_df):
+    """TermVectors from the index ≡ per-doc tf/dl recomputed with the
+    frozen analyzer on raw text."""
+    from collections import Counter
+
+    from tlhop_library_spark.analyzer import py_tokens
+
+    ids = [3, 11, 27]
+    r = IndexReader(spark, index_dir)
+    got = {}
+    for row in r.term_vectors(ids).collect():
+        got[(row["doc_id"], row["term"])] = (row["tf"], row["dl"])
+    rows = {
+        x["doc_id"]: x["text"]
+        for x in corpus_df.where(F.col("doc_id").isin(ids)).collect()
+    }
+    expect = {}
+    for d, text in rows.items():
+        toks = py_tokens(text) if text is not None else []
+        for t, c in Counter(toks).items():
+            expect[(d, t)] = (c, len(toks))
+    assert got == expect and got
+
+
+def test_term_vectors_empty_and_dedup_ids(spark, index_dir):
+    r = IndexReader(spark, index_dir)
+    assert r.term_vectors([]).count() == 0
+    a = r.term_vectors([5]).count()
+    assert r.term_vectors([5, 5, 5]).count() == a

@@ -1724,6 +1724,72 @@ class IndexReader:
             k,
         ).select("rank", "doc_id", "score")
 
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """Lucene TermVectors API: (doc_id, term, tf, dl) for every
+        distinct term of the given documents, straight from the index
+        (no raw-text access).
+
+        Scale shape: decodes only the docs' RANGES (range_id pushdown
+        — one doc-space slice per distinct range), masks to the
+        requested ids inside the kernel, ships one row per (doc,
+        term); the term names attach via a dictionary join. Tombstoned
+        docs are excluded."""
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        ids = np.unique(np.array([int(d) for d in doc_ids], dtype=np.int64))
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, term string, tf long, dl long"
+        )
+        if not ids.size:
+            return empty
+        if self._deleted is not None and self._deleted.size:
+            ids = ids[~np.isin(ids, self._deleted)]
+            if not ids.size:
+                return empty
+        range_size = int(self.stats["range_size"])
+        ranges = sorted({int(d) // range_size for d in ids})
+        seg = self._segments.where(
+            F.col("range_id").isin(ranges)
+        ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
+
+        def vec(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            d_out, t_out, tf_out, dl_out = [], [], [], []
+            for ri in range(len(pdf)):
+                row = pdf.iloc[ri]
+                docs_, tfs_, dls_ = decode_chunk(row)
+                m = np.isin(docs_, ids, assume_unique=True)
+                if not m.any():
+                    continue
+                hit = docs_[m]
+                d_out.append(hit)
+                t_out.append(np.full(len(hit), int(row["tid"])))
+                tf_out.append(tfs_[m])
+                dl_out.append(dls_[m])
+            if not d_out:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "tid": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="int64"),
+                     "dl": pd.Series([], dtype="int64")}
+                )
+            return pd.DataFrame(
+                {"doc_id": np.concatenate(d_out).astype(np.int64),
+                 "tid": np.concatenate(t_out).astype(np.int64),
+                 "tf": np.concatenate(tf_out).astype(np.int64),
+                 "dl": np.concatenate(dl_out).astype(np.int64)}
+            )
+
+        raw = seg.groupBy("range_id").applyInPandas(
+            vec, schema="doc_id long, tid long, tf long, dl long"
+        )
+        # a (doc, term)'s postings may span append-boundary chunks
+        summed = raw.groupBy("doc_id", "tid").agg(
+            F.sum("tf").alias("tf"), F.max("dl").alias("dl")
+        )
+        return summed.join(
+            self._dict.select("tid", "term"), "tid"
+        ).select("doc_id", "term", "tf", "dl")
+
     def search_synonyms(
         self, query_text: str, synonyms: dict[str, list[str]],
         k: int = 10,

@@ -358,6 +358,13 @@ class ShardedIndexReader:
             after=(float(after[0]), int(after[1])),
         )
 
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """Federated TermVectors: shards hold disjoint doc spaces, so
+        the union of per-shard vectors is exact (ids absent from a
+        shard decode nothing there)."""
+        parts = [r.term_vectors(doc_ids) for r in self.readers]
+        return reduce(DataFrame.unionByName, parts)
+
     # ------------------------------------------------------------------
     def count_matches(
         self, query_text: str, match: str = "any"
