@@ -654,6 +654,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), n=3, threshold=0.3
     )
 
+    # cluster-level dedup: connected components (min-label propagation)
+    # over the verified near-dup pair graph — one component id per
+    # CLUSTER, vs the funnel's greedy per-pair drop
+    q["near_dup_components"] = lambda s, d: dedup.connected_components(
+        dedup.ngram_jaccard_pairs(_t(s, d, "documents"), n=3, threshold=0.3)
+    )
+
     # skew-guarded variant: boilerplate shingles (df > 50) dropped
     # before the self-join — the at-scale shape (VERDICT r1 fix #2)
     q["ngram_jaccard_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
@@ -1539,6 +1546,43 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+"""
+
+    # connected components over the same verified pair graph: recursive
+    # transitive closure with min-label aggregation (the Spark side's
+    # min-label propagation fixpoint computes exactly this)
+    o["near_dup_components"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, len(toks) - 2),
+           i -> array_to_string(toks[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), walk(a, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+)
+SELECT a AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM walk GROUP BY a
 """
 
     o["ngram_jaccard_capped"] = f"""

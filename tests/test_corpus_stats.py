@@ -105,3 +105,43 @@ def test_stratified_sample_no_shuffle(spark, corpus_df):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Chain a-b-c-d collapses to one component (min id); disjoint
+    clusters keep distinct labels; isolated pair stays its own."""
+    from tlhop_library_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (2, 3), (3, 4), (4, 5),        # chain -> component 2
+            (10, 11),                      # pair  -> component 10
+            (20, 22), (21, 22),            # star  -> component 20
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        2: 2, 3: 2, 4: 2, 5: 2,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-hop chain needs ~diameter rounds — the fixpoint loop must
+    keep going until sum(labels) stabilizes, not stop early."""
+    from tlhop_library_spark.operators.dedup import connected_components
+
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=64).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}

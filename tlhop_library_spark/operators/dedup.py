@@ -414,3 +414,79 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) for every node in the pair graph, where
+    ``component`` is the minimum doc_id reachable from the node —
+    cluster-level near-dup semantics (keep one representative per
+    CLUSTER), vs the funnel's documented greedy per-pair drop.
+
+    Iterative min-label propagation: each round every node takes
+    ``min(own label, neighbors' labels)``; labels travel one hop per
+    round, so rounds = graph diameter (near-dup clusters are
+    shallow — a handful of rounds). Convergence detection is a cheap
+    monotone invariant: labels only ever decrease, so the global
+    ``sum(component)`` strictly decreases until fixpoint — one scalar
+    agg per round, no old-vs-new join. Each round is one equi-join +
+    one groupBy min — the standard scalable CC shape (no driver-side
+    union-find, no quadratic closure). Each round's labels are
+    ``localCheckpoint``-ed: without lineage truncation the logical
+    plan doubles every round and Catalyst's re-optimization makes the
+    loop quadratic in rounds (on a cluster with an HDFS checkpoint
+    dir, ``checkpoint()`` gives the same truncation with
+    fault-tolerant storage).
+
+    Deterministic and SQL-expressible: the DuckDB oracle replays it as
+    a recursive transitive closure with min aggregation.
+    """
+    edges = pairs.select(
+        F.col(src).cast("long").alias("a"),
+        F.col(dst).cast("long").alias("b"),
+    )
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("component").alias("nl"),
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new.agg(F.sum("component")).collect()[0][0]
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
