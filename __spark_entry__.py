@@ -681,6 +681,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_data_prep"] = training_data_prep
 
+    # cluster policy: connected components over the verified pair
+    # graph, keep one representative (min doc_id) per near-dup CLUSTER
+    def training_data_prep_cluster(s, d):
+        from tlhop_library_spark.pipeline import prepare_training_data
+
+        return prepare_training_data(
+            _t(s, d, "documents"), min_quality=0.55,
+            jaccard_threshold=0.5, near_dup_policy="cluster",
+        )
+
+    q["training_data_prep_cluster"] = training_data_prep_cluster
+
     # the full at-scale near-dup pipeline: LSH banding candidates →
     # exact jaccard verification on candidates only
     q["minhash_verified_pairs"] = lambda s, d: dedup.minhash_near_dup_pairs(
@@ -1701,6 +1713,35 @@ SELECT d2.doc_id, qual.n_tokens, qual.quality
 FROM d2 JOIN qual USING (doc_id)
 WHERE d2.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
+
+    # cluster policy: identical funnel, but the drop set is "every doc
+    # that is not its near-dup cluster's min-id representative"
+    # (recursive closure over the SAME verified pair graph)
+    o["training_data_prep_cluster"] = (
+        o["training_data_prep"]
+        .replace("WITH base0 AS (", "WITH RECURSIVE base0 AS (")
+        .replace(
+            """), dropped AS (
+  SELECT DISTINCT doc_b AS doc_id FROM verified
+  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.5
+)""",
+            """), vpairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs
+), walk(a, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+), dropped AS (
+  SELECT a AS doc_id FROM walk GROUP BY a HAVING a <> min(lbl)
+)""",
+        )
+    )
+    assert "walk(a, lbl)" in o["training_data_prep_cluster"]
 
     o["simhash_pairs"] = _simhash_pairs_sql(max_hamming=3)
 

@@ -40,3 +40,43 @@ def test_summary_row(spark, corpus_df):
     row = training_data_summary(corpus_df).collect()[0]
     assert row["docs_out"] <= row["docs_in"]
     assert row["tokens_out"] > 0 and 0.0 < row["avg_quality"] <= 1.0
+
+
+def test_cluster_policy_is_subset_and_transitive(spark):
+    """Cluster policy keeps exactly one representative per near-dup
+    component: planted triangle a~b~c (pairwise near-dups) keeps only
+    the min id under BOTH policies; a chain where only (a,b) and (b,c)
+    are pairs keeps {a} under cluster but {a, c} could never differ
+    here — so also plant a case where greedy and cluster diverge:
+    pairs (1,2) and (3,2)... with a<b ordering both drop 2 — instead
+    the divergence case is a chain 1-2, 2-3: greedy drops {2, 3}
+    (both appear as doc_b), cluster drops {2, 3} too (component 1).
+    True divergence needs a doc_b that links two components: pairs
+    (10,30), (20,30): greedy drops {30} keeping {10, 20}; cluster
+    merges all three into one component keeping only {10}."""
+    from tlhop_library_spark.pipeline import prepare_training_data
+
+    base = "palavra" + " comum segura dados rede capital" * 30
+    rows = [
+        (10, base + " azul"),
+        (20, base + " verde"),
+        (30, base + " rosa"),
+        (99, " ".join(f"unico{i}" for i in range(120))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    greedy = {
+        r["doc_id"]
+        for r in prepare_training_data(
+            docs, min_quality=0.0, jaccard_threshold=0.5
+        ).collect()
+    }
+    cluster = {
+        r["doc_id"]
+        for r in prepare_training_data(
+            docs, min_quality=0.0, jaccard_threshold=0.5,
+            near_dup_policy="cluster",
+        ).collect()
+    }
+    assert cluster <= greedy
+    assert 10 in cluster and 99 in cluster
+    assert 20 not in cluster and 30 not in cluster

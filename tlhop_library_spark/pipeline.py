@@ -30,14 +30,23 @@ def prepare_training_data(
     min_quality: float = 0.55,
     jaccard_threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    near_dup_policy: str = "greedy",
 ) -> DataFrame:
     """(doc_id, n_tokens, quality) for the surviving documents.
 
     Stages:
       1. quality ≥ min_quality (text.quality_score features);
       2. exact dedup — keep the min doc_id per md5(text);
-      3. near-dup drop — MinHash-banded candidates, exact jaccard ≥
-         jaccard_threshold verified, doc_b of each (a < b) pair dropped.
+      3. near-dup drop over MinHash-banded candidates with exact
+         jaccard ≥ jaccard_threshold verification, under one of two
+         policies:
+         - ``'greedy'`` (default): doc_b of each (a < b) pair dropped
+           — the standard keep-first rule; a chain a-b-c keeps only a.
+         - ``'cluster'``: connected components over the verified pair
+           graph (``dedup.connected_components``), keep the minimum
+           doc_id of each CLUSTER — the transitive semantics (a chain
+           a-b-c still keeps only a, but a doc near-dup to two
+           different kept docs can't survive by pair-order luck).
     """
     q = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
     keep_q = q.where(F.col("quality") >= min_quality).select("doc_id")
@@ -49,7 +58,15 @@ def prepare_training_data(
     pairs = dedup.minhash_near_dup_pairs(
         d2, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
     )
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if near_dup_policy == "cluster":
+        comp = dedup.connected_components(pairs)
+        drop = comp.where(
+            F.col("doc_id") != F.col("component")
+        ).select("doc_id")
+    elif near_dup_policy == "greedy":
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
     d3 = d2.join(drop, "doc_id", "left_anti")
 
     return d3.select("doc_id").join(q, "doc_id").select(
