@@ -627,6 +627,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "lang", STRATA_FRACTIONS
     ).select("doc_id", "lang", "source")
 
+    # exact distributed percentile + sample stddev per group (pure
+    # JVM aggregate — no sort-all, no driver funnel)
+    q["median_nchars_by_lang"] = lambda s, d: (
+        _t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(F.percentile("n_chars", 0.5), 4).alias("median_nchars"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("sd_nchars"),
+        )
+    )
+
     # rolling-hash winnowing fingerprint (selected-set as csv string so
     # the hash compare sees a scalar column)
     q["winnow_fingerprint"] = lambda s, d: (
@@ -1488,6 +1499,13 @@ SELECT trs.doc_id,
          AS contamination
 FROM trs LEFT JOIN bes ON trs.shingle = bes.shingle
 GROUP BY trs.doc_id
+"""
+
+    o["median_nchars_by_lang"] = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_nchars,
+       round(stddev_samp(n_chars), 4) AS sd_nchars
+FROM documents GROUP BY lang
 """
 
     _strata_pred = " OR ".join(
