@@ -152,3 +152,24 @@ def test_build_single_wide_shuffle(spark, corpus_df, tmp_path):
     )
     p = plan_of(seg)
     assert p.count("Exchange") == 1
+
+
+def test_round24_collector_plans(spark, index_dir, corpus_df):
+    """Field sort / dismax end in TakeOrderedAndProject (per-partition
+    heaps, k rows out); collapse's and keyword-extraction's windows are
+    PARTITIONED (hashpartitioning), never a full-input single-partition
+    window."""
+    from tlhop_library_spark.index import IndexReader
+    from tlhop_library_spark.operators import corpus_stats
+
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text"))
+    q = "informação dados"
+    assert "TakeOrderedAndProject" in plan_of(
+        r.search_sorted_by(q, docs, "n_chars", 5)
+    )
+    assert "TakeOrderedAndProject" in plan_of(r.search_dismax(q, 5, 0.3))
+    p_col = plan_of(r.search_collapse(q, docs, "lang", 5))
+    assert "hashpartitioning(lang" in p_col
+    p_kw = plan_of(corpus_stats.tfidf_keywords(docs, 3))
+    assert "hashpartitioning(doc_id" in p_kw
