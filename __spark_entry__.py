@@ -197,6 +197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search_after"] = _bm25_after_cursor
 
+    # ConstantScoreQuery (Lucene filter context): matching docs score
+    # exactly the boost; kernel skips all weight math
+    q["bm25_constant_score"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_constant_score(BM25_QUERY_1, k=15, boost=2.5)
+
     # Lucene TermVectors: per-doc (term, tf, dl) straight from the
     # index — range_id-pushdown decode of just the docs' ranges
     q["term_vectors"] = lambda s, d: _indexed_reader(s, d).term_vectors(
@@ -1200,6 +1206,26 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_search_after"] = oracle_sql_bm25_after(
         BM25_QUERY_1, cursor_rank=10, k=10
     )
+    from tlhop_library_spark.analyzer import py_tokens
+
+    _cs_terms = ", ".join(
+        "'" + t + "'" for t in sorted(set(py_tokens(BM25_QUERY_1)))
+    )
+    o["bm25_constant_score"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM base
+  ) WHERE term IN ({_cs_terms})
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank,
+       doc_id, CAST(2.5 AS DOUBLE) AS score
+FROM m
+QUALIFY rank <= 15
+ORDER BY rank
+"""
+
     _tv_ids = ", ".join(str(i) for i in TV_DOC_IDS)
     o["term_vectors"] = f"""
 WITH base AS (

@@ -219,3 +219,15 @@ def test_term_vectors_empty_and_dedup_ids(spark, index_dir):
     assert r.term_vectors([]).count() == 0
     a = r.term_vectors([5]).count()
     assert r.term_vectors([5, 5, 5]).count() == a
+
+
+def test_constant_score_is_matching_set_by_docid(spark, index_dir):
+    """ConstantScore = the k smallest matching doc_ids, every score
+    exactly the boost."""
+    r = IndexReader(spark, index_dir)
+    got = r.search_constant_score(Q, k=8, boost=3.5).orderBy("rank").collect()
+    assert len(got) == 8
+    assert all(x["score"] == 3.5 for x in got)
+    hits = sorted(x["doc_id"] for x in r._matching_scores(Q).collect())
+    assert [x["doc_id"] for x in got] == hits[:8]
+    assert r.search_constant_score("zzznope", 5).count() == 0

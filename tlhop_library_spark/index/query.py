@@ -1931,6 +1931,42 @@ class IndexReader:
         full = self.search(query_text, offset + page_size, mode)
         return full.where(F.col("rank") > offset)
 
+    def search_constant_score(
+        self, query_text: str, k: int = 10, boost: float = 1.0
+    ) -> DataFrame:
+        """ConstantScoreQuery (Lucene filter context): every doc
+        matching the OR query scores exactly ``boost``; ties broken —
+        hence ranking fully determined — by doc_id ASC. Scoring work
+        is skipped entirely (zero weight closures: the kernel decodes
+        doc ids, never computes tf weights); ≤ k ids per range leave
+        the executors. Returns (rank, doc_id, score)."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_full(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+
+        def zero(tfs, dls):
+            return np.zeros(len(tfs), dtype=np.float64)
+
+        weight_of = {tid: zero for (_df, _cf, _b, tid) in info.values()}
+        scorer = similarity_range_scorer(
+            weight_of, k, deleted=self._deleted
+        )
+        local = self._pruned_segments(info).groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local.select("doc_id"), [F.asc("doc_id")], k
+        ).select(
+            "rank", "doc_id",
+            F.lit(float(boost)).alias("score"),
+        )
+
     def search_after(
         self, query_text: str, after: tuple[float, int], k: int = 10
     ) -> DataFrame:
