@@ -99,14 +99,34 @@ def main() -> None:
 
     qs = entry_mod.queries()
     per_query: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
+    # Median-of-N timing (round-2 verdict "what's wrong #3"): a single
+    # pass conflates a query's cost with the JVM/GC/host state the
+    # preceding queries left behind (q1_pricing_summary read 4.1x its
+    # isolated cost in r02). Each query runs up to 3 times and the
+    # MEDIAN is recorded; queries whose first run exceeds the budget
+    # run once (re-running an 11s funnel 3x would triple bench wall
+    # time to re-measure queries that were never flagged).
+    REPEAT_BUDGET_SEC = 5.0
     for name in HEADLINE:
-        t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for it in range(3):
+            t0 = time.time()
+            n = len(qs[name](spark, sf_dir).collect())
+            runs.append(time.time() - t0)
+            if it == 0 and runs[0] > REPEAT_BUDGET_SEC:
+                break
+        med = sorted(runs)[len(runs) // 2]
+        per_query[name] = round(med, 3)
+        samples[name] = [round(x, 3) for x in runs]
+        total += med
+        print(
+            f"# {name}: {med:.2f}s median of "
+            f"{[round(x, 2) for x in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # index build + query benchmark on the deterministic corpus
     import shutil
@@ -258,6 +278,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "samples": samples,
+                "timing": "median of <=3 runs per headline query "
+                "(1 run if first exceeds 5s); index modes 1 run",
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "index": {
                     "corpus_docs": stats["n_docs"],

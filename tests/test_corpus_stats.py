@@ -145,3 +145,19 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(pairs, max_iter=64).collect()
     }
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_raises_on_max_iter_exhausted(spark):
+    """When the graph diameter exceeds max_iter the labels are only
+    PARTIALLY propagated — returning them silently would make cluster
+    dedup keep two representatives of one cluster (round-2 ADVICE).
+    Must raise, never under-merge quietly."""
+    import pytest as _pytest
+
+    from tlhop_library_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3).collect()

@@ -78,6 +78,52 @@ def test_hashed_shingles_match_string_path(spark, hot_corpus):
     assert a == b and len(a) > 0
 
 
+def test_auto_cap_engages_relative_to_corpus_size(
+    spark, hot_corpus, monkeypatch
+):
+    """max_shingle_df="auto" derives the cap from corpus size:
+    max(FLOOR, ceil(FRAC * n_docs)). With FLOOR=5, FRAC=0.1 on the
+    60-doc fixture the cap is ceil(6)=6 < 60, so the df=60 boilerplate
+    shingles are dropped exactly like an explicit cap."""
+    monkeypatch.setattr(dedup, "SHINGLE_DF_AUTO_FLOOR", 5)
+    monkeypatch.setattr(dedup, "SHINGLE_DF_AUTO_FRAC", 0.1)
+    sh_auto = dedup.shingles(hot_corpus, n=3, max_shingle_df="auto")
+    max_df = (
+        sh_auto.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert max_df <= 6
+
+
+def test_auto_cap_floor_keeps_small_corpora_uncapped(spark, hot_corpus):
+    """With the production FLOOR (100) the auto cap is inert on a
+    60-doc corpus — low-SF gate results are unchanged vs uncapped."""
+    a = dedup.shingles(hot_corpus, n=3, max_shingle_df="auto").count()
+    b = dedup.shingles(hot_corpus, n=3).count()
+    assert a == b
+
+
+def test_funnel_defaults_cap_on(spark, hot_corpus, monkeypatch):
+    """prepare_training_data defaults max_shingle_df='auto'; with a
+    tiny monkeypatched floor, boilerplate-only near-dups survive the
+    funnel (their only shared shingles are dropped → not near-dups),
+    while passing max_shingle_df=None drops them as near-dups."""
+    from tlhop_library_spark.pipeline import prepare_training_data
+
+    monkeypatch.setattr(dedup, "SHINGLE_DF_AUTO_FLOOR", 5)
+    monkeypatch.setattr(dedup, "SHINGLE_DF_AUTO_FRAC", 0.01)
+    survivors_auto = prepare_training_data(
+        hot_corpus, min_quality=0.0, jaccard_threshold=0.3
+    ).count()
+    survivors_uncapped = prepare_training_data(
+        hot_corpus, min_quality=0.0, jaccard_threshold=0.3,
+        max_shingle_df=None,
+    ).count()
+    assert survivors_auto > survivors_uncapped
+
+
 def test_minhash_capped_signatures_ignore_boilerplate(spark, hot_corpus):
     """With the hot shingles dropped, each doc's signature derives only
     from its unique tail → LSH bands disagree → no candidate pairs."""

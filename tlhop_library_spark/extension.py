@@ -63,6 +63,89 @@ class TlhopExtension:
 
         return prepare_training_data(self._df, **kw)
 
+    # webpage / screenshot wrappers (ref shodan_library.py:95-215,
+    # tlhop_abstraction.py:61-82)
+    def describe_html(self, html_col: str = "html",
+                      title_col: str = "title"):
+        """Adds ``webpage_stats`` (CODE_AND_TITLE/ONLY_CODE/ONLY_TITLE/
+        BOTH_EMPTY). The reference wrapper is broken (calls a
+        nonexistent function); this is the working equivalent."""
+        from pyspark.sql import functions as F
+
+        from tlhop_library_spark.functions import strings
+
+        return self._df.withColumn(
+            "webpage_stats",
+            strings.webpage_stats(F.col(html_col), F.col(title_col)),
+        )
+
+    def filter_valid_html_page(self, hash_col: str = "html_hash",
+                               status_col: str = "http_code"):
+        """ref shodan_library.py:104-116: non-zero/non-null page hash
+        AND 200 status."""
+        from pyspark.sql import functions as F
+
+        return self._df.filter(
+            (F.col(hash_col) != "0")
+            & F.col(hash_col).isNotNull()
+            & (F.col(status_col) == "200_HTTP_OK")
+        )
+
+    def get_html_lang(self, input_col: str = "html",
+                      output_col: str = "html_lang"):
+        """ref shodan_library.py:118-130: lang attr regexp → ISO-639
+        normalized name, all JVM-side."""
+        from pyspark.sql import functions as F
+
+        from tlhop_library_spark.functions import strings
+
+        return self._df.withColumn(
+            output_col,
+            strings.normalize_lang_code(
+                strings.html_lang_attr(F.col(input_col))
+            ),
+        )
+
+    def filter_banners_with_screenshot(self, opts_col: str = "opts"):
+        """ref shodan_library.py:168-175: rows whose opts JSON carries
+        a screenshot payload."""
+        from pyspark.sql import functions as F
+
+        return self._df.filter(F.col(opts_col).contains("screenshot"))
+
+    def extract_screenshot(self, opts_col: str = "opts"):
+        """ref shodan_library.py:177-200: opts JSON → screenshot_labels
+        + screenshot_img (inline <img> tag). from_json + JVM concat —
+        the reference does this via a scalar get_fields UDF."""
+        from pyspark.sql import functions as F
+
+        from tlhop_library_spark.functions import strings
+
+        shot = F.from_json(
+            F.get_json_object(F.col(opts_col), "$.screenshot"),
+            "labels array<string>, mime string, data string",
+        )
+        return (
+            self._df.withColumn("__shot", shot)
+            .withColumn("screenshot_labels", F.col("__shot.labels"))
+            .withColumn(
+                "screenshot_img",
+                strings.screenshot_img_tag(
+                    F.col("__shot.mime"), F.col("__shot.data")
+                ),
+            )
+            .drop("__shot")
+        )
+
+    def to_html(self, size: int = 1000) -> str:
+        """ref shodan_library.py:203-215 print_screenshot: first
+        ``size`` rows (hard-capped at 1000 like the reference) as an
+        unescaped HTML table string (IPython-free: returns the HTML;
+        wrap in IPython.display.HTML yourself if in a notebook)."""
+        return self._df.limit(min(size, 1000)).toPandas().to_html(
+            escape=False
+        )
+
     # relational conveniences (ref shodan_library frequency/cdf ops)
     def frequency(self, col: str, top: int | None = None):
         return relational.frequency(self._df, col, top)

@@ -37,6 +37,41 @@ def html_lang_attr(html: Column) -> Column:
     return F.regexp_extract(html, r"""lang=["']?([A-Za-z\-_]+)""", 1)
 
 
+def webpage_stats(html: Column, title: Column) -> Column:
+    """Webpage-content presence class — CODE_AND_TITLE / ONLY_CODE /
+    ONLY_TITLE / BOTH_EMPTY (ref shodan_library.py:95-102; the
+    reference's ``describe_html`` accessor wrapper is broken — it
+    calls a nonexistent ``shodan_lib.shodan_lib.describe_html``,
+    tlhop_abstraction.py:61-62 — this is the working equivalent).
+    Pure JVM CASE expression; ``length`` counts bytes on binary
+    columns, chars on strings, matching the reference's use on both.
+    NULL inputs fall through each WHEN exactly like the reference
+    (length(NULL) > 0 is NULL → not matched)."""
+    has_html = F.length(html) > 0
+    has_title = F.length(title) > 0
+    return (
+        F.when(has_html & has_title, F.lit("CODE_AND_TITLE"))
+        .when(has_html, F.lit("ONLY_CODE"))
+        .when(has_title, F.lit("ONLY_TITLE"))
+        .otherwise(F.lit("BOTH_EMPTY"))
+    )
+
+
+def screenshot_img_tag(mime: Column, data_b64: Column) -> Column:
+    """Inline ``<img>`` tag from (mime, base64 payload) — the assembly
+    half of the reference's ``extract_screenshot``
+    (shodan_library.py:177-200): strip newlines from the base64 body,
+    concat into ``<img src="data:MIME;base64,DATA" >``. Pure JVM."""
+    return F.concat_ws(
+        "",
+        F.lit('<img src="data:'),
+        mime,
+        F.lit(";base64,"),
+        F.translate(data_b64, "\n", ""),
+        F.lit('" >'),
+    )
+
+
 def normalize_lang_code(code: Column) -> Column:
     """F3 — ISO-639 normalization, JVM-side: lowercase, quotes strip,
     '_'→'-', primary subtag, mapped name or NULL."""

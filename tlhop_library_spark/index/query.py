@@ -435,9 +435,15 @@ def dismax_range_scorer(weight_of: dict, k: int, tie_breaker: float,
     """applyInPandas kernel for DisjunctionMaxQuery retrieval over ONE
     doc range (Lucene ``DisMaxQuery``): per doc,
     ``score = max_t w_t + tie_breaker · (Σ_t w_t − max_t w_t)``.
-    Per-term weights are summed WITHIN a term first (a term's postings
-    for one doc may span append-boundary chunks), so the max/sum
-    combination always sees exactly one weight per (doc, term)."""
+
+    A (term, range) may arrive as several CHUNK rows after appends,
+    but chunks are doc-DISJOINT (append.py:14 — each append batch owns
+    a fresh doc-id range), so concatenating the decoded chunks yields
+    exactly one posting per (doc, term) and the per-term unique/sum
+    pass is a structural no-op that only canonicalizes ordering. It
+    must never be asked to merge a same-doc split: for nonlinear BM25
+    weights, weight(tf₁)+weight(tf₂) ≠ weight(tf₁+tf₂) — disjointness
+    is the invariant that makes per-chunk weighting exact."""
     from tlhop_library_spark.index.phrase import decode_chunk
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1976,7 +1982,17 @@ class IndexReader:
         evaluated inside the per-range kernel, so per-range heaps stay
         size k at any depth — the scalable alternative to
         :meth:`search_page`, whose heaps grow with the offset.
-        Returns (rank, doc_id, score); rank restarts at 1 per page."""
+        Returns (rank, doc_id, score); rank restarts at 1 per page.
+
+        Cursor contract: ``after`` must be a (score, doc_id) taken
+        from a PRIOR ``search_after``/``search`` page of the same
+        reader. Scores are compared on the ROUND_DIGITS-rounded grid
+        with exact equality; the exhaustive and block-max kernels sum
+        per-term contributions in the same ascending-tid order, so a
+        page-boundary score rounds identically across the two paths —
+        but a cursor fabricated from a differently-rounded source
+        (e.g. an external float) may skip or duplicate boundary-tied
+        docs."""
         terms = sorted(set(py_tokens(query_text)))
         info = self.lookup_terms_full(terms)
         empty = self.spark.createDataFrame(
@@ -2918,7 +2934,13 @@ class IndexReader:
         Integer fields only (result casts the field to long). Shape:
         hit stream equi-joined to the docs scan on doc_id, then
         ``ranked_topk`` (TakeOrderedAndProject) on (field, doc_id) —
-        only k rows reach the driver."""
+        only k rows reach the driver.
+
+        NULL placement matches the SQL oracle (DuckDB default):
+        ASC → NULLS LAST, DESC → NULLS FIRST — Spark's bare
+        asc()/desc() would put them the other way around and a
+        matching doc with a NULL sort field would top the ascending
+        result (round-2 ADVICE)."""
         hits = self._matching_scores(query_text)
         j = hits.join(
             docs.select("doc_id", F.col(field).cast("long").alias(field)),
@@ -2926,7 +2948,10 @@ class IndexReader:
         )
         from tlhop_library_spark.operators.relational import ranked_topk
 
-        order = F.asc(field) if ascending else F.desc(field)
+        order = (
+            F.asc_nulls_last(field) if ascending
+            else F.desc_nulls_first(field)
+        )
         return ranked_topk(j, [order, F.asc("doc_id")], k).select(
             "rank", "doc_id", field, "score"
         )

@@ -25,6 +25,16 @@ from tlhop_library_spark.analyzer import tokens_col
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 rows/band × 4 bands = 16 perms
 
+#: ``max_shingle_df="auto"`` rule: drop shingles with document
+#: frequency above max(AUTO_DF_FLOOR, ceil(AUTO_DF_FRAC * n_docs)).
+#: The fraction bounds join fan-out relative to corpus size (0.1% of
+#: 10^12 docs still caps any one shingle's contribution at 10^9 rows
+#: ≪ the 10^18 an uncapped boilerplate shingle would produce); the
+#: floor keeps the cap inert on small corpora so low-SF correctness
+#: gates are unaffected. Tests monkeypatch these to exercise the rule.
+SHINGLE_DF_AUTO_FRAC = 0.001
+SHINGLE_DF_AUTO_FLOOR = 100
+
 
 def _tok(docs: DataFrame) -> DataFrame:
     return docs.where(F.col("text").isNotNull()).select(
@@ -57,7 +67,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def shingles(
-    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+    docs: DataFrame, n: int = 3, max_shingle_df: int | str | None = None
 ) -> DataFrame:
     """(doc_id, shingle) — distinct n-gram token shingles per doc.
 
@@ -69,23 +79,40 @@ def shingles(
     |shingle instances| / max_shingle_df entries). Trades a bounded
     amount of recall (pairs similar ONLY through boilerplate) for a
     per-shingle join fan-out cap — required at 10^12-doc scale.
+
+    ``max_shingle_df="auto"`` derives the cap from corpus size
+    LAZILY (no driver action): df > max(SHINGLE_DF_AUTO_FLOOR,
+    ceil(SHINGLE_DF_AUTO_FRAC * n_docs)) where n_docs counts the docs
+    that actually enter shingling (≥n tokens). The one-row count is
+    cross-joined broadcast into the hot-shingle filter, so the whole
+    thing stays a single declarative plan.
     """
     t = _tok(docs)
     idx = F.sequence(F.lit(0), F.size("toks") - n)
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
     )
-    out = (
-        t.where(F.size("toks") >= n)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    eligible = t.where(F.size("toks") >= n)
+    out = eligible.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
     if max_shingle_df is not None:
-        hot = (
-            out.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
+        df_counts = out.groupBy("shingle").agg(F.count("*").alias("df"))
+        if max_shingle_df == "auto":
+            nd = eligible.agg(F.count("*").alias("__nd"))
+            cap = F.greatest(
+                F.lit(SHINGLE_DF_AUTO_FLOOR).cast("long"),
+                F.ceil(F.col("__nd") * F.lit(SHINGLE_DF_AUTO_FRAC)),
+            )
+            hot = (
+                df_counts.crossJoin(F.broadcast(nd))
+                .where(F.col("df") > cap)
+                .select("shingle")
+            )
+        else:
+            hot = df_counts.where(
+                F.col("df") > int(max_shingle_df)
+            ).select("shingle")
         out = out.join(F.broadcast(hot), "shingle", "left_anti")
     return out
 
@@ -94,7 +121,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.4,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = None,
     hashed_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle equi-join.
@@ -159,7 +186,7 @@ def ngram_jaccard_pairs(
 
 
 def minhash_table(
-    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+    docs: DataFrame, n: int = 3, max_shingle_df: int | str | None = None
 ) -> DataFrame:
     """(doc_id, h0..h{MINHASH_PERMS-1}) — the full MinHash signature as
     MINHASH_PERMS aggregate columns over ONE groupBy(doc_id) pass.
@@ -182,7 +209,7 @@ def minhash_table(
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+    docs: DataFrame, n: int = 3, max_shingle_df: int | str | None = None
 ) -> DataFrame:
     """(doc_id, sig_i, min_hash) — long-format view of minhash_table
     (unpivoted AFTER the aggregation, so the explosion never shuffles).
@@ -203,7 +230,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, n: int = 3, max_shingle_df: int | None = None
+    docs: DataFrame, n: int = 3, max_shingle_df: int | str | None = None
 ) -> DataFrame:
     """LSH banding: pairs sharing ≥1 band bucket (doc_a, doc_b, n_bands).
 
@@ -260,7 +287,7 @@ def minhash_near_dup_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.4,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline: LSH banding candidates → exact
     jaccard verification restricted to candidates.
@@ -489,4 +516,15 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # labels-only-decrease means a silent early return here would
+        # hand back PARTIALLY-converged components (a node that is a
+        # local but not global minimum keeps its own id → cluster
+        # dedup would keep two representatives) — round-2 ADVICE:
+        # fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter); raise "
+            "max_iter — labels would be only partially propagated"
+        )
     return labels

@@ -71,7 +71,15 @@ def cdf_pdf(df: DataFrame, col: str) -> DataFrame:
     pulls to pandas and cumsums on the driver,
     /root/reference/tlhop/shodan_library.py:262-299 — the scale cliff
     this engine avoids): value counts + running-sum window over the
-    count-ordered axis."""
+    count-ordered axis.
+
+    CARDINALITY CONTRACT: the running-sum window is global (ordered,
+    un-partitioned), so after the groupBy the WHOLE counts table —
+    one row per distinct value of ``col`` — funnels through one task.
+    Fine for the intended enum-like axes (priorities, languages,
+    status codes: ≤ ~10^4 distinct); for high-cardinality axes use
+    :func:`cdf_pdf_partitioned`, which computes the same result with
+    a range-partitioned two-level prefix sum."""
     counts = df.groupBy(col).agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
     w = (
@@ -83,6 +91,56 @@ def cdf_pdf(df: DataFrame, col: str) -> DataFrame:
         .withColumn("pdf", F.round(F.col("n") / F.col("total"), 4))
         .withColumn(
             "cdf", F.round(F.sum("n").over(w) / F.col("total"), 4)
+        )
+        .select(col, "n", "pdf", "cdf")
+    )
+
+
+def cdf_pdf_partitioned(
+    df: DataFrame, col: str, num_partitions: int = 64
+) -> DataFrame:
+    """A7 at high cardinality — same output as :func:`cdf_pdf`, but
+    the running sum is a distributed two-level prefix sum, never a
+    single-partition window over the full counts table:
+
+    1. value counts are ``repartitionByRange(num_partitions, col)``
+       (globally ordered ACROSS partitions; Spark's range partitioner
+       samples with deterministic per-partition seeds, so the two plan
+       branches below see identical boundaries);
+    2. intra-partition running sums via a window PARTITIONED BY
+       ``spark_partition_id()`` — each task cumsums only its slice;
+    3. per-partition totals (``num_partitions`` rows) get their own
+       cumulative offsets — the only global window runs over those
+       ≤``num_partitions`` rows — and are broadcast-joined back.
+
+    cdf(v) = intra-partition running sum + offset of all earlier
+    partitions. Equivalence to ``cdf_pdf`` is asserted on a
+    10^5-distinct column in tests/test_operators.py."""
+    counts = df.groupBy(col).agg(F.count("*").alias("n"))
+    parts = counts.repartitionByRange(
+        num_partitions, F.asc(col)
+    ).withColumn("__pid", F.spark_partition_id())
+    totals = parts.groupBy("__pid").agg(F.sum("n").alias("__pn"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__pn").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    w_in = Window.partitionBy("__pid").orderBy(F.asc(col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        parts.withColumn("__run", F.sum("n").over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("pdf", F.round(F.col("n") / F.col("total"), 4))
+        .withColumn(
+            "cdf",
+            F.round(
+                (F.col("__run") + F.col("__off")) / F.col("total"), 4
+            ),
         )
         .select(col, "n", "pdf", "cdf")
     )

@@ -29,10 +29,20 @@ def prepare_training_data(
     docs: DataFrame,
     min_quality: float = 0.55,
     jaccard_threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
     near_dup_policy: str = "greedy",
+    cc_max_iter: int = 25,
 ) -> DataFrame:
     """(doc_id, n_tokens, quality) for the surviving documents.
+
+    ``max_shingle_df`` defaults to ``"auto"`` — at real scale the
+    boilerplate-shingle cap must be ON (an uncapped hot shingle with
+    df=D contributes D² candidate rows); the auto rule drops shingles
+    with df > max(dedup.SHINGLE_DF_AUTO_FLOOR,
+    ceil(dedup.SHINGLE_DF_AUTO_FRAC · n_docs)). Recall cost: only
+    pairs similar EXCLUSIVELY through boilerplate shingles are missed
+    (see COVERAGE.md for the measured delta). Pass ``None`` for the
+    uncapped semantics pin.
 
     Stages:
       1. quality ≥ min_quality (text.quality_score features);
@@ -59,7 +69,10 @@ def prepare_training_data(
         d2, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
     )
     if near_dup_policy == "cluster":
-        comp = dedup.connected_components(pairs)
+        # cc_max_iter bounds label-propagation rounds = cluster graph
+        # diameter; connected_components raises (never silently
+        # under-merges) if it is exhausted before the fixpoint
+        comp = dedup.connected_components(pairs, max_iter=cc_max_iter)
         drop = comp.where(
             F.col("doc_id") != F.col("component")
         ).select("doc_id")
