@@ -54,6 +54,7 @@ shutil.rmtree(idx, ignore_errors=True)
 t0 = time.time()
 stats = build_index(spark, docs, idx)
 build_sec = time.time() - t0
+build_end_ms = time.time() * 1000  # event-log CPU split boundary
 reader = IndexReader(spark, idx)
 reader.search("bace", 10).collect()  # real term: spins up the Python scorer workers
 qs = [("bace cada", 10), ("informação segurança", 10),
@@ -62,9 +63,29 @@ lat = []
 for q, k in qs:
     t0 = time.time(); reader.search(q, k).collect(); lat.append(time.time() - t0)
 lat.sort()
+# batched query THROUGHPUT (north rule pairs build docs/s with query
+# retrieval): search_many scans all queries' chunks in ONE job, so the
+# per-query marginal cost parallelizes — the scalable serving shape.
+# Deterministic 64-query batch spanning Zipf head and tail (large
+# enough that scoring work, not fixed job overhead, dominates).
+from tlhop_library_spark.corpus import build_vocab
+import numpy as _np
+_vocab = build_vocab()
+_rng = _np.random.default_rng(7)
+batch = []
+for i in range(64):
+    terms = [_vocab[int(_rng.integers(0, 2000))]
+             for _ in range(int(_rng.integers(1, 4)))]
+    batch.append((i, " ".join(terms), 10))
+reader.search_many(batch[:2]).collect()  # warm the batch kernel path
+t0 = time.time()
+n_hits = reader.search_many(batch).count()
+batch_sec = time.time() - t0
 spark.stop()
 cpu_ns = 0
 wall_ms = 0
+cpu_build_ns = 0
+wall_build_ms = 0
 for d in glob.glob(evdir + "/*"):
     files = glob.glob(d + "/events_*") if os.path.isdir(d) else [d]
     for fp in files:
@@ -74,18 +95,28 @@ for d in glob.glob(evdir + "/*"):
                     continue
                 e = json.loads(line)
                 ti = e["Task Info"]
-                wall_ms += ti["Finish Time"] - ti["Launch Time"]
+                dt_ms = ti["Finish Time"] - ti["Launch Time"]
                 tm = e.get("Task Metrics") or {{}}
-                cpu_ns += tm.get("Executor CPU Time", 0)
+                c = tm.get("Executor CPU Time", 0)
+                wall_ms += dt_ms
+                cpu_ns += c
+                if ti["Finish Time"] <= build_end_ms:
+                    wall_build_ms += dt_ms
+                    cpu_build_ns += c
         except Exception:
             pass
 print("RESULT " + json.dumps({{
     "cores": n, "build_sec": round(build_sec, 2),
     "docs_per_sec": round(stats["n_docs"] / build_sec, 1),
     "query_p50_sec": round(lat[len(lat)//2], 3),
+    "batch_queries": len(batch), "batch_sec": round(batch_sec, 2),
+    "batch_hits": n_hits,
+    "queries_per_sec": round(len(batch) / batch_sec, 2),
     "n_docs": stats["n_docs"],
     "task_seconds_total": round(wall_ms / 1000, 1),
     "cpu_seconds_total": round(cpu_ns / 1e9, 1),
+    "task_seconds_build": round(wall_build_ms / 1000, 1),
+    "cpu_seconds_build": round(cpu_build_ns / 1e9, 1),
     "phases": stats["phases"],
 }}))
 """

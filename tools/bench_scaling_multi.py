@@ -40,15 +40,20 @@ from bench_scaling import run_once  # noqa: E402
 OUT = REPO / "tools" / "scaling_studies.jsonl"
 
 
-def run_study(docs: int, runs: int) -> dict:
+def run_study(docs: int, runs: int, lo: int = 2) -> dict:
+    """One N-vs-4N study at parallelism pair (lo, 4*lo). The default
+    2→8 pair is the primary criterion cell; 1→4 runs entirely below
+    the host's bandwidth ceiling (extra headroom evidence) and 8→32
+    crosses it (ceiling gradient)."""
     from tlhop_library_spark.corpus import write_corpus_parquet
 
+    hi = 4 * lo
     workdir = tempfile.mkdtemp(prefix="tlhop_scale_", dir="/dev/shm")
     corpus = f"{workdir}/docs.parquet"
     write_corpus_parquet(corpus, n_docs=docs)
-    res: dict[int, list[dict]] = {2: [], 8: []}
+    res: dict[int, list[dict]] = {lo: [], hi: []}
     for r in range(runs):
-        for n in (2, 8):
+        for n in (lo, hi):
             x = run_once(n, corpus, workdir)
             res[n].append(x)
             print(
@@ -61,28 +66,46 @@ def run_study(docs: int, runs: int) -> dict:
     import shutil
 
     shutil.rmtree(workdir, ignore_errors=True)
-    thr2 = [x["docs_per_sec"] for x in res[2]]
-    thr8 = [x["docs_per_sec"] for x in res[8]]
+    thr2 = [x["docs_per_sec"] for x in res[lo]]
+    thr8 = [x["docs_per_sec"] for x in res[hi]]
     eff_runs = [round(b / (4.0 * a), 3) for a, b in zip(thr2, thr8)]
+
+    def _lvl(rs: list[dict]) -> dict:
+        out = {
+            "docs_per_sec": [x["docs_per_sec"] for x in rs],
+            "cpu_sec": [x["cpu_seconds_total"] for x in rs],
+            "wall_sec": [x["task_seconds_total"] for x in rs],
+        }
+        # workload-v2 children additionally report the build-phase CPU
+        # split + batched-query throughput; .get keeps old replays valid
+        if rs and "cpu_seconds_build" in rs[0]:
+            out["cpu_sec_build"] = [x["cpu_seconds_build"] for x in rs]
+            out["wall_sec_build"] = [x["task_seconds_build"] for x in rs]
+            out["queries_per_sec"] = [x["queries_per_sec"] for x in rs]
+        return out
+
     record = {
         "t_wall": int(time.time()),
         "docs": docs,
         "runs": runs,
-        "local2": {
-            "docs_per_sec": thr2,
-            "cpu_sec": [x["cpu_seconds_total"] for x in res[2]],
-            "wall_sec": [x["task_seconds_total"] for x in res[2]],
-        },
-        "local8": {
-            "docs_per_sec": thr8,
-            "cpu_sec": [x["cpu_seconds_total"] for x in res[8]],
-            "wall_sec": [x["task_seconds_total"] for x in res[8]],
-        },
+        "pair": [lo, hi],
+        "local2": _lvl(res[lo]),
+        "local8": _lvl(res[hi]),
         "eff_median": round(
             statistics.median(thr8) / (4.0 * statistics.median(thr2)), 3
         ),
         "eff_per_run": eff_runs,
     }
+    if "queries_per_sec" in record["local2"]:
+        q2 = record["local2"]["queries_per_sec"]
+        q8 = record["local8"]["queries_per_sec"]
+        record["q_eff_median"] = round(
+            statistics.median(q8) / (4.0 * statistics.median(q2)), 3
+        )
+        record["q_eff_per_run"] = [
+            round(b / (4.0 * a), 3) for a, b in zip(q2, q8)
+        ]
+        record["workload"] = 2
     with open(OUT, "a") as f:
         f.write(json.dumps(record) + "\n")
     print(json.dumps(record))
@@ -94,10 +117,13 @@ def report() -> None:
     if not recs:
         print("no studies recorded")
         return
-    effs = [r["eff_median"] for r in recs]
-    per_run = [e for r in recs for e in r["eff_per_run"]]
+    # distribution is over the PRIMARY 2→8 cell; other pairs (1→4,
+    # 8→32) are listed in the table as gradient evidence
+    prim = [r for r in recs if r.get("pair", [2, 8]) == [2, 8]]
+    effs = [r["eff_median"] for r in prim]
+    per_run = [e for r in prim for e in r["eff_per_run"]]
     effs_s = sorted(effs)
-    print(f"studies: {len(recs)}")
+    print(f"studies: {len(recs)} total, {len(prim)} at the 2→8 cell")
     print(
         f"study-median efficiency: min={effs_s[0]:.3f} "
         f"median={statistics.median(effs_s):.3f} max={effs_s[-1]:.3f}"
@@ -108,20 +134,36 @@ def report() -> None:
         f"max={max(per_run):.3f}; "
         f">=0.8 in {sum(1 for e in per_run if e >= 0.8)}/{len(per_run)}"
     )
+    q_effs = [r["q_eff_median"] for r in prim if "q_eff_median" in r]
+    if q_effs:
+        qs = sorted(q_effs)
+        print(
+            f"batched-query throughput efficiency (n={len(qs)} studies): "
+            f"min={qs[0]:.3f} median={statistics.median(qs):.3f} "
+            f"max={qs[-1]:.3f}"
+        )
     print()
-    print("| study | when (unix) | local[2] med docs/s | local[8] med docs/s |"
-          " eff (median) | per-run eff | cpu-sec 2 / 8 (med) |")
-    print("| --- | --- | --- | --- | --- | --- | --- |")
+    print("| study | when (unix) | pair | docs | N med docs/s | "
+          "4N med docs/s | eff (median) | per-run eff | "
+          "build cpu-sec N / 4N (med) | q-eff |")
+    print("| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |")
     for i, r in enumerate(recs):
+        lo, hi = r.get("pair", [2, 8])
         m2 = statistics.median(r["local2"]["docs_per_sec"])
         m8 = statistics.median(r["local8"]["docs_per_sec"])
-        c2 = statistics.median(r["local2"]["cpu_sec"])
-        c8 = statistics.median(r["local8"]["cpu_sec"])
+        c2 = statistics.median(
+            r["local2"].get("cpu_sec_build", r["local2"]["cpu_sec"])
+        )
+        c8 = statistics.median(
+            r["local8"].get("cpu_sec_build", r["local8"]["cpu_sec"])
+        )
+        qe = f"{r['q_eff_median']:.3f}" if "q_eff_median" in r else "—"
         print(
-            f"| {i + 1} | {r['t_wall']} | {m2:.0f} | {m8:.0f} | "
+            f"| {i + 1} | {r['t_wall']} | {lo}→{hi} | {r['docs']} | "
+            f"{m2:.0f} | {m8:.0f} | "
             f"**{r['eff_median']:.3f}** | "
             f"{', '.join(f'{e:.2f}' for e in r['eff_per_run'])} | "
-            f"{c2:.0f} / {c8:.0f} |"
+            f"{c2:.0f} / {c8:.0f} | {qe} |"
         )
 
 
@@ -129,12 +171,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=300_000)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--lo", type=int, default=2,
+        help="low parallelism level N of the N-vs-4N pair (2 is the "
+        "primary criterion cell; 1 stays below the bandwidth ceiling, "
+        "8 crosses it)",
+    )
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if args.report:
         report()
     else:
-        run_study(args.docs, args.runs)
+        run_study(args.docs, args.runs, lo=args.lo)
 
 
 if __name__ == "__main__":
