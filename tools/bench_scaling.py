@@ -275,6 +275,11 @@ def main():
     eff = {(a, b): med[b] / (4.0 * med[a]) for a, b in pairs}
     cpu_lo, cpu_hi = cpu[lo], cpu[hi]
     wall_lo, wall_hi = wall[lo], wall[hi]
+    has_v2 = all("queries_per_sec" in x for n in levels for x in results[n])
+    if has_v2:
+        qps = {n: statistics.median(x["queries_per_sec"] for x in results[n]) for n in levels}
+        cpub = {n: statistics.median(x["cpu_seconds_build"] for x in results[n]) for n in levels}
+        qeff = {(a, b): qps[b] / (4.0 * qps[a]) for a, b in pairs}
 
     lines = [
         "# BENCH — index-build throughput + BM25 query latency, N vs 4N scaling",
@@ -286,20 +291,30 @@ def main():
         "",
         "## Headline",
         "",
-        "| parallelism | build docs/sec (median) | query p50 (sec) | JVM CPU-seconds | task wall-seconds |",
-        "| --- | --- | --- | --- | --- |",
+        "| parallelism | build docs/sec (median) | query p50 (sec) |"
+        + (" batch q/s |" if has_v2 else "")
+        + " JVM CPU-seconds"
+        + (" (build-phase)" if has_v2 else "")
+        + " | task wall-seconds |",
+        "| --- | --- | --- | --- | --- |" + (" --- |" if has_v2 else ""),
     ] + [
-        f"| local[{n}] | {med[n]:.0f} | {p50[n]:.3f} | {cpu[n]:.0f} | {wall[n]:.0f} |"
+        f"| local[{n}] | {med[n]:.0f} | {p50[n]:.3f} | "
+        + (f"{qps[n]:.1f} | " if has_v2 else "")
+        + f"{cpu[n]:.0f}"
+        + (f" ({cpub[n]:.0f})" if has_v2 else "")
+        + f" | {wall[n]:.0f} |"
         for n in levels
     ] + [
         "",
         "**N-vs-4N strong-scaling efficiency** (same job, same input,",
         "4× the cores):",
         "",
-        "| pair | efficiency = thr(4N) / (4 × thr(N)) |",
-        "| --- | --- |",
+        "| pair | build efficiency = thr(4N) / (4 × thr(N)) |"
+        + (" batched-query efficiency |" if has_v2 else ""),
+        "| --- | --- |" + (" --- |" if has_v2 else ""),
     ] + [
         f"| local[{a}] → local[{b}] | {med[b]:.0f} / (4 × {med[a]:.0f}) = **{eff[(a, b)]:.3f}** |"
+        + (f" {qeff[(a, b)]:.3f} |" if has_v2 else "")
         for a, b in pairs
     ] + [
         "",
