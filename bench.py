@@ -98,6 +98,11 @@ def main() -> None:
     ).count()
 
     qs = entry_mod.queries()
+    # One NON-headline search gate through the exhaustive-scoring plan
+    # shape: its first execution pays the plan-specific JVM codegen /
+    # JIT warm-up that would otherwise land on bm25_topk's first
+    # sample (measured 4x decay over repeats of the same plan).
+    qs["bm25_conjunctive"](spark, sf_dir).collect()
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     total = 0.0
