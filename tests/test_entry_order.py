@@ -57,3 +57,16 @@ def test_interleave_is_deterministic_and_lossless():
     a, b = list(entry.queries()), list(entry.queries())
     assert a == b
     assert len(a) == len(set(a))
+
+
+def test_bench_headline_and_warmup_are_registered_gates():
+    """bench.py times HEADLINE entries (and warms with
+    bm25_conjunctive) straight out of queries() — a renamed/removed
+    gate must fail here, not as a KeyError mid-bench in the driver's
+    per-round run."""
+    import bench
+
+    keys = set(entry.queries())
+    missing = [n for n in bench.HEADLINE if n not in keys]
+    assert missing == [], f"HEADLINE names not in queries(): {missing}"
+    assert "bm25_conjunctive" in keys  # warm-up gate
