@@ -109,6 +109,10 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
                "phrase_topk", "bm25_fuzzy", "bm25_sharded",
                "bm25_incremental", "bm25_after_delete", "facet_lang",
                "bm25_serving", "bm25_expanded", "bm25_boolean"],
+    "dedup": ["dedup_exact", "dup_groups", "ngram_jaccard_pairs",
+              "near_dup_components", "ngram_jaccard_capped",
+              "minhash_lsh_pairs", "training_data_prep",
+              "simhash_pairs"],
 }
 
 
@@ -117,7 +121,7 @@ def _family(key: str) -> str:
     if key in ("extract_html_info", "webpage_stats"):
         return "extraction"
     if key in ("tfidf_keywords", "pmi_collocations", "contamination",
-               "stratified_sample"):
+               "stratified_sample", "lm_perplexity"):
         return "corpus"
     if key.startswith(("cosine_", "embedding_", "lsh_", "knn_", "ivf_")):
         return "similarity"
@@ -697,6 +701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stratified_sample"] = lambda s, d: corpus_stats.stratified_sample(
         _t(s, d, "documents"), "lang", STRATA_FRACTIONS
     ).select("doc_id", "lang", "source")
+    # CCNet-style bigram-LM quality signal, self-trained on the corpus
+    q["lm_perplexity"] = lambda s, d: corpus_stats.lm_perplexity(
+        _t(s, d, "documents")
+    )
 
     # exact distributed percentile + sample stddev per group (pure
     # JVM aggregate — no sort-all, no driver funnel)
@@ -1640,6 +1648,32 @@ FROM documents GROUP BY lang
     )
     o["stratified_sample"] = f"""
 SELECT doc_id, lang, source FROM documents WHERE {_strata_pred}
+"""
+
+    o["lm_perplexity"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1
+), vocab AS (
+  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS term FROM base)
+), scored AS (
+  SELECT p.doc_id,
+         log2((big.c12 + 0.5) / (ctx.c1 + 0.5 * vocab.v)) AS logp
+  FROM pairs p, big, ctx, vocab
+  WHERE p.w1 = big.w1 AND p.w2 = big.w2 AND p.w1 = ctx.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(logp), 4) AS avg_logp,
+       round(pow(2.0, -avg(logp)), 4) AS perplexity
+FROM scored GROUP BY doc_id
 """
 
     o["winnow_fingerprint"] = f"""

@@ -161,3 +161,60 @@ def test_connected_components_raises_on_max_iter_exhausted(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=3).collect()
+
+
+def test_lm_perplexity_matches_hand_computation(spark):
+    """Frozen-spec check on a corpus small enough to do by hand:
+    docs {0: 'aaa bbb aaa bbb', 1: 'aaa bbb'} give bigram counts
+    c12(aaa,bbb)=3, c12(bbb,aaa)=1; contexts c1(aaa)=3, c1(bbb)=1;
+    V=2, k=0.5."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb aaa bbb"), (1, "aaa bbb")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus_stats.lm_perplexity(docs).collect()
+    }
+    lp_ab = math.log2((3 + 0.5) / (3 + 0.5 * 2))   # P(bbb|aaa)=0.875
+    lp_ba = math.log2((1 + 0.5) / (1 + 0.5 * 2))   # P(aaa|bbb)=0.75
+    avg0 = (2 * lp_ab + lp_ba) / 3
+    assert got[0]["n_bigrams"] == 3
+    assert got[0]["avg_logp"] == round(avg0, 4)
+    assert got[0]["perplexity"] == round(2 ** (-avg0), 4)
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["perplexity"] == round(1 / 0.875, 4)
+
+
+def test_lm_perplexity_unseen_scores_one_over_v(spark):
+    """Held-out doc whose tokens never occur in training: every
+    bigram backs off to P = k / (k·V) = 1/V, so perplexity = V
+    exactly — the add-k floor, not a crash or a null."""
+    train = spark.createDataFrame(
+        [(0, "aaa bbb aaa")], "doc_id long, text string"
+    )  # V = 2
+    held = spark.createDataFrame(
+        [(9, "xxx yyy xxx")], "doc_id long, text string"
+    )
+    model = corpus_stats.train_bigram_lm(train)
+    got = corpus_stats.lm_perplexity(held, model=model).collect()
+    assert len(got) == 1
+    assert got[0]["avg_logp"] == -1.0
+    assert got[0]["perplexity"] == 2.0
+
+
+def test_lm_perplexity_short_docs_absent_and_noise_ranks_higher(spark):
+    """Docs with <2 tokens have no bigrams and are absent; under a
+    model trained on repetitive text, a noise doc scores strictly
+    higher perplexity than an in-distribution doc."""
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows += [(100, "zzz qqq vvv kkk www"), (101, "one"), (102, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in corpus_stats.lm_perplexity(docs).collect()
+    }
+    assert 101 not in got and 102 not in got
+    assert got[100] > got[0]

@@ -182,6 +182,105 @@ def contamination_score(
     )
 
 
+def _bigram_pairs(t: DataFrame, keep_doc: bool = False) -> DataFrame:
+    """Adjacent-token pairs (w1, w2) from a (doc_id, toks) frame —
+    the PMI/collocation explode shape, optionally keeping doc_id."""
+    head = ["doc_id"] if keep_doc else []
+    return (
+        t.where(F.size("toks") >= 2)
+        .select(
+            *head,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                    F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            *head,
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train an add-k-smoothed bigram language model over a corpus
+    (the CCNet-style LM-quality-filter building block).
+
+    Returns three lazy DataFrames:
+    - bigram counts ``(w1, w2, c12)``,
+    - context counts ``(w1, c1)`` where c1 = Σ_w2 c12 (aggregated from
+      the already-reduced bigram table, NOT a second pass over the raw
+      token stream),
+    - vocabulary size ``(v)`` — ONE row, count of distinct tokens over
+      every position of the training corpus.
+
+    Scale shape: one explode + hash-agg over the token stream for the
+    bigram counts (the one wide shuffle); context counts reduce the
+    bigram table; the vocab row broadcasts. No Python on any path.
+    """
+    t = _tokens(docs)
+    pairs = _bigram_pairs(t)
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        t.select(F.explode("toks").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    return big, ctx, vocab
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet-style quality
+    signal (low perplexity ≈ fluent under the reference corpus, high ≈
+    noise). Re-expresses the reference's per-row quality heuristics
+    (``/root/reference/tlhop/library.py:62-97`` cleaning + scoring) as
+    a distributed statistical filter.
+
+    Frozen spec: with counts from ``model`` (default: train on
+    ``docs`` itself) and k = ``add_k``,
+    ``P(w2|w1) = (c12 + k) / (c1 + k·V)`` (unseen bigram/context ⇒
+    counts 0, so an unknown context scores 1/V);
+    ``logp = log2 P``; per doc over its adjacent pairs:
+    ``avg_logp = round(avg(logp), 4)``,
+    ``perplexity = round(2^(-avg(logp)), 4)``.
+    Docs with fewer than 2 tokens are absent. Returns
+    ``(doc_id, n_bigrams, avg_logp, perplexity)``.
+
+    Scale shape: the doc-side explode joins the trained counts on
+    (w1, w2) — a plain equi-join (AQE splits Zipf-head skew); the
+    context join on w1 reuses the smaller reduced table; the 1-row
+    vocab side is a broadcast. One hash-agg back to doc grain.
+    """
+    big, ctx, vocab = model if model is not None else train_bigram_lm(docs)
+    pairs = _bigram_pairs(_tokens(docs), keep_doc=True)
+    logp = F.log2(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v"))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("logp"), ROUND).alias("avg_logp"),
+        F.round(F.pow(F.lit(2.0), -F.avg("logp")), ROUND).alias(
+            "perplexity"
+        ),
+    )
+
+
 def strata_hash(strata: Column, key: Column, salt: str = "v1") -> Column:
     """Deterministic per-row bucket in [0, 10000): the first 8 hex
     chars of md5('salt|strata|key') as an integer, mod 10000. The SAME
