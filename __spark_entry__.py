@@ -489,6 +489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_fuzzy"] = lambda s, d: _indexed_reader(s, d).search_fuzzy(
         FUZZY_QUERY, k=10, max_edits=1
     )
+    # did-you-mean: length-pruned dictionary scan, (dist, df desc,
+    # term) total order — deterministic under the value oracle
+    q["term_suggest"] = lambda s, d: _indexed_reader(s, d).suggest_df(
+        "part", max_edits=2, n=10
+    )
     q["bm25_fuzzy_exhaustive"] = lambda s, d: _fuzzy_exhaustive(
         _t(s, d, "documents"), FUZZY_QUERY, k=10, max_edits=1
     )
@@ -1455,6 +1460,20 @@ SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
     o["doc_lengths"] = f"""
 SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS dl
 FROM documents WHERE text IS NOT NULL
+"""
+
+    o["term_suggest"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT term, CAST(levenshtein(term, 'part') AS INT) AS dist, df
+FROM dict
+WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 10
 """
 
     o["term_topk_freq"] = f"""

@@ -2603,14 +2603,16 @@ class IndexReader:
         )
         return {r["term"]: (r["df"], r["bucket"], r["tid"]) for r in rows}
 
-    def suggest(
+    def suggest_df(
         self, term: str, max_edits: int = 2, n: int = 5
-    ) -> list[tuple[str, int, int]]:
-        """Did-you-mean: the ``n`` dictionary terms closest to
-        ``term``, as (term, distance, df) ranked by (edit distance
-        asc, df desc, term asc). One length-pruned distributed
-        dictionary scan; ``orderBy().limit(n)`` keeps the collect to n
-        rows. An exact vocabulary hit ranks first (distance 0)."""
+    ) -> DataFrame:
+        """Did-you-mean as a DataFrame: the ``n`` dictionary terms
+        closest to ``term`` as (term, dist, df) rows ranked by
+        (edit distance asc, df desc, term asc) — a total order, so
+        the limit is deterministic. One length-pruned distributed
+        dictionary scan; ``orderBy().limit(n)`` is a
+        TakeOrderedAndProject (per-partition heaps, no global sort).
+        An exact vocabulary hit ranks first (distance 0)."""
         toks = py_tokens(term)
         if len(toks) != 1:
             raise ValueError(
@@ -2618,20 +2620,28 @@ class IndexReader:
                 f"{term!r} -> {toks}"
             )
         q = toks[0]
-        rows = (
+        return (
             self._dict.where(
                 (F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
                 & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
             )
             .select(
                 "term",
-                F.levenshtein(F.col("term"), F.lit(q)).alias("dist"),
+                F.levenshtein(F.col("term"), F.lit(q))
+                .cast("int")
+                .alias("dist"),
                 "df",
             )
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
             .limit(n)
-            .collect()
         )
+
+    def suggest(
+        self, term: str, max_edits: int = 2, n: int = 5
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean: :meth:`suggest_df` collected to
+        [(term, distance, df)] — the collect is ≤ n rows."""
+        rows = self.suggest_df(term, max_edits, n).collect()
         return [(r["term"], r["dist"], r["df"]) for r in rows]
 
     def search_fuzzy(
