@@ -788,6 +788,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_data_prep_cluster"] = training_data_prep_cluster
 
+    # CCNet-style funnel: quality → bigram-LM perplexity cap (model
+    # self-trained on the post-quality corpus) → exact dedup → LSH
+    def training_data_prep_lm(s, d):
+        from tlhop_library_spark.pipeline import prepare_training_data
+
+        return prepare_training_data(
+            _t(s, d, "documents"), min_quality=0.55,
+            jaccard_threshold=0.5, max_perplexity=30.0,
+        )
+
+    q["training_data_prep_lm"] = training_data_prep_lm
+
     # the full at-scale near-dup pipeline: LSH banding candidates →
     # exact jaccard verification on candidates only
     q["minhash_verified_pairs"] = lambda s, d: dedup.minhash_near_dup_pairs(
@@ -1950,6 +1962,41 @@ WHERE d2.doc_id NOT IN (SELECT doc_id FROM dropped)
         )
     )
     assert "walk(a, lbl)" in o["training_data_prep_cluster"]
+
+    # LM-filtered funnel: derive from the base funnel oracle by
+    # inserting the perplexity CTEs after d1 and pointing the exact-
+    # dedup stage at the filtered d1b (same downstream SQL verbatim)
+    _LM_CTES = """), lm_pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM d1, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), lm_big AS (
+  SELECT w1, w2, count(*) AS c12 FROM lm_pairs GROUP BY w1, w2
+), lm_ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM lm_big GROUP BY w1
+), lm_vocab AS (
+  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS term FROM d1)
+), lm AS (
+  SELECT p.doc_id,
+         round(pow(2.0, -avg(log2((b.c12 + 0.5) /
+                                  (c.c1 + 0.5 * lm_vocab.v)))), 4) AS ppl
+  FROM lm_pairs p, lm_big b, lm_ctx c, lm_vocab
+  WHERE p.w1 = b.w1 AND p.w2 = b.w2 AND p.w1 = c.w1
+  GROUP BY p.doc_id
+), d1b AS (
+  SELECT d1.* FROM d1 LEFT JOIN lm USING (doc_id)
+  WHERE lm.ppl IS NULL OR lm.ppl <= 30.0
+), reps AS ("""
+    o["training_data_prep_lm"] = (
+        o["training_data_prep"]
+        .replace("), reps AS (", _LM_CTES)
+        .replace("FROM d1 GROUP BY md5(text)", "FROM d1b GROUP BY md5(text)")
+        .replace("SELECT d1.* FROM d1 JOIN reps USING (doc_id)",
+                 "SELECT d1b.* FROM d1b JOIN reps USING (doc_id)")
+    )
+    assert "d1b" in o["training_data_prep_lm"]
+    assert o["training_data_prep_lm"].count("lm_vocab") == 3
 
     o["simhash_pairs"] = _simhash_pairs_sql(max_hamming=3)
 

@@ -80,3 +80,32 @@ def test_cluster_policy_is_subset_and_transitive(spark):
     assert cluster <= greedy
     assert 10 in cluster and 99 in cluster
     assert 20 not in cluster and 30 not in cluster
+
+
+def test_lm_stage_drops_only_high_perplexity_and_keeps_short(spark):
+    """max_perplexity drops exactly the docs whose self-trained bigram
+    perplexity exceeds the cap; docs too short to score (<2 tokens)
+    pass through; a huge cap is the identity funnel."""
+    from tlhop_library_spark.operators import corpus_stats
+
+    rows = [(i, "the cat sat on the mat and the cat sat again")
+            for i in range(30)]
+    rows += [(200, "zzz qqq vvv kkk www yyy xxx"), (201, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {r["doc_id"] for r in prepare_training_data(
+        docs, min_quality=0.0, max_perplexity=None).collect()}
+    capped_ids = {r["doc_id"] for r in prepare_training_data(
+        docs, min_quality=0.0, max_perplexity=1e9).collect()}
+    assert capped_ids == base  # huge cap ≡ no LM stage
+
+    # compute the stage's own view of who is noisy, then assert the
+    # funnel dropped exactly those (among base survivors)
+    ppl = {r["doc_id"]: r["perplexity"]
+           for r in corpus_stats.lm_perplexity(docs).collect()}
+    cap = sorted(ppl.values())[len(ppl) // 2]  # median as the cap
+    expect_noisy = {d for d, p in ppl.items() if p > cap}
+    got = {r["doc_id"] for r in prepare_training_data(
+        docs, min_quality=0.0, max_perplexity=cap).collect()}
+    assert got == base - expect_noisy
+    assert 201 in got  # 1-token doc unscorable -> kept

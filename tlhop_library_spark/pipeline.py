@@ -32,6 +32,7 @@ def prepare_training_data(
     max_shingle_df: int | str | None = "auto",
     near_dup_policy: str = "greedy",
     cc_max_iter: int = 25,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, quality) for the surviving documents.
 
@@ -46,6 +47,10 @@ def prepare_training_data(
 
     Stages:
       1. quality ≥ min_quality (text.quality_score features);
+      1b. (when ``max_perplexity`` is set) CCNet-style LM filter:
+          bigram perplexity under a model self-trained on the
+          post-quality corpus must be ≤ the cap (unscorable short
+          docs are kept);
       2. exact dedup — keep the min doc_id per md5(text);
       3. near-dup drop over MinHash-banded candidates with exact
          jaccard ≥ jaccard_threshold verification, under one of two
@@ -61,6 +66,20 @@ def prepare_training_data(
     q = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
     keep_q = q.where(F.col("quality") >= min_quality).select("doc_id")
     d1 = docs.join(keep_q, "doc_id", "left_semi")
+
+    if max_perplexity is not None:
+        # CCNet-style LM stage: bigram model self-trained on the
+        # post-quality corpus; drop docs whose (rounded) perplexity
+        # exceeds the cap. Docs too short to score (<2 tokens) are
+        # KEPT — no perplexity evidence is not evidence of noise.
+        from tlhop_library_spark.operators import corpus_stats
+
+        noisy = (
+            corpus_stats.lm_perplexity(d1)
+            .where(F.col("perplexity") > max_perplexity)
+            .select("doc_id")
+        )
+        d1 = d1.join(noisy, "doc_id", "left_anti")
 
     reps = dedup.dedup_exact(d1).select("doc_id")
     d2 = d1.join(reps, "doc_id", "left_semi")
