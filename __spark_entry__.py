@@ -126,10 +126,12 @@ def _family(key: str) -> str:
     if key.startswith(("cosine_", "embedding_", "lsh_", "knn_", "ivf_")):
         return "similarity"
     if key.startswith(("dedup_", "dup_", "ngram_", "near_dup",
-                       "minhash_", "simhash_", "training_data")):
+                       "minhash_", "simhash_", "training_data",
+                       "line_dedup")):
         return "dedup"
     if key.startswith(("token_", "text_", "lang_", "doc_fingerprint",
-                       "stopword_", "median_", "winnow_", "normalize_")):
+                       "stopword_", "median_", "winnow_", "normalize_",
+                       "gopher_")):
         return "text"
     if key.startswith(("bm25", "tfidf_topk", "lmdirichlet", "phrase_",
                        "proximity_", "span_", "term_", "facet_",
@@ -686,6 +688,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stopword_stats"] = lambda s, d: text.stopword_stats(
         _t(s, d, "documents")
     )
+
+    # ---- web-corpus cleaning (operators/cleaning.py) ----
+    from tlhop_library_spark.operators import cleaning
+
+    q["gopher_repetition"] = lambda s, d: cleaning.ngram_repetition_stats(
+        _t(s, d, "documents"), n_top=2, n_dup=5
+    )
+    q["gopher_quality"] = lambda s, d: cleaning.gopher_quality_flags(
+        _t(s, d, "documents")
+    )
+
+    # boilerplate line removal over a synthesized line structure (the
+    # flat test corpus has no newlines): chunk whitespace words into
+    # 3-word lines on BOTH sides, then drop lines seen in >= 2 docs
+    def line_dedup_boilerplate(s, d):
+        docs = _t(s, d, "documents")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        n_lines = F.ceil(F.size(words) / 3).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda g: F.array_join(F.slice(words, g * 3 + 1, 3), " "),
+        )
+        synth = docs.select(
+            "doc_id", F.array_join(lines, "\n").alias("text")
+        )
+        return cleaning.line_dedup(synth, min_df=2)
+
+    q["line_dedup_boilerplate"] = line_dedup_boilerplate
 
     # ---- corpus statistics (operators/corpus_stats.py) ----
     from tlhop_library_spark.operators import corpus_stats
@@ -1587,6 +1617,124 @@ SELECT doc_id, n_tokens, n_stopwords,
              THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
          AS stopword_ratio
 FROM c
+"""
+
+    # web-corpus cleaning: line-for-line replicas of operators/cleaning.py
+    o["gopher_repetition"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, toks,
+         list_sum(list_transform(toks, t -> length(t))) AS total_chars
+  FROM d
+), g2 AS (
+  SELECT doc_id, total_chars,
+         array_to_string(toks[t.i : t.i + 1], ' ') AS gram,
+         length(toks[t.i]) + length(toks[t.i + 1]) AS gram_chars
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), top AS (
+  SELECT doc_id,
+         round(CAST(max(c * gram_chars) AS DOUBLE) / max(total_chars), 4)
+           AS top_ngram_char_frac
+  FROM (SELECT doc_id, gram, gram_chars, total_chars, count(*) AS c
+        FROM g2 GROUP BY doc_id, gram, gram_chars, total_chars)
+  GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i : t.i + 4], ' ') AS gram
+  FROM base, unnest(range(1, len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 5
+), dup_pos AS (
+  SELECT DISTINCT doc_id, pos + o.o AS tpos
+  FROM (SELECT doc_id, pos, gram,
+               count(*) OVER (PARTITION BY doc_id, gram) AS c
+        FROM g5),
+       unnest(range(0, 5)) AS o(o)
+  WHERE c >= 2
+), toklens AS (
+  SELECT doc_id, total_chars, t.i AS tpos, length(toks[t.i]) AS tlen
+  FROM base, unnest(range(1, len(toks) + 1)) AS t(i)
+), dup AS (
+  SELECT p.doc_id,
+         round(CAST(sum(t.tlen) AS DOUBLE) / max(t.total_chars), 4)
+           AS dup_ngram_char_frac
+  FROM dup_pos p JOIN toklens t
+    ON p.doc_id = t.doc_id AND p.tpos = t.tpos
+  GROUP BY p.doc_id
+)
+SELECT base.doc_id,
+       coalesce(top.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
+       coalesce(dup.dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac
+FROM base
+LEFT JOIN top USING (doc_id)
+LEFT JOIN dup USING (doc_id)
+"""
+
+    o["gopher_quality"] = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     w -> w != '') AS ws
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(ws, w -> length(w)))
+                    AS DOUBLE) / greatest(len(ws), 1), 4)
+           AS mean_word_len,
+         round(CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{{L}}')))
+                    AS DOUBLE) / greatest(len(ws), 1), 4)
+           AS alpha_word_frac,
+         CAST(len(list_filter(ws, w -> list_contains([{sw_list}],
+                                                     lower(w))))
+              AS BIGINT) AS stopword_hits
+  FROM d
+), flags AS (
+  SELECT *,
+         n_words >= 50 AND n_words <= 100000 AS ok_n_words,
+         mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+         alpha_word_frac >= 0.80 AS ok_alpha,
+         stopword_hits >= 2 AS ok_stopwords
+  FROM s
+)
+SELECT *,
+       ok_n_words AND ok_word_len AND ok_alpha AND ok_stopwords AS keep
+FROM flags
+"""
+
+    o["line_dedup_boilerplate"] = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), synth AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, CAST(ceil(len(ws) / 3) AS INT)),
+                          g -> array_to_string(ws[g*3+1 : g*3+3], ' ')),
+           chr(10)) AS text
+  FROM ws
+), lines AS (
+  SELECT doc_id, t.i AS pos, ls[t.i] AS line, trim(ls[t.i]) AS key
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+       unnest(range(1, len(ls) + 1)) AS t(i)
+), boiler AS (
+  SELECT key FROM lines WHERE key != ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT * FROM lines
+  WHERE key = '' OR key NOT IN (SELECT key FROM boiler)
+), n_in AS (
+  SELECT doc_id, count(*) AS n_lines_in FROM lines GROUP BY doc_id
+)
+SELECT n_in.doc_id,
+       coalesce(string_agg(kept.line, chr(10) ORDER BY kept.pos), '')
+         AS text,
+       CAST(count(kept.line) AS BIGINT) AS n_lines_kept,
+       CAST(n_in.n_lines_in - count(kept.line) AS BIGINT)
+         AS n_lines_dropped
+FROM n_in LEFT JOIN kept USING (doc_id)
+GROUP BY n_in.doc_id, n_in.n_lines_in
 """
 
     from tlhop_library_spark.operators.corpus_stats import sql_strata_hash
