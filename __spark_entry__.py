@@ -717,6 +717,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup_boilerplate"] = line_dedup_boilerplate
 
+    # C4 rules over the same synthesized 3-word lines; the flat test
+    # corpus has no punctuation so the terminal-punct rule is off and
+    # the word-count + min-lines rules carry the discrimination
+    def text_c4_clean(s, d):
+        docs = _t(s, d, "documents")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        n_lines = F.ceil(F.size(words) / 3).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda g: F.array_join(F.slice(words, g * 3 + 1, 3), " "),
+        )
+        synth = docs.select(
+            "doc_id", F.array_join(lines, "\n").alias("text")
+        )
+        return cleaning.c4_clean(
+            synth, min_words_per_line=3,
+            require_terminal_punct=False, min_lines=12,
+        )
+
+    q["text_c4_clean"] = text_c4_clean
+
     # ---- corpus statistics (operators/corpus_stats.py) ----
     from tlhop_library_spark.operators import corpus_stats
 
@@ -1735,6 +1756,35 @@ SELECT n_in.doc_id,
          AS n_lines_dropped
 FROM n_in LEFT JOIN kept USING (doc_id)
 GROUP BY n_in.doc_id, n_in.n_lines_in
+"""
+
+    o["text_c4_clean"] = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), synth AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, CAST(ceil(len(ws) / 3) AS INT)),
+                          g -> array_to_string(ws[g*3+1 : g*3+3], ' ')),
+           chr(10)) AS text
+  FROM ws
+), f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines_in,
+         list_filter(string_split(text, chr(10)), ln ->
+           len(list_filter(regexp_split_to_array(trim(ln), '\s+'),
+                           w -> w != '')) >= 3
+           AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM synth
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(lower(text), '{')
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       n_lines_in - len(kept) AS n_lines_dropped
+FROM f WHERE len(kept) >= 12
 """
 
     from tlhop_library_spark.operators.corpus_stats import sql_strata_hash

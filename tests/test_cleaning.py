@@ -134,3 +134,41 @@ def test_ngram_stats_plan_windows_are_doc_partitioned(spark):
     plan = cleaning.ngram_repetition_stats(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # survives: 3 lines ending in punctuation, >=5 words each
+            (1, 'One two three four five.\nSix seven eight nine ten!\n'
+                'Is this a real question? yes "quoted line it ends."'),
+            # line rules: short line + no-punct line + javascript line
+            (2, "Too short.\nno terminal punctuation here at all\n"
+                "enable JavaScript to view this page.\n"
+                "One two three four five.\nSix seven eight nine ten.\n"
+                "Ok fine this one stays too."),
+            # doc rules: lorem ipsum anywhere kills the whole doc
+            (3, "Lorem Ipsum dolor sit amet consectetur.\n"
+                "One two three four five.\nSix seven eight nine ten.\n"
+                "Another good line right here."),
+            # doc rules: too few surviving lines (min_lines=3)
+            (4, "One two three four five.\nSix seven eight nine ten."),
+        ],
+        "doc_id long, text string",
+    )
+    r = rows(cleaning.c4_clean(docs))
+    assert set(r) == {1, 2}
+    assert r[1]["n_lines_kept"] == 3 and r[1]["n_lines_dropped"] == 0
+    assert r[2]["n_lines_kept"] == 3 and r[2]["n_lines_dropped"] == 3
+    assert r[2]["text"] == ("One two three four five.\n"
+                            "Six seven eight nine ten.\n"
+                            "Ok fine this one stays too.")
+
+
+def test_c4_clean_plan_is_shuffle_free(spark):
+    docs = spark.createDataFrame(
+        [(1, "a line here.")], "doc_id long, text string"
+    )
+    plan = cleaning.c4_clean(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan

@@ -234,6 +234,63 @@ def gopher_quality_flags(
     )
 
 
+def c4_clean(
+    docs: DataFrame,
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    drop_line_words: tuple = ("javascript",),
+    drop_doc_substrings: tuple = ("lorem ipsum", "{"),
+    min_lines: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al., arXiv:1910.10683 §2.2) as one
+    stateless row-local plan — no shuffle, no Python, composes with
+    partition pruning at any scale.
+
+    Line rules (a line failing any is dropped):
+    - at least ``min_words_per_line`` whitespace words;
+    - ends in a terminal punctuation mark (``. ! ? "``) when
+      ``require_terminal_punct``;
+    - contains none of ``drop_line_words`` (case-insensitive).
+
+    Document rules (a doc failing any is dropped entirely):
+    - raw text contains none of ``drop_doc_substrings``
+      (case-insensitive — C4's "lorem ipsum" / curly-brace rules);
+    - at least ``min_lines`` lines survive the line rules.
+
+    Returns (doc_id, text, n_lines_kept, n_lines_dropped) for the
+    surviving documents, text reassembled in original line order.
+    """
+    def line_ok(ln):
+        words = F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")
+        ok = F.size(words) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & F.trim(ln).rlike('[.!?"]$')
+        for w in drop_line_words:
+            ok = ok & ~F.lower(ln).contains(w.lower())
+        return ok
+
+    d = docs.where(F.col("text").isNotNull())
+    for s in drop_doc_substrings:
+        d = d.where(~F.lower(F.col("text")).contains(s.lower()))
+    d = d.select(
+        "doc_id",
+        F.split(F.col("text"), delim, -1).alias("all_lines"),
+    ).select(
+        "doc_id",
+        F.size("all_lines").cast("long").alias("n_lines_in"),
+        F.filter("all_lines", line_ok).alias("kept_lines"),
+    )
+    return d.where(F.size("kept_lines") >= min_lines).select(
+        "doc_id",
+        F.array_join("kept_lines", delim).alias("text"),
+        F.size("kept_lines").cast("long").alias("n_lines_kept"),
+        (F.col("n_lines_in") - F.size("kept_lines")).alias(
+            "n_lines_dropped"
+        ),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     min_df: int = 2,
