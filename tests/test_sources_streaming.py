@@ -217,3 +217,110 @@ def test_sessionize_batch(spark):
         [(r["user_id"], r["n_events"], r["total_value"]) for r in out.collect()]
     )
     assert rows == [(1, 1, 3.0), (1, 2, 3.0), (2, 1, 4.0)]
+
+
+def test_stream_dedup_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup: content set matches offline dedup_exact
+    over the union; a re-landed duplicate never reaches the sink and
+    the FIRST arrival is the survivor."""
+    from tlhop_library_spark.operators.dedup import dedup_exact
+    from tlhop_library_spark.streaming.dedup_stream import (
+        stream_dedup_documents,
+    )
+
+    batches = tmp_path / "batches"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    batches.mkdir()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def land(name, rows):
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(batches / name),
+        )
+
+    rows1 = [(i, f"text {i % 7}") for i in range(10)]
+    land("b1.parquet", rows1)
+    q = stream_dedup_documents(spark, str(batches), str(out), str(ck))
+    q.awaitTermination(120)
+
+    # second landing: 7 duplicate texts + 3 new ones
+    rows2 = [(100 + i, f"text {i}") for i in range(10)]
+    land("b2.parquet", rows2)
+    q = stream_dedup_documents(spark, str(batches), str(out), str(ck))
+    q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+
+    got = spark.read.parquet(str(out)).collect()
+    union = b1.unionByName(b2)
+    # offline oracle: one survivor per distinct content
+    assert dedup_exact(union).count() == union.select("text").distinct(
+    ).count()
+    want_texts = {
+        r["text"] for r in union.select("text").distinct().collect()
+    }
+    assert {r["text"] for r in got} == want_texts
+    assert len(got) == len(want_texts)  # no duplicate ever sunk
+    # first arrival wins: every text seen in batch 1 has its batch-1 id
+    b1_min = {}
+    for r in b1.collect():
+        b1_min.setdefault(r["text"], r["doc_id"])
+    for r in got:
+        if r["text"] in b1_min:
+            assert r["doc_id"] < 100
+
+
+def test_stream_dedup_ttl_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark mode: duplicates landing within
+    the TTL window are dropped; new content is admitted. (State expiry
+    beyond watermark+delta is Spark's contract — not re-asserted.)"""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tlhop_library_spark.streaming.dedup_stream import (
+        stream_dedup_documents,
+    )
+
+    batches = tmp_path / "batches"
+    batches.mkdir()
+
+    def land(name, rows):
+        ids, texts, tss = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "ts": pa.array(tss, pa.timestamp("us")),
+                }
+            ),
+            str(batches / name),
+        )
+
+    t0 = datetime(2026, 3, 1, 10, 0, 0)
+    t1 = datetime(2026, 3, 1, 10, 0, 30)
+    land("b1.parquet", [(1, "alpha", t0), (2, "beta", t0)])
+    land("b2.parquet", [(3, "alpha", t1), (4, "gamma", t1)])
+    q = stream_dedup_documents(
+        spark, str(batches), str(tmp_path / "out"),
+        str(tmp_path / "ck"), ttl_col="ts", ttl="10 minutes",
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(got.values()) == {"alpha", "beta", "gamma"}
+    assert 3 not in got  # within-TTL duplicate dropped
