@@ -384,6 +384,14 @@ def test_extension_accessor(spark, docs):
     assert len(out) == 2
     topk = docs.tlhop.bm25_topk("spark join", k=5).collect()
     assert len(topk) == 5
+    # cleaning accessors route to operators/cleaning.py
+    rep = docs.tlhop.gopher_repetition().columns
+    assert rep == ["doc_id", "top_ngram_char_frac", "dup_ngram_char_frac"]
+    assert "keep" in docs.tlhop.gopher_quality().columns
+    assert "n_lines_kept" in docs.tlhop.c4_clean(
+        require_terminal_punct=False, min_words_per_line=1, min_lines=1
+    ).columns
+    assert "n_lines_dropped" in docs.tlhop.line_dedup().columns
 
 
 def test_webpage_stats_classes(spark):

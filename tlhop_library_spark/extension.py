@@ -57,6 +57,27 @@ class TlhopExtension:
     def simhash(self):
         return dedup.simhash64(self._df)
 
+    # web-corpus cleaning (operators/cleaning.py)
+    def gopher_repetition(self, n_top: int = 2, n_dup: int = 5):
+        from tlhop_library_spark.operators import cleaning
+
+        return cleaning.ngram_repetition_stats(self._df, n_top, n_dup)
+
+    def gopher_quality(self, **kw):
+        from tlhop_library_spark.operators import cleaning
+
+        return cleaning.gopher_quality_flags(self._df, **kw)
+
+    def c4_clean(self, **kw):
+        from tlhop_library_spark.operators import cleaning
+
+        return cleaning.c4_clean(self._df, **kw)
+
+    def line_dedup(self, min_df: int = 2, **kw):
+        from tlhop_library_spark.operators import cleaning
+
+        return cleaning.line_dedup(self._df, min_df, **kw)
+
     # training-data prep funnel
     def prepare_training_data(self, **kw):
         from tlhop_library_spark.pipeline import prepare_training_data
