@@ -699,6 +699,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
 
+    # cross-doc duplicated-span coverage (Lee et al. arXiv:2107.06499
+    # re-shaped for Spark: w-token windows duplicated across >= 2 docs,
+    # position-union coverage per doc)
+    q["dup_span_stats"] = lambda s, d: cleaning.duplicated_span_stats(
+        _t(s, d, "documents"), w=8, min_df=2
+    )
+
     # boilerplate line removal over a synthesized line structure (the
     # flat test corpus has no newlines): chunk whitespace words into
     # 3-word lines on BOTH sides, then drop lines seen in >= 2 docs
@@ -893,6 +900,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IVF coarse-quantizer ANN (probe-limited cells, exact rescore)
     q["ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _t(s, d, "embeddings"), _QV, k=15, n_centroids=16, n_probe=4
+    )
+
+    # SemDeDup (arXiv:2303.09540): within-IVF-cell cosine pairs, then
+    # cluster-level drop keeping the min vec_id per component.
+    # threshold=0.35 because the synthetic embeddings are near-uniform
+    # (max pairwise cosine 0.513) — the gate pins the semantics, not a
+    # production threshold
+    q["embedding_semdedup_pairs"] = lambda s, d: similarity.semantic_cell_pairs(
+        _t(s, d, "embeddings"), threshold=0.35, n_centroids=16,
+        dim=_EMB_DIM, seed=11,
+    )
+    q["embedding_semdedup_keep"] = lambda s, d: similarity.semantic_dedup(
+        _t(s, d, "embeddings"), threshold=0.35, n_centroids=16,
+        dim=_EMB_DIM, seed=11,
     )
 
     # ---- relational (SURVEY §2 parity over TPC-H-ish tables) ----
@@ -1692,6 +1713,36 @@ LEFT JOIN top USING (doc_id)
 LEFT JOIN dup USING (doc_id)
 """
 
+    # cross-doc duplicated w-gram spans: windows are 1-based starts,
+    # duplicated = identical window text in >= 2 DISTINCT docs,
+    # coverage = position-union of duplicated windows
+    o["dup_span_stats"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks FROM d
+), wins AS (
+  SELECT doc_id, t.i AS s, array_to_string(toks[t.i : t.i + 7], ' ') AS gram
+  FROM base, unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+), dfreq AS (
+  SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dwins AS (
+  SELECT wins.doc_id, wins.s FROM wins JOIN dfreq USING (gram)
+), cov AS (
+  SELECT doc_id, count(DISTINCT s) AS n_dup_windows,
+         count(DISTINCT s + o.o) AS n_covered
+  FROM dwins, unnest(range(0, 8)) AS o(o) GROUP BY doc_id
+)
+SELECT CAST(base.doc_id AS BIGINT) AS doc_id,
+       CAST(base.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       round(CAST(coalesce(cov.n_covered, 0) AS DOUBLE) /
+             greatest(base.n_tokens, 1), 4) AS dup_frac
+FROM base LEFT JOIN cov USING (doc_id)
+"""
+
     o["gopher_quality"] = rf"""
 WITH d AS (
   SELECT doc_id,
@@ -2349,6 +2400,49 @@ WITH v AS (
 SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
        vec_id, cosine
 FROM scored QUALIFY rank <= 15
+"""
+
+    # SemDeDup: same IVF assignment (d_exprs/cell_case reused), pairs
+    # restricted to one cell, recursive closure keeps min id per
+    # component (exactly connected_components' fixpoint)
+    _semdedup_base = f"""
+WITH RECURSIVE v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, v, {d_exprs} FROM v
+), assigned AS (
+  SELECT vec_id, v, {cell_case} AS cell
+  FROM (SELECT *, {best} AS __best FROM dots)
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+), walk(a, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+), comp AS (
+  SELECT a AS vec_id, min(lbl) AS component FROM walk GROUP BY a
+)
+"""
+    o["embedding_semdedup_pairs"] = (
+        _semdedup_base + "SELECT vec_a, vec_b, cosine FROM pairs"
+    )
+    o["embedding_semdedup_keep"] = _semdedup_base + """
+SELECT v.vec_id FROM v
+LEFT JOIN (SELECT vec_id FROM comp WHERE vec_id != component) drp
+  USING (vec_id)
+WHERE drp.vec_id IS NULL
 """
 
     knn_values = ", ".join(

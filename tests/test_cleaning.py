@@ -172,3 +172,69 @@ def test_c4_clean_plan_is_shuffle_free(spark):
     plan = cleaning.c4_clean(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---- duplicated_span_stats (cross-doc dup w-gram coverage) ----
+
+def test_dup_span_hand_computed(spark):
+    # docs 1+2 share the 3-gram "aaa bbb ccc" once each; doc 3 repeats
+    # a 3-gram only WITHIN itself (min_df counts distinct docs -> not
+    # duplicated)
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc ddd eee"),
+            (2, "xxx aaa bbb ccc yyy zzz"),
+            (3, "ppp qqq rrr sss ppp qqq rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    r = rows(cleaning.duplicated_span_stats(docs, w=3, min_df=2))
+    assert r[1] == {
+        "doc_id": 1, "n_tokens": 5, "n_dup_windows": 1,
+        "n_covered": 3, "dup_frac": 0.6,
+    }
+    assert r[2]["n_covered"] == 3 and r[2]["dup_frac"] == 0.5
+    assert r[3]["n_dup_windows"] == 0 and r[3]["dup_frac"] == 0.0
+
+
+def test_dup_span_overlapping_windows_union(spark):
+    # 4 shared consecutive tokens -> two overlapping dup 3-windows,
+    # coverage is the UNION (4 positions, not 6)
+    docs = spark.createDataFrame(
+        [
+            (1, "kkk lll mmm nnn tail one"),
+            (2, "head kkk lll mmm nnn other"),
+        ],
+        "doc_id long, text string",
+    )
+    r = rows(cleaning.duplicated_span_stats(docs, w=3, min_df=2))
+    assert r[1]["n_dup_windows"] == 2 and r[1]["n_covered"] == 4
+    assert r[2]["n_dup_windows"] == 2 and r[2]["n_covered"] == 4
+
+
+def test_dup_span_short_and_null_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, None), (3, "aaa bbb ccc"), (4, "aaa bbb ccc")],
+        "doc_id long, text string",
+    )
+    r = rows(cleaning.duplicated_span_stats(docs, w=3, min_df=2))
+    # doc 1: only 2 tokens >= len 3? "one","two" -> 2 tokens < w
+    assert r[1]["n_dup_windows"] == 0 and r[1]["dup_frac"] == 0.0
+    assert 2 not in r
+    assert r[3]["dup_frac"] == 1.0 and r[4]["dup_frac"] == 1.0
+
+
+def test_dup_span_hashed_grams_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} aaa bbb ccc ddd tok{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        cleaning.duplicated_span_stats(docs, w=3, min_df=2).collect()
+    )
+    b = sorted(
+        cleaning.duplicated_span_stats(
+            docs, w=3, min_df=2, hashed_grams=True
+        ).collect()
+    )
+    assert a == b

@@ -392,6 +392,16 @@ def test_extension_accessor(spark, docs):
         require_terminal_punct=False, min_words_per_line=1, min_lines=1
     ).columns
     assert "n_lines_dropped" in docs.tlhop.line_dedup().columns
+    assert docs.tlhop.dup_span_stats(w=3).columns == [
+        "doc_id", "n_tokens", "n_dup_windows", "n_covered", "dup_frac",
+    ]
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert emb.tlhop.semantic_dedup(
+        threshold=0.9, n_centroids=2, dim=2
+    ).count() == 2
 
 
 def test_webpage_stats_classes(spark):

@@ -78,6 +78,18 @@ class TlhopExtension:
 
         return cleaning.line_dedup(self._df, min_df, **kw)
 
+    def dup_span_stats(self, w: int = 8, min_df: int = 2, **kw):
+        from tlhop_library_spark.operators import cleaning
+
+        return cleaning.duplicated_span_stats(self._df, w, min_df, **kw)
+
+    # SemDeDup over an embedding column (expects vec_id/embedding
+    # unless overridden via id_col/vec_col)
+    def semantic_dedup(self, threshold: float = 0.85, **kw):
+        from tlhop_library_spark.operators import similarity
+
+        return similarity.semantic_dedup(self._df, threshold, **kw)
+
     # training-data prep funnel
     def prepare_training_data(self, **kw):
         from tlhop_library_spark.pipeline import prepare_training_data

@@ -370,3 +370,100 @@ def line_dedup(
             ).alias("n_lines_dropped"),
         )
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    w: int = 8,
+    min_df: int = 2,
+    hashed_grams: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span coverage per document — the
+    Spark-shaped approximation of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): instead of a corpus suffix array, slide a
+    ``w``-token window over each document and mark a window
+    *duplicated* when the identical window text occurs in at least
+    ``min_df`` DISTINCT documents.
+
+    Returns ``(doc_id, n_tokens, n_dup_windows, n_covered,
+    dup_frac)`` where ``n_covered`` is the size of the position-union
+    of all duplicated windows and ``dup_frac = n_covered /
+    n_tokens`` — a direct filter axis (``dup_frac <= x``) for a
+    training-data funnel, and the per-doc signal you'd use to cut the
+    spans themselves.
+
+    Scale shape (all JVM, no Python): posexplode of per-doc windows
+    (rows ≈ corpus tokens — the same budget as the shingle pipeline);
+    window doc-frequency is ONE hash agg with map-side partials keyed
+    by the gram; the dup set (df ≥ min_df) is boilerplate-vocabulary-
+    sized, so the semi-join back broadcasts at scale; the coverage
+    union re-aggregates on doc_id. ``hashed_grams=True`` swaps the
+    string join key for xxhash64 — fixed-width shuffle keys for the
+    at-scale run (identity with the string path is pytest-pinned;
+    the oracle uses the string form).
+
+    Within-doc-only repeats are NOT counted (``min_df`` counts
+    distinct documents): intra-doc repetition is Gopher's
+    ``ngram_repetition_stats`` axis, this one is corpus-level.
+    """
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks"))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - (w - 1)),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, w)),
+    )
+    wins = (
+        base.where(F.col("n_tokens") >= w)
+        .select("doc_id", F.posexplode(grams).alias("p", "gram"))
+        # 1-based window start, matching the oracle's unnest(range(1,..))
+        .select("doc_id", (F.col("p") + 1).alias("s"), "gram")
+    )
+    if hashed_grams:
+        wins = wins.select("doc_id", "s", F.xxhash64("gram").alias("gram"))
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+    dwins = wins.join(dup, "gram", "left_semi")
+    cov = (
+        dwins.select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (w - 1))
+            ).alias("tpos"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_dup_windows"),
+            F.countDistinct("tpos").alias("n_covered"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                ROUND,
+            ).alias("dup_frac"),
+        )
+    )

@@ -396,3 +396,97 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def semantic_cell_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) — within-cluster embedding pairs with
+    cosine ≥ threshold, SemDeDup-style (Abbas et al.,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    then compare pairs ONLY inside each cluster.
+
+    Clustering reuses ``ivf_centroids``/the IVF assignment rule
+    (deterministic seeded unit-norm directions, ties to the lowest
+    centroid index) so the DuckDB oracle can replay the assignment as
+    literal SQL. Cross-cell near-dup pairs are missed BY CONSTRUCTION
+    — that is SemDeDup's accepted approximation (the paper's recall
+    knob is the cluster count), and the oracle mirrors the same rule,
+    so the gate pins the approximation exactly.
+
+    Scale shape: one Arrow pass assigns cells (broadcast centroid
+    matrix, one matmul per batch); ``groupBy(cell).applyInPandas``
+    computes each cell's pairwise block with ONE BLAS matmul and
+    emits only pairs over threshold. Choose ``n_centroids ∝
+    corpus/50k`` so a cell fits a worker (the paper runs exactly this
+    shape at 100M+ embeddings); the groupBy shuffle key is the cell
+    id, so skew is bounded by the quantizer's balance. Cosines are
+    rounded to 4 decimals BEFORE the threshold compare (library-wide
+    oracle convention).
+    """
+    C = ivf_centroids(n_centroids, dim, seed)
+
+    @F.pandas_udf(IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("cell", _cell(F.col("v")))
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = np.round(Mn @ Mn.T, 4)
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": S[ii, jj]}
+        )
+
+    return src.groupBy("cell").applyInPandas(
+        cell_pairs, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id) — SemDeDup survivors: one representative (the minimum
+    vec_id) per within-cell near-dup CLUSTER, everything else dropped.
+
+    Composition of two already-gated scale-safe pieces:
+    ``semantic_cell_pairs`` (cell-local pairwise, above) →
+    ``dedup.connected_components`` (min-label propagation, one
+    equi-join + groupBy-min per round) → anti-join the dropped ids
+    against the corpus. Deterministic representative choice (min id)
+    instead of the paper's farthest-from-centroid so the oracle is a
+    pure recursive closure; the policy is a one-line swap if a
+    different representative is wanted.
+    """
+    from tlhop_library_spark.operators.dedup import connected_components
+
+    pairs = semantic_cell_pairs(
+        embeddings, threshold, n_centroids, dim, seed, id_col, vec_col
+    )
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    dropped = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    all_ids = embeddings.select(F.col(id_col).cast("long").alias("vec_id"))
+    return all_ids.join(dropped, "vec_id", "left_anti")
