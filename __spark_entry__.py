@@ -74,6 +74,11 @@ BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
 BOOSTED_QUERY = "spark^2.5 join filter^0.5"
 FACET_BOUNDS = [0.0, 200.0, 400.0, 800.0, 1600.0, 1e9]
 STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+#: registered domains dropped by the domain_blocklist gate (three hit
+#: the fine-synth fixture's domain space, one never occurs)
+_BLOCKED_DOMAINS = ("site10.com", "site15.org", "site22.co.uk",
+                    "absent.example")
 TV_DOC_IDS = [1, 7, 42]
 FUZZY_QUERY = "sparq filtr"  # 1-edit typos of corpus terms
 WILD_QUERY = "spar* filter"  # prefix atom + exact term
@@ -113,6 +118,9 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
               "near_dup_components", "ngram_jaccard_capped",
               "minhash_lsh_pairs", "training_data_prep",
               "simhash_pairs"],
+    "similarity": ["knn_join_topk", "lsh_topk", "embedding_near_dup",
+                   "cosine_topk"],
+    "extraction": ["extract_html_info"],
 }
 
 
@@ -129,9 +137,13 @@ def _family(key: str) -> str:
                        "minhash_", "simhash_", "training_data",
                        "line_dedup")):
         return "dedup"
+    if key.startswith(("url_", "domain_")):
+        return "web"
+    if key in ("kmv_distinct_terms",):
+        return "corpus"
     if key.startswith(("token_", "text_", "lang_", "doc_fingerprint",
                        "stopword_", "median_", "winnow_", "normalize_",
-                       "gopher_")):
+                       "gopher_", "redact_")):
         return "text"
     if key.startswith(("bm25", "tfidf_topk", "lmdirichlet", "phrase_",
                        "proximity_", "span_", "term_", "facet_",
@@ -141,7 +153,7 @@ def _family(key: str) -> str:
 
 
 _FAMILY_CYCLE = ("search", "relational", "dedup", "similarity",
-                 "text", "corpus", "extraction")
+                 "text", "corpus", "extraction", "web")
 
 
 def _interleave(q: dict) -> dict:
@@ -156,17 +168,25 @@ def _interleave(q: dict) -> dict:
     queues: dict[str, list[str]] = {f: [] for f in _FAMILY_CYCLE}
     for k in q:
         queues.setdefault(_family(k), []).append(k)
+    # phase 1: EVERY priority gate, round-robin across families — they
+    # must all sit inside the driver's 50-entry prefix regardless of
+    # how many families exist (asserted in tests/test_entry_order.py)
+    prio: dict[str, list[str]] = {}
     for fam, front in _FAMILY_PRIORITY.items():
         keys = queues.get(fam, [])
-        head = [k for k in front if k in keys]
-        queues[fam] = head + [k for k in keys if k not in head]
+        prio[fam] = [k for k in front if k in keys]
+        queues[fam] = [k for k in keys if k not in prio[fam]]
     out: dict = {}
+    while any(prio.values()):
+        for f in prio:
+            if prio[f]:
+                out[prio[f].pop(0)] = None
+    # phase 2: the remaining gates, one per family per cycle
     while any(queues.values()):
         for f in queues:
             if queues[f]:
-                k = queues[f].pop(0)
-                out[k] = q[k]
-    return out
+                out[queues[f].pop(0)] = None
+    return {k: q[k] for k in out}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -745,6 +765,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_c4_clean"] = text_c4_clean
 
+    # ---- URL / domain web-curation (operators/web.py) ----
+    # the test documents table has no url column, so both sides build
+    # the SAME deterministic messy-URL fixture from doc_id (scheme
+    # case, www/blog/shop subdomains, two-level-suffix TLDs, default
+    # and explicit ports, tracking params, fragments, sqrt-skewed
+    # domain popularity) — the Spark expression here mirrors
+    # _SYNTH_URL_SQL used by the oracles term for term
+    from tlhop_library_spark.operators import corpus_stats, web
+
+    def _synth_url(fine: bool = True):
+        d = F.col("doc_id")
+        scheme = F.when(d % 13 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+        sub = (
+            F.when(d % 4 == 0, F.lit("www."))
+            .when(d % 4 == 2, F.lit("blog."))
+            .when(d % 4 == 3, F.lit("shop."))
+            .otherwise(F.lit(""))
+        )
+        port = (
+            F.when(
+                d % 11 == 0,
+                F.when(d % 13 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            ).otherwise(F.lit(""))
+        )
+        frag = F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit(""))
+        if fine:
+            name = F.concat(
+                F.lit("site"),
+                F.floor(F.sqrt(d % 529)).cast("int").cast("string"),
+            )
+            tld = (
+                F.when(d % 5 == 0, F.lit(".com"))
+                .when(d % 5 == 1, F.lit(".org"))
+                .when(d % 5 == 2, F.lit(".co.uk"))
+                .when(d % 5 == 3, F.lit(".io"))
+                .otherwise(F.lit(".com.au"))
+            )
+            path = F.when(
+                d % 7 == 0, F.concat(F.lit("/a/b/p/"), (d % 50).cast("string"))
+            ).otherwise(F.concat(F.lit("/p/"), (d % 50).cast("string")))
+            query = (
+                F.when(
+                    d % 3 == 0,
+                    F.concat(F.lit("?utm_source=feed&id="),
+                             (d % 9).cast("string")),
+                )
+                .when(
+                    d % 3 == 1,
+                    F.concat(F.lit("?id="), (d % 9).cast("string"),
+                             F.lit("&utm_campaign=x")),
+                )
+                .otherwise(F.lit(""))
+            )
+        else:  # coarse: few canonical forms -> real duplicate groups
+            name = F.concat(F.lit("site"), (d % 3).cast("string"))
+            tld = F.lit(".com")
+            path = F.concat(F.lit("/p/"), (d % 5).cast("string"))
+            query = F.lit("")
+        return F.concat(scheme, F.lit("://"), sub, name, tld, port,
+                        path, query, frag)
+
+    def _urls_df(s, d, fine: bool = True):
+        return _t(s, d, "documents").select(
+            "doc_id", "n_chars", _synth_url(fine).alias("url")
+        )
+
+    q["url_normalize"] = lambda s, d: web.with_url_features(
+        _urls_df(s, d)
+    ).select("doc_id", "url_norm", "host", "domain", "path_depth")
+    q["url_dedup"] = lambda s, d: web.url_dedup(_urls_df(s, d, fine=False))
+    q["domain_topk"] = lambda s, d: web.domain_topk(_urls_df(s, d), k=15)
+    q["domain_blocklist"] = lambda s, d: web.blocklist_filter(
+        _urls_df(s, d),
+        s.createDataFrame([(b,) for b in _BLOCKED_DOMAINS], "domain string"),
+    ).select("doc_id", "domain")
+    q["domain_temperature"] = lambda s, d: web.domain_temperature_sample(
+        _urls_df(s, d), alpha=0.5
+    ).select("doc_id", "domain")
+
+    # KMV distinct-count sketch of the corpus vocabulary (mergeable,
+    # engine-reproducible alternative to approx_count_distinct)
+    q["kmv_distinct_terms"] = lambda s, d: corpus_stats.kmv_distinct(
+        _t(s, d, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(tokens_col(F.col("text"))).alias("w")),
+        "w",
+        k=128,
+    )
+
+    # PII scrubbing over text with deterministically injected contact
+    # strings (the natural corpus has none) — injection mirrored in SQL
+    def redact_pii_gate(s, d):
+        docs = _t(s, d, "documents").where(F.col("text").isNotNull())
+        di = F.col("doc_id")
+        injected = F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), (di % 50).cast("string"),
+            F.lit("@mail"), (di % 7).cast("string"),
+            F.lit(".com or 10."), (di % 256).cast("string"),
+            F.lit(".0."), (di % 100).cast("string"),
+            F.lit(" call +49"), (1000000 + di % 899999).cast("string"),
+        )
+        return cleaning.redact_pii(
+            docs.select("doc_id", injected.alias("text"))
+        ).select("doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")
+
+    q["redact_pii"] = redact_pii_gate
+
     # ---- corpus statistics (operators/corpus_stats.py) ----
     from tlhop_library_spark.operators import corpus_stats
 
@@ -1308,6 +1436,39 @@ _TOKENS = (
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),"
     " t -> length(t) >= 3)"
 )
+
+
+def _synth_url_sql(fine: bool = True) -> str:
+    """DuckDB mirror of the gate-side ``_synth_url`` Spark expression
+    (same messy-URL fixture from doc_id, term for term)."""
+    scheme = "(CASE WHEN doc_id % 13 = 0 THEN 'HTTP' ELSE 'https' END)"
+    sub = ("(CASE WHEN doc_id % 4 = 0 THEN 'www.' "
+           "WHEN doc_id % 4 = 2 THEN 'blog.' "
+           "WHEN doc_id % 4 = 3 THEN 'shop.' ELSE '' END)")
+    port = ("(CASE WHEN doc_id % 11 = 0 THEN "
+            "(CASE WHEN doc_id % 13 = 0 THEN ':80' ELSE ':443' END) "
+            "ELSE '' END)")
+    frag = "(CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"
+    if fine:
+        name = ("'site' || CAST(CAST(floor(sqrt(doc_id % 529)) AS INT) "
+                "AS VARCHAR)")
+        tld = ("(CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org' "
+               "WHEN 2 THEN '.co.uk' WHEN 3 THEN '.io' "
+               "ELSE '.com.au' END)")
+        path = ("(CASE WHEN doc_id % 7 = 0 THEN '/a/b/p/' ELSE '/p/' END) "
+                "|| CAST(doc_id % 50 AS VARCHAR)")
+        query = ("(CASE doc_id % 3 "
+                 "WHEN 0 THEN '?utm_source=feed&id=' || "
+                 "CAST(doc_id % 9 AS VARCHAR) "
+                 "WHEN 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR) || "
+                 "'&utm_campaign=x' ELSE '' END)")
+    else:
+        name = "'site' || CAST(doc_id % 3 AS VARCHAR)"
+        tld = "'.com'"
+        path = "'/p/' || CAST(doc_id % 5 AS VARCHAR)"
+        query = "''"
+    return (f"({scheme} || '://' || {sub} || {name} || {tld} || {port} || "
+            f"{path} || {query} || {frag})")
 
 
 def _sql_arr(vals) -> str:
@@ -2732,6 +2893,91 @@ WITH w AS (
 )
 SELECT event_id, user_id, round(value - prev_value, 4) AS delta_value, next_type
 FROM w WHERE prev_value IS NOT NULL
+"""
+
+    # ---- URL / domain web-curation oracles (operators/web.py) ----
+    from tlhop_library_spark.operators.corpus_stats import (
+        sql_kmv_hash,
+        sql_strata_hash,
+    )
+    from tlhop_library_spark.operators.cleaning import sql_redact_pii
+    from tlhop_library_spark.operators.web import (
+        sql_host,
+        sql_path_depth,
+        sql_registered_domain,
+        sql_url_norm,
+    )
+
+    _dom = sql_registered_domain(sql_host("url"))
+    o["url_normalize"] = f"""
+WITH u AS (SELECT doc_id, {_synth_url_sql(True)} AS url FROM documents)
+SELECT doc_id, {sql_url_norm('url')} AS url_norm, {sql_host('url')} AS host,
+       {_dom} AS domain, {sql_path_depth('url')} AS path_depth
+FROM u
+"""
+    o["url_dedup"] = f"""
+WITH u AS (SELECT doc_id, {_synth_url_sql(False)} AS url FROM documents),
+n AS (SELECT doc_id, {sql_url_norm('url')} AS url_norm FROM u)
+SELECT url_norm, min(doc_id) AS doc_id, count(*) AS n_variants
+FROM n GROUP BY url_norm
+"""
+    o["domain_topk"] = f"""
+WITH u AS (SELECT doc_id, n_chars, {_synth_url_sql(True)} AS url
+           FROM documents),
+feat AS (SELECT doc_id, n_chars, {_dom} AS domain,
+                {sql_path_depth('url')} AS path_depth FROM u),
+s AS (SELECT domain, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             round(avg(path_depth), 4) AS avg_depth
+      FROM feat GROUP BY domain)
+SELECT domain, n_docs, sum_chars, avg_depth,
+       CAST(row_number() OVER (ORDER BY n_docs DESC, domain ASC) AS INT)
+       AS rank
+FROM s ORDER BY n_docs DESC, domain LIMIT 15
+"""
+    _blocked_in = ", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)
+    o["domain_blocklist"] = f"""
+WITH u AS (SELECT doc_id, {_synth_url_sql(True)} AS url FROM documents),
+feat AS (SELECT doc_id, {_dom} AS domain FROM u)
+SELECT doc_id, domain FROM feat WHERE domain NOT IN ({_blocked_in})
+"""
+    o["domain_temperature"] = f"""
+WITH u AS (SELECT doc_id, {_synth_url_sql(True)} AS url FROM documents),
+feat AS (SELECT doc_id, {_dom} AS domain FROM u),
+c AS (SELECT domain, count(*) AS c_d FROM feat GROUP BY domain),
+m AS (SELECT min(c_d) AS c_min FROM c),
+p AS (SELECT domain, CAST(round(power(c_min::DOUBLE / c_d, 0.5) * 10000)
+                     AS INT) AS thresh FROM c, m)
+SELECT f.doc_id, f.domain FROM feat f JOIN p USING (domain)
+WHERE {sql_strata_hash('f.domain', 'f.doc_id')} < p.thresh
+"""
+    _kh = sql_kmv_hash("w")
+    o["kmv_distinct_terms"] = f"""
+WITH w AS (SELECT unnest({_TOKENS}) AS w FROM documents
+           WHERE text IS NOT NULL),
+hs AS (SELECT DISTINCT {_kh} AS h FROM w WHERE {_kh} > 0),
+sm AS (SELECT h FROM hs ORDER BY h LIMIT 128)
+SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+       ELSE round(127.0 / max(h), 4) END AS kmv_estimate,
+       count(*) AS k_used
+FROM sm
+"""
+    _pii = sql_redact_pii("text")
+    o["redact_pii"] = f"""
+WITH inj AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' contact user' ||
+         CAST(doc_id % 50 AS VARCHAR) || '@mail' ||
+         CAST(doc_id % 7 AS VARCHAR) || '.com or 10.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         CAST(doc_id % 100 AS VARCHAR) || ' call +49' ||
+         CAST(1000000 + doc_id % 899999 AS VARCHAR) AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, {_pii['n_emails']} AS n_emails, {_pii['n_ips']} AS n_ips,
+       {_pii['n_phones']} AS n_phones,
+       {_pii['text_redacted']} AS text_redacted
+FROM inj
 """
 
     return o

@@ -467,3 +467,58 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+# --- PII redaction (frozen spec v1; Java-regex ∩ RE2 so the DuckDB
+# oracle runs the IDENTICAL patterns) ---
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\+[0-9]{7,15}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub personally-identifiable substrings from a text column —
+    the pre-release step every public training corpus applies (C4 and
+    the Gopher/MassiveText pipeline both strip contact strings; the
+    reference redacts row-wise via its banner/cleaning UDFs,
+    /root/reference/tlhop/library.py:62-97 — here it is three
+    ``regexp_replace`` JVM expressions, zero Python).
+
+    Frozen spec v1, applied in this order (emails first so their
+    host part is never half-rewritten by the IP pass):
+    emails → ``<EMAIL>``, dotted-quad IPv4 → ``<IP>``,
+    international ``+``-prefixed phone numbers (7-15 digits) →
+    ``<PHONE>``. Counts are measured on the ORIGINAL text.
+
+    Adds ``text_redacted``, ``n_emails``, ``n_ips``, ``n_phones``.
+    Row-local projection: no shuffle, stays in whole-stage codegen.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails",
+                      F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint"))
+        .withColumn("n_ips", F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint"))
+        .withColumn("n_phones",
+                    F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint"))
+        .withColumn("text_redacted", red)
+    )
+
+
+def sql_redact_pii(text_expr: str) -> dict[str, str]:
+    """DuckDB replicas of :func:`redact_pii`'s output columns."""
+    email = EMAIL_RE
+    ip = IPV4_RE
+    phone = PHONE_RE
+    red = (f"regexp_replace(regexp_replace(regexp_replace({text_expr}, "
+           f"'{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), "
+           f"'{phone}', '<PHONE>', 'g')")
+    return {
+        "n_emails": f"len(regexp_extract_all({text_expr}, '{email}'))::BIGINT",
+        "n_ips": f"len(regexp_extract_all({text_expr}, '{ip}'))::BIGINT",
+        "n_phones":
+            f"len(regexp_extract_all({text_expr}, '{phone}'))::BIGINT",
+        "text_redacted": red,
+    }

@@ -324,3 +324,62 @@ def sql_strata_hash(strata_expr: str, key_expr: str,
         f"(('0x' || substr(md5('{salt}' || '|' || {strata_expr} || '|' || "
         f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % 10000)"
     )
+
+
+def kmv_hash(col: Column, salt: str = "v1") -> Column:
+    """Uniform (0, 1] hash for the KMV sketch: the first 13 hex chars
+    of md5('salt|value') — 52 bits, every integer exactly
+    representable in a double, so the Spark and DuckDB replicas agree
+    bit-for-bit (16^13 is a power of two: the final division is a pure
+    exponent shift, no rounding)."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), col.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast("double")
+        / float(16 ** 13)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    salt: str = "v1",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    hash every value to (0,1], keep the k smallest DISTINCT hashes;
+    if fewer than k distinct values exist the answer is exact, else
+    estimate ``(k-1) / h_(k)``. One row:
+    ``(kmv_estimate double, k_used bigint)``, estimate rounded to 4dp.
+
+    This is the mergeable-sketch building block for web-scale
+    vocabulary/cardinality profiling: per partition only k doubles
+    survive (map-side ``limit`` heaps via ``ranked_topk``), so the
+    reduce moves O(k·partitions) rows regardless of corpus size —
+    the same communication shape a 1000-executor HLL union has, but
+    exactly reproducible across engines (oracle-checkable, unlike
+    approx_count_distinct whose HLL++ registers are
+    implementation-defined).
+    """
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    hashes = (
+        df.select(kmv_hash(F.col(col), salt).alias("h"))
+        .where(F.col("h") > 0)
+        .distinct()
+    )
+    smallest = ranked_topk(hashes, [F.asc("h")], k)
+    return smallest.agg(
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise(F.round((F.lit(k) - F.lit(1)) / F.max("h"), 4))
+        .alias("kmv_estimate"),
+        F.count("*").alias("k_used"),
+    )
+
+
+def sql_kmv_hash(value_expr: str, salt: str = "v1") -> str:
+    """DuckDB replica of :func:`kmv_hash` (oracle building block)."""
+    return (
+        f"((('0x' || substr(md5('{salt}' || '|' || "
+        f"CAST({value_expr} AS VARCHAR)), 1, 13))::BIGINT)::DOUBLE "
+        f"/ power(2, 52))"
+    )
