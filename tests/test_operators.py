@@ -402,6 +402,18 @@ def test_extension_accessor(spark, docs):
     assert emb.tlhop.semantic_dedup(
         threshold=0.9, n_centroids=2, dim=2
     ).count() == 2
+    # web-curation accessors route to operators/web.py + cleaning
+    urls = spark.createDataFrame(
+        [(1, "https://www.ex.com/p?utm_source=a"), (2, "https://ex.com/p")],
+        "doc_id long, url string",
+    )
+    assert "domain" in urls.tlhop.url_features().columns
+    assert urls.tlhop.url_dedup().count() == 1
+    assert urls.tlhop.domain_topk(k=1).collect()[0]["domain"] == "ex.com"
+    blocked = spark.createDataFrame([("ex.com",)], "domain string")
+    assert urls.tlhop.domain_blocklist(blocked).count() == 0
+    assert urls.tlhop.domain_temperature_sample(alpha=1.0).count() == 2
+    assert "text_redacted" in docs.tlhop.redact_pii().columns
 
 
 def test_webpage_stats_classes(spark):

@@ -96,6 +96,37 @@ class TlhopExtension:
 
         return prepare_training_data(self._df, **kw)
 
+    # URL / domain curation (operators/web.py)
+    def url_features(self, url_col: str = "url"):
+        from tlhop_library_spark.operators import web
+
+        return web.with_url_features(self._df, url_col)
+
+    def url_dedup(self, url_col: str = "url", key_col: str = "doc_id"):
+        from tlhop_library_spark.operators import web
+
+        return web.url_dedup(self._df, url_col, key_col)
+
+    def domain_topk(self, k: int = 10, url_col: str = "url"):
+        from tlhop_library_spark.operators import web
+
+        return web.domain_topk(self._df, k, url_col)
+
+    def domain_blocklist(self, blocked, url_col: str = "url"):
+        from tlhop_library_spark.operators import web
+
+        return web.blocklist_filter(self._df, blocked, url_col)
+
+    def domain_temperature_sample(self, alpha: float = 0.5, **kw):
+        from tlhop_library_spark.operators import web
+
+        return web.domain_temperature_sample(self._df, alpha, **kw)
+
+    def redact_pii(self, text_col: str = "text"):
+        from tlhop_library_spark.operators import cleaning
+
+        return cleaning.redact_pii(self._df, text_col)
+
     # webpage / screenshot wrappers (ref shodan_library.py:95-215,
     # tlhop_abstraction.py:61-82)
     def describe_html(self, html_col: str = "html",

@@ -160,13 +160,15 @@ def url_dedup(df: DataFrame, url_col: str = "url",
 
 def domain_stats(df: DataFrame, url_col: str = "url",
                  chars_col: str = "n_chars") -> DataFrame:
-    """Per-registered-domain corpus profile: doc count, total chars,
-    mean path depth. ONE hash agg (map-side partial) on a key whose
-    cardinality is millions at web scale — a small shuffle."""
+    """Per-registered-domain corpus profile: doc count, total chars
+    (0 when ``chars_col`` is absent), mean path depth. ONE hash agg
+    (map-side partial) on a key whose cardinality is millions at web
+    scale — a small shuffle."""
     feat = with_url_features(df, url_col)
+    chars = F.col(chars_col) if chars_col in df.columns else F.lit(0)
     return feat.groupBy("domain").agg(
         F.count("*").alias("n_docs"),
-        F.sum(chars_col).cast("bigint").alias("sum_chars"),
+        F.sum(chars).cast("bigint").alias("sum_chars"),
         F.round(F.avg("path_depth"), 4).alias("avg_depth"),
     )
 
