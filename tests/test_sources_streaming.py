@@ -314,6 +314,13 @@ def test_stream_dedup_ttl_bounded_state(spark, tmp_path):
     t1 = datetime(2026, 3, 1, 10, 0, 30)
     land("b1.parquet", [(1, "alpha", t0), (2, "beta", t0)])
     land("b2.parquet", [(3, "alpha", t1), (4, "gamma", t1)])
+    # the file source orders by modification time; on a fast/loaded
+    # host both writes can land in the same fs-timestamp tick, making
+    # "which duplicate is first" nondeterministic — pin the order
+    import os
+
+    st = os.stat(batches / "b2.parquet")
+    os.utime(batches / "b1.parquet", (st.st_atime - 10, st.st_mtime - 10))
     q = stream_dedup_documents(
         spark, str(batches), str(tmp_path / "out"),
         str(tmp_path / "ck"), ttl_col="ts", ttl="10 minutes",
