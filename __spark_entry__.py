@@ -145,7 +145,8 @@ def _family(key: str) -> str:
                        "stopword_", "median_", "winnow_", "normalize_",
                        "gopher_", "redact_")):
         return "text"
-    if key.startswith(("bm25", "tfidf_topk", "lmdirichlet", "phrase_",
+    if key.startswith(("bm25", "tfidf_topk", "lmdirichlet", "lmjm",
+                       "phrase_",
                        "proximity_", "span_", "term_", "facet_",
                        "boolean_", "doc_lengths")):
         return "search"
@@ -260,6 +261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["lmdirichlet_topk"] = lambda s, d: _indexed_reader(s, d).search_sim(
         BM25_QUERY_1, k=10, similarity="lmdirichlet"
+    )
+    q["lmjm_topk"] = lambda s, d: _indexed_reader(s, d).search_sim(
+        BM25_QUERY_1, k=10, similarity="lmjelinekmercer"
     )
 
     # per-term query boosts (Lucene "term^2.5" syntax) and
@@ -1542,10 +1546,12 @@ def oracle_sql() -> dict[str, str]:
     from tlhop_library_spark.similarities import (
         oracle_sql_classic,
         oracle_sql_lmdirichlet,
+        oracle_sql_lmjelinekmercer,
     )
 
     o["tfidf_topk"] = oracle_sql_classic(BM25_QUERY_1, k=10)
     o["lmdirichlet_topk"] = oracle_sql_lmdirichlet(BM25_QUERY_1, k=10)
+    o["lmjm_topk"] = oracle_sql_lmjelinekmercer(BM25_QUERY_1, k=10)
     from tlhop_library_spark.index.query import (
         oracle_sql_bm25_boosted,
         oracle_sql_bm25_collapse,

@@ -65,6 +65,12 @@ HEADLINE = [
     "pmi_collocations",
     "contamination",
     "stratified_sample",
+    "url_normalize",
+    "url_dedup",
+    "domain_topk",
+    "domain_temperature",
+    "kmv_distinct_terms",
+    "redact_pii",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

@@ -39,6 +39,10 @@ def _brute_force(corpus_rows, query, similarity, k):
             if similarity == "classic":
                 idf = 1.0 + math.log(n / (df[t] + 1.0))
                 s += idf * idf * math.sqrt(tf) / math.sqrt(dl)
+            elif similarity == "lmjelinekmercer":
+                lam = similarities.LAMBDA_JM
+                p = cf[t] / sum_dl
+                s += math.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p))
             else:
                 p = cf[t] / sum_dl
                 s += max(
@@ -52,7 +56,9 @@ def _brute_force(corpus_rows, query, similarity, k):
     return scored[:k]
 
 
-@pytest.mark.parametrize("similarity", ["classic", "lmdirichlet"])
+@pytest.mark.parametrize(
+    "similarity", ["classic", "lmdirichlet", "lmjelinekmercer"]
+)
 def test_search_sim_matches_brute_force(
     spark, corpus_df, index_dir, similarity
 ):
@@ -83,7 +89,13 @@ def test_similarities_rank_differently_from_bm25(spark, index_dir):
         x["score"]
         for x in r.search_sim(q, 10, "lmdirichlet").orderBy("rank").collect()
     ]
+    jm = [
+        x["score"]
+        for x in r.search_sim(q, 10, "lmjelinekmercer")
+        .orderBy("rank").collect()
+    ]
     assert bm != cl and bm != lm and cl != lm
+    assert jm != lm and jm != cl and jm != bm
 
 
 def test_search_sim_absent_and_empty_queries(spark, index_dir):

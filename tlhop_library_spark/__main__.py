@@ -84,7 +84,9 @@ def main(argv: list[str] | None = None) -> int:
         "(e.g. /data/docs.parquet:lang)",
     )
     sm.add_argument(
-        "--similarity", choices=["classic", "lmdirichlet"], default=None,
+        "--similarity",
+        choices=["classic", "lmdirichlet", "lmjelinekmercer"],
+        default=None,
         help="rank with a pluggable similarity instead of BM25",
     )
     sm.add_argument(

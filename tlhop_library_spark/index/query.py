@@ -2808,8 +2808,9 @@ class IndexReader:
         self, query_text: str, k: int = 10, similarity: str = "classic"
     ) -> DataFrame:
         """Top-k under a pluggable similarity (Lucene's per-field
-        ``Similarity``): ``'classic'`` (TF-IDF) or ``'lmdirichlet'``
-        (μ=2000). One index serves every ranking model — the raw
+        ``Similarity``): ``'classic'`` (TF-IDF), ``'lmdirichlet'``
+        (μ=2000) or ``'lmjelinekmercer'`` (λ=0.1). One index serves
+        every ranking model — the raw
         (tf, dl) streams are similarity-agnostic; only the query-time
         weight function changes (tlhop_library_spark/similarities.py,
         the frozen spec shared with the DuckDB oracles). Returns

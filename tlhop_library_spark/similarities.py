@@ -34,6 +34,13 @@ lmdirichlet (Lucene LMDirichletSimilarity, μ = 2000):
   summed over matched terms (the per-term clamp keeps rare-term docs
   from being dragged negative by common query terms, matching
   Lucene's non-negative-score contract)
+
+lmjelinekmercer (Lucene LMJelinekMercerSimilarity, λ = 0.1 — the
+Lucene-recommended value for short queries):
+
+- ``contrib(t,d)`` = ln(1 + ((1-λ) · tf / dl) / (λ · p(t|C)))
+  summed over matched terms — always positive when tf > 0, so no
+  clamp is needed
 """
 
 from __future__ import annotations
@@ -72,6 +79,24 @@ def lmd_weight_np(
     return np.maximum(raw, 0.0)
 
 
+# --- LM Jelinek-Mercer -------------------------------------------------
+LAMBDA_JM = 0.1
+
+
+def lmjm_weight_np(
+    tfs: np.ndarray, dls: np.ndarray, cf: int, sum_dl: int,
+    lam: float = LAMBDA_JM,
+) -> np.ndarray:
+    """Per-posting Jelinek-Mercer contribution (self-contained)."""
+    p = cf / float(sum_dl)
+    # operation order mirrors the oracle SQL exactly so the rounded
+    # scores agree to the last ulp
+    return np.log1p(
+        ((1.0 - lam) * tfs.astype(np.float64) / dls.astype(np.float64))
+        / (lam * p)
+    )
+
+
 def weight_fns(
     similarity: str,
     info: dict[str, tuple[int, int, int, int]],
@@ -102,6 +127,11 @@ def weight_fns(
 
             def f(tfs, dls, _cf=cf, _bst=boost):
                 return _bst * lmd_weight_np(tfs, dls, _cf, sum_dl)
+
+        elif similarity == "lmjelinekmercer":
+
+            def f(tfs, dls, _cf=cf, _bst=boost):
+                return _bst * lmjm_weight_np(tfs, dls, _cf, sum_dl)
 
         elif similarity == "bm25":
             if avgdl is None:
@@ -179,5 +209,19 @@ def oracle_sql_lmdirichlet(query_text: str, k: int = 10,
     expr = (
         f"greatest(0, ln(1 + tf.tf / ({MU} * coll.cf / stats.sum_dl))"
         f" + ln({MU} / (tf.dl + {MU})))"
+    )
+    return _oracle_shell(expr, terms, k, table, doc_col)
+
+
+def oracle_sql_lmjelinekmercer(query_text: str, k: int = 10,
+                               table: str = "documents",
+                               doc_col: str = "doc_id") -> str:
+    """DuckDB replica of the LM Jelinek-Mercer spec above."""
+    from tlhop_library_spark.analyzer import py_tokens
+
+    terms = sorted(set(py_tokens(query_text)))
+    expr = (
+        f"ln(1 + ((1 - {LAMBDA_JM}) * tf.tf / tf.dl)"
+        f" / ({LAMBDA_JM} * coll.cf / stats.sum_dl))"
     )
     return _oracle_shell(expr, terms, k, table, doc_col)
