@@ -520,6 +520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_suggest"] = lambda s, d: _indexed_reader(s, d).suggest_df(
         "part", max_edits=2, n=10
     )
+    # prefix autocomplete: pushed StringStartsWith dictionary scan,
+    # (cf desc, df desc, term) total order
+    q["term_autocomplete"] = lambda s, d: _indexed_reader(s, d).autocomplete(
+        "s", n=10
+    )
     q["bm25_fuzzy_exhaustive"] = lambda s, d: _fuzzy_exhaustive(
         _t(s, d, "documents"), FUZZY_QUERY, k=10, max_edits=1
     )
@@ -1724,6 +1729,20 @@ SELECT term, CAST(levenshtein(term, 'part') AS INT) AS dist, df
 FROM dict
 WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
 ORDER BY dist ASC, df DESC, term ASC
+LIMIT 10
+"""
+
+    o["term_autocomplete"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), dict AS (
+  SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY term
+)
+SELECT term, cf, df FROM dict
+WHERE term LIKE 's%'
+ORDER BY cf DESC, df DESC, term ASC
 LIMIT 10
 """
 

@@ -185,3 +185,38 @@ def test_facets_total_equals_matching_docs(reader, corpus_df):
         .count()
     )
     assert total == matching
+
+
+def test_autocomplete_prefix_ranking(reader, corpus_df):
+    from pyspark.sql import functions as F
+
+    out = [(r["term"], r["cf"], r["df"])
+           for r in reader.autocomplete("ba", n=5).collect()]
+    assert out and all(t.startswith("ba") for t, _, _ in out)
+    cfs = [c for _, c, _ in out]
+    assert cfs == sorted(cfs, reverse=True)
+    # brute force over the corpus token stream
+    from tlhop_library_spark.analyzer import tokens_col
+
+    brute = (
+        corpus_df.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+        .where(F.col("t").startswith("ba"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("cf"), F.desc("df"), F.asc("t"))
+        .limit(5)
+        .collect()
+    )
+    assert out == [(r["t"], r["cf"], r["df"]) for r in brute]
+
+
+def test_autocomplete_pushdown_and_guards(reader):
+    plan = reader.autocomplete("ba")._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "StartsWith" in plan  # predicate reaches the parquet scan
+    with pytest.raises(ValueError):
+        reader.autocomplete("two words")
+    with pytest.raises(ValueError):
+        reader.autocomplete("")
+    assert reader.autocomplete("zzznope").count() == 0

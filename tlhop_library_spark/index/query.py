@@ -2644,6 +2644,38 @@ class IndexReader:
         rows = self.suggest_df(term, max_edits, n).collect()
         return [(r["term"], r["dist"], r["df"]) for r in rows]
 
+    def autocomplete(self, prefix: str, n: int = 10) -> DataFrame:
+        """Prefix autocomplete (the Lucene ``AnalyzingSuggester``
+        shape): the ``n`` dictionary terms starting with the analyzed
+        prefix, ranked by collection frequency desc (popularity
+        weight), df desc, term asc — a total order, so the limit is
+        deterministic. Returns (term, cf, df).
+
+        One column-pruned dictionary scan: the ``startsWith`` filter
+        pushes to parquet as a ``StringStartsWith`` predicate and the
+        dictionary files are term-sorted within segments, so row
+        groups outside the prefix range skip on min/max stats. The
+        ``orderBy().limit(n)`` is TakeOrderedAndProject. At serving
+        scale the same ranking would sit in a dedicated prefix table;
+        this is the batch/analytics form over the live dictionary."""
+        import re
+
+        q = prefix.lower()
+        # single-token contract (the analyzer's token alphabet); the
+        # prefix may be SHORTER than the analyzer's min token length,
+        # so validate the alphabet directly rather than via py_tokens
+        if not q or not re.fullmatch(r"[^\W_]+", q):
+            raise ValueError(
+                f"autocomplete() takes a single-token prefix; got "
+                f"{prefix!r}"
+            )
+        return (
+            self._dict.where(F.col("term").startswith(q))
+            .select("term", "cf", "df")
+            .orderBy(F.desc("cf"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
     def search_fuzzy(
         self, query_text: str, k: int = 10, max_edits: int = 1,
         mode: str = "auto",
