@@ -525,6 +525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_autocomplete"] = lambda s, d: _indexed_reader(s, d).autocomplete(
         "s", n=10
     )
+    # significant terms (ES significant_terms, JLH): foreground df
+    # over the matching set vs dictionary df, range-pruned cogrouped
+    # decode — DuckDB replays fg/bg from the raw token stream
+    q["sig_terms"] = lambda s, d: _indexed_reader(s, d).significant_terms(
+        BM25_QUERY_1, m=10
+    )
     q["bm25_fuzzy_exhaustive"] = lambda s, d: _fuzzy_exhaustive(
         _t(s, d, "documents"), FUZZY_QUERY, k=10, max_edits=1
     )
@@ -1743,6 +1749,38 @@ WITH tok AS (
 SELECT term, cf, df FROM dict
 WHERE term LIKE 's%'
 ORDER BY cf DESC, df DESC, term ASC
+LIMIT 10
+"""
+
+    o["sig_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, term FROM tok GROUP BY doc_id, term
+), hits AS (
+  SELECT DISTINCT doc_id FROM tf
+  WHERE term IN ('spark', 'join', 'filter')
+), fgn AS (SELECT count(*) AS fg_n FROM hits),
+n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+bg AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY term),
+fg AS (
+  SELECT t.term, count(*) AS fg_df
+  FROM tf t JOIN hits h USING (doc_id) GROUP BY t.term
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS INT)
+         AS rank,
+       term, fg_df, bg_df, score
+FROM (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+    round(((CAST(fg.fg_df AS DOUBLE)/fg_n) - (CAST(bg.bg_df AS DOUBLE)/n.n))
+        * ((CAST(fg.fg_df AS DOUBLE)/fg_n) / (CAST(bg.bg_df AS DOUBLE)/n.n)),
+        6) AS score
+  FROM fg JOIN bg USING (term), fgn, n
+  WHERE (CAST(fg.fg_df AS DOUBLE)/fg_n) > (CAST(bg.bg_df AS DOUBLE)/n.n)
+    AND fg.fg_df >= 2
+)
+ORDER BY score DESC, term ASC
 LIMIT 10
 """
 

@@ -2676,6 +2676,113 @@ class IndexReader:
             .limit(n)
         )
 
+    def significant_terms(
+        self, query_text: str, m: int = 10, min_fg_df: int = 2
+    ) -> DataFrame:
+        """Elasticsearch ``significant_terms`` aggregation: the terms
+        most over-represented in the docs matching the OR query
+        (foreground) relative to the whole corpus (background), scored
+        with the JLH heuristic
+        ``(fg% − bg%) · (fg% / bg%)`` where ``fg% = fg_df / n_hits``
+        and ``bg% = df / n_docs``. Returns
+        (rank, term, fg_df, bg_df, score) — score rounded to 6
+        digits, ranked (score desc, term asc), terms with
+        ``fg% ≤ bg%`` or ``fg_df < min_fg_df`` dropped (ES semantics:
+        only positively significant terms surface).
+
+        Scale shape: the hit stream (no k-cut, sized by the matching
+        set) yields its distinct range_ids, which semi-join-prune the
+        FULL segment scan — only doc-ranges containing a hit are
+        decoded. A cogroup on ``range_id`` (the doc-space salt) hands
+        each kernel its range's hit ids; the kernel emits ONE
+        (tid, fg_partial) row per (term, range) — chunk rows of a
+        (term, range) are doc-disjoint, so partial counts sum
+        exactly. Background df comes straight from the dictionary
+        (stale after deletes until compaction, like every index
+        stat — Lucene live-docs semantics). The n_hits scalar rides a
+        broadcast 1-row cross join; nothing corpus-sized is
+        collected."""
+        from tlhop_library_spark.index.phrase import decode_chunk
+
+        empty = self.spark.createDataFrame(
+            [],
+            "rank int, term string, fg_df long, bg_df long, "
+            "score double",
+        )
+        if not self.lookup_terms(sorted(set(py_tokens(query_text)))):
+            return empty
+        hits = self._matching_scores(query_text).select("doc_id")
+        range_size = int(self.stats["range_size"])
+        bg_n = float(self.stats["n_docs"])
+        hits_r = hits.select(
+            "doc_id",
+            F.floor(F.col("doc_id") / F.lit(range_size))
+            .cast("int")
+            .alias("range_id"),
+        )
+        hit_ranges = hits_r.select("range_id").distinct()
+        seg = self._segments.select(
+            *[f.name for f in SEGMENT_SCHEMA.fields]
+        ).join(F.broadcast(hit_ranges), "range_id", "left_semi")
+
+        def fg_kernel(key, seg_pdf: pd.DataFrame, hit_pdf: pd.DataFrame):
+            out = {"tid": pd.Series([], dtype="int64"),
+                   "fg": pd.Series([], dtype="int64")}
+            if not len(seg_pdf) or not len(hit_pdf):
+                return pd.DataFrame(out)
+            ids = np.unique(hit_pdf["doc_id"].to_numpy(np.int64))
+            tids, fgs = [], []
+            for ri in range(len(seg_pdf)):
+                row = seg_pdf.iloc[ri]
+                docs_, _, _ = decode_chunk(row)
+                n = int(np.isin(docs_, ids, assume_unique=True).sum())
+                if n:
+                    tids.append(int(row["tid"]))
+                    fgs.append(n)
+            if not tids:
+                return pd.DataFrame(out)
+            return pd.DataFrame(
+                {"tid": np.array(tids, dtype=np.int64),
+                 "fg": np.array(fgs, dtype=np.int64)}
+            )
+
+        partial = (
+            seg.groupBy("range_id")
+            .cogroup(hits_r.groupBy("range_id"))
+            .applyInPandas(fg_kernel, schema="tid long, fg long")
+        )
+        fg = partial.groupBy("tid").agg(F.sum("fg").alias("fg_df"))
+        n_hits = hits.agg(F.count("*").alias("fg_n"))
+        scored = (
+            fg.join(self._dict.select("tid", "term", "df"), "tid")
+            .crossJoin(F.broadcast(n_hits))
+            .where(F.col("fg_n") > 0)
+            .withColumn(
+                "fg_pct", F.col("fg_df") / F.col("fg_n").cast("double")
+            )
+            .withColumn("bg_pct", F.col("df") / F.lit(bg_n))
+            .where(
+                (F.col("fg_pct") > F.col("bg_pct"))
+                & (F.col("fg_df") >= F.lit(int(min_fg_df)))
+            )
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("fg_pct") - F.col("bg_pct"))
+                    * (F.col("fg_pct") / F.col("bg_pct")),
+                    6,
+                ),
+            )
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            scored, [F.desc("score"), F.asc("term")], m
+        ).select(
+            "rank", "term", F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("bg_df"), "score",
+        )
+
     def search_fuzzy(
         self, query_text: str, k: int = 10, max_edits: int = 1,
         mode: str = "auto",
