@@ -651,6 +651,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_first"] = lambda s, d: _indexed_reader(s, d).search_span_first(
         "spark", end=20, k=10
     )
+    # ordered span-near (Lucene SpanNearQuery inOrder=true): terms
+    # left-to-right in query order within slop intervening positions —
+    # a superset of the exact-phrase hits at the same term pair
+    q["span_near"] = lambda s, d: _indexed_reader(s, d).search_span_near(
+        PHRASE_QUERY_1, slop=2, k=10
+    )
 
     def term_df(s, d):
         docs = _t(s, d, "documents").where(F.col("text").isNotNull())
@@ -1705,9 +1711,13 @@ FROM d, n
     o["proximity_topk"] = oracle_sql_proximity(
         PROX_QUERY, window=PROX_WINDOW, k=10
     )
-    from tlhop_library_spark.index.phrase import oracle_sql_span_first
+    from tlhop_library_spark.index.phrase import (
+        oracle_sql_span_first,
+        oracle_sql_span_near,
+    )
 
     o["span_first"] = oracle_sql_span_first("spark", end=20, k=10)
+    o["span_near"] = oracle_sql_span_near(PHRASE_QUERY_1, slop=2, k=10)
 
     o["term_df"] = f"""
 WITH tok AS (

@@ -279,3 +279,125 @@ def test_span_first_end_zero_and_missing(spark, pos_index_dir):
     assert reader.search_span_first("zzznope", 10, 5).count() == 0
     with pytest.raises(ValueError):
         reader.search_span_first("two terms", 10)
+
+
+# ---------------------------------------------------------------------
+# ordered span-near (SpanNearQuery inOrder=true)
+# ---------------------------------------------------------------------
+def _py_span_near_docs(tokenized: dict, query: str, slop: int):
+    """Brute-force ordered-span oracle: greedy minimal chain per
+    start position (provably minimal end for each start)."""
+    import bisect
+
+    clauses = py_tokens(query)
+    out = set()
+    for doc, toks in tokenized.items():
+        lists = [
+            [i for i, x in enumerate(toks) if x == c] for c in clauses
+        ]
+        if any(not lst for lst in lists):
+            continue
+        for p0 in lists[0]:
+            prev, ok = p0, True
+            for lst in lists[1:]:
+                j = bisect.bisect_right(lst, prev)
+                if j >= len(lst):
+                    ok = False
+                    break
+                prev = lst[j]
+            if ok and prev - p0 - (len(clauses) - 1) <= slop:
+                out.add(doc)
+                break
+    return out
+
+
+SPAN_NEAR_CASES = [
+    ("análise tupere", 3),
+    ("tupere análise", 3),       # reversed — order must matter
+    ("pili página conteúdo", 5),
+    ("análise análise", 10),     # repeated clause: two distinct positions
+]
+
+
+@pytest.mark.parametrize("query,slop", SPAN_NEAR_CASES)
+def test_span_near_indexed_vs_python(
+    spark, pos_index_dir, tokenized, query, slop
+):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    got = {
+        int(r["doc_id"])
+        for r in reader.search_span_near(query, slop=slop, k=10_000).collect()
+    }
+    assert got == _py_span_near_docs(tokenized, query, slop), (query, slop)
+
+
+def test_span_near_order_matters(tokenized):
+    fwd = _py_span_near_docs(tokenized, "análise tupere", 3)
+    rev = _py_span_near_docs(tokenized, "tupere análise", 3)
+    assert fwd, "forward fixture matched nothing — weak fixture"
+    assert fwd != rev, "fixture cannot distinguish ordered from unordered"
+
+
+def test_span_near_slop0_equals_phrase(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    for q in ["coração ação", "análise tupere"]:
+        a = [tuple(r) for r in reader.search_span_near(q, 0, 10).collect()]
+        b = [tuple(r) for r in reader.search_phrase(q, 10).collect()]
+        assert a == b, q
+
+
+def test_span_near_subset_of_proximity(spark, pos_index_dir):
+    """An ordered span of width ≤ slop + (n−1) sits inside an
+    unordered window of slop + n tokens."""
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    q, slop = "análise tupere", 3
+    n = 2
+    near = {
+        int(r["doc_id"])
+        for r in reader.search_span_near(q, slop, 10_000).collect()
+    }
+    prox = {
+        int(r["doc_id"])
+        for r in reader.search_proximity(q, window=slop + n, k=10_000)
+        .collect()
+    }
+    assert near <= prox
+
+
+def test_span_near_matches_duckdb(spark, pos_index_dir, corpus_path):
+    import duckdb
+
+    from tlhop_library_spark.index import IndexReader
+    from tlhop_library_spark.index.phrase import oracle_sql_span_near
+
+    reader = IndexReader(spark, pos_index_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'"
+    )
+    for q, slop in SPAN_NEAR_CASES:
+        got = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in reader.search_span_near(q, slop, 10).collect()
+        ]
+        exp = [
+            tuple(r)
+            for r in con.execute(
+                oracle_sql_span_near(q, slop, 10)
+            ).fetchall()
+        ]
+        assert got == exp, (q, slop)
+
+
+def test_span_near_absent_term_and_empty(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    assert reader.search_span_near("ação zzzunseen", 5, 10).count() == 0
+    assert reader.search_span_near("", 5, 10).count() == 0

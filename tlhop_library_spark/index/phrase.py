@@ -260,6 +260,75 @@ def proximity_range_scorer(tids: list[int], idf_map: dict, window: int,
     return score_range
 
 
+def _ordered_span(lists: list[np.ndarray], slop: int) -> bool:
+    """True iff there exist positions p₀ < p₁ < … < pₙ₋₁, one per
+    clause IN CLAUSE ORDER, with span width
+    ``pₙ₋₁ − p₀ − (n−1) ≤ slop`` (Lucene ``SpanNearQuery``
+    ``inOrder=true`` with single-term clauses).
+
+    Greedy successor chain: for every start p₀, taking the SMALLEST
+    valid position at each later clause minimizes the chain end (the
+    only constraint is strict increase, so shrinking any link never
+    invalidates a later one) — the doc matches iff some start's
+    minimal chain fits in the slop."""
+    if any(pos.size == 0 for pos in lists):
+        return False
+    starts = lists[0].astype(np.int64)
+    ends = starts.copy()
+    for pos in lists[1:]:
+        idx = np.searchsorted(pos, ends, side="right")
+        ok = idx < pos.size
+        if not ok.any():
+            return False
+        starts, ends = starts[ok], pos[idx[ok]].astype(np.int64)
+    return bool(((ends - starts) - (len(lists) - 1) <= slop).any())
+
+
+def span_near_range_scorer(clause_tids: list[int], idf_map: dict,
+                           slop: int, k: int, deleted=None):
+    """applyInPandas kernel for ordered span-near (Lucene
+    ``SpanNearQuery(inOrder=true)``) over ONE doc range: the clause
+    terms must occur left-to-right in query order within ``slop``
+    intervening positions; matching docs are BM25-scored on the
+    clauses' distinct terms (same scoring shell as phrase/proximity).
+    A repeated clause term needs that many DISTINCT, increasing
+    positions (Lucene's non-overlapping ordered spans)."""
+    distinct = sorted(set(clause_tids))
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        present = set(int(t) for t in pdf["tid"])
+        if not all(t in present for t in distinct):
+            return _EMPTY
+        per_term = _decode_terms(pdf, distinct, deleted)
+        common = _intersect_docs(per_term, distinct)
+        if common.size == 0:
+            return _EMPTY
+        per_doc = []
+        for tid in clause_tids:
+            _, _, _, inst_docs, inst_pos = per_term[tid]
+            sel = np.isin(inst_docs, common)
+            d, p = inst_docs[sel], inst_pos[sel]
+            starts = np.searchsorted(d, common, side="left")
+            ends = np.searchsorted(d, common, side="right")
+            per_doc.append((p, starts, ends))
+        matched = [
+            int(doc)
+            for ci, doc in enumerate(common)
+            if _ordered_span(
+                [p[s[ci]:e[ci]] for p, s, e in per_doc], slop
+            )
+        ]
+        if not matched:
+            return _EMPTY
+        return _score_docs(
+            per_term, distinct, idf_map,
+            np.asarray(matched, dtype=np.int64),
+            float(pdf["avgdl"].iloc[0]), k,
+        )
+
+    return score_range
+
+
 # ---------------------------------------------------------------------
 # declarative (index-free) phrase path + oracle SQL
 # ---------------------------------------------------------------------
@@ -485,6 +554,83 @@ WITH base AS (
     SELECT count(DISTINCT b.term) FROM pos b
     WHERE b.doc_id = a.doc_id AND b.p BETWEEN a.p AND a.p + {window} - 1
   ) = {m}
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tf, dfreq, stats
+  WHERE tf.term = dfreq.term
+    AND tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_span_near(query_text: str, slop: int, k: int = 10,
+                         table: str = "documents",
+                         doc_col: str = "doc_id") -> str:
+    """DuckDB SQL for the ordered span-near spec: a doc matches iff
+    there exist positions p₀ < p₁ < … < pₙ₋₁, one per clause in query
+    order, with pₙ₋₁ − p₀ − (n−1) ≤ slop. The EXISTS-over-all-ordered-
+    tuples formulation is equivalent to the kernel's greedy minimal
+    chain (the chain only tightens the same constraint set). Scoring
+    shell identical to the proximity oracle (BM25 over the distinct
+    clause terms, corpus-wide stats)."""
+    clauses = py_tokens(query_text)
+    terms = sorted(set(clauses))
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    n = len(clauses)
+    joins, conds = [], []
+    for i in range(1, n):
+        w = clauses[i].replace("'", "''")
+        joins.append(
+            f"  JOIN pos t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.term = '{w}' AND t{i}.p > t{i-1}.p"
+        )
+        conds.append("")
+    w0 = clauses[0].replace("'", "''")
+    where = f"t0.term = '{w0}'"
+    if n > 1:
+        where += f" AND t{n-1}.p - t0.p - {n - 1} <= {slop}"
+    hits = (
+        "  SELECT DISTINCT t0.doc_id\n  FROM pos t0\n"
+        + ("\n".join(joins) + "\n" if joins else "")
+        + f"  WHERE {where}"
+    )
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), pos0 AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) - 1 AS p
+  FROM base_dl
+), pos AS (
+  SELECT doc_id, term, CAST(p AS BIGINT) AS p FROM pos0
+  WHERE term IN ({terms_list})
+), hits AS (
+{hits}
 ), tok AS (
   SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
 ), tf AS (

@@ -3418,6 +3418,51 @@ class IndexReader:
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def search_span_near(
+        self, query_text: str, slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """Ordered span-near (Lucene ``SpanNearQuery`` with
+        ``inOrder=true`` and single-term clauses): docs where the
+        query terms occur left-to-right IN QUERY ORDER with at most
+        ``slop`` intervening token positions (span width
+        ``p_last − p_first − (n−1) ≤ slop``); matching docs are
+        BM25-ranked over the distinct clause terms. ``slop=0`` on
+        distinct terms ≡ :meth:`search_phrase`;
+        :meth:`search_proximity` is the unordered counterpart. Needs
+        a positional index. Returns (rank, doc_id, score); scale
+        shape = plain indexed search (pruned positional chunk scan,
+        per-range kernels, ≤ k rows per range leave the
+        executors)."""
+        from tlhop_library_spark.index.phrase import (
+            span_near_range_scorer,
+        )
+
+        clauses = py_tokens(query_text)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not clauses:
+            return empty
+        info, seg = self._positional_seg(sorted(set(clauses)))
+        if seg is None:
+            return empty
+        n_docs = self.stats["n_docs"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        clause_tids = [info[t][2] for t in clauses]
+        scorer = span_near_range_scorer(
+            clause_tids, idf_map, int(slop), k, deleted=self._deleted
+        )
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
     def search_span_first(
         self, term_text: str, end: int, k: int = 10
     ) -> DataFrame:
