@@ -71,6 +71,9 @@ HEADLINE = [
     "domain_temperature",
     "kmv_distinct_terms",
     "redact_pii",
+    "span_near",
+    "sig_terms",
+    "term_autocomplete",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

@@ -213,6 +213,11 @@ def test_sharded_phrase_proximity_identical(spark, corpus_df,
         assert rows(sh.search_proximity(q, w, k=10)) == rows(
             single.search_proximity(q, w, k=10)
         ), q
+    for q, s in [("informação segurança", 4), ("análise tupere", 3),
+                 ("zzznope x", 2)]:
+        assert rows(sh.search_span_near(q, s, k=10)) == rows(
+            single.search_span_near(q, s, k=10)
+        ), q
 
     plain = str(base / "plain")
     IndexBuilder(spark, plain, n_buckets=4, n_ranges=4).build(corpus_df)

@@ -246,6 +246,31 @@ class ShardedIndexReader:
 
         return self._positional_local(query_text, k, make)
 
+    def search_span_near(
+        self, query_text: str, slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """Federated ordered span-near — rank-identical to
+        ``IndexReader.search_span_near`` on a single union index
+        (clause order preserved per shard, global idf/avgdl)."""
+        from tlhop_library_spark.index.phrase import (
+            span_near_range_scorer,
+        )
+
+        clauses = py_tokens(query_text)
+        if not clauses:
+            return self._empty()
+
+        def make(r, info, idf_by_term):
+            idf_map = {
+                tid: idf_by_term[t] for t, (_, _, tid) in info.items()
+            }
+            return span_near_range_scorer(
+                [info[t][2] for t in clauses], idf_map, int(slop), k,
+                deleted=r._deleted,
+            )
+
+        return self._positional_local(query_text, k, make)
+
     # ------------------------------------------------------------------
     def _resolve_full(self, query_text_or_terms):
         """Per-shard full term info + Σ-across-shards df/cf (language-
