@@ -657,6 +657,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_near"] = lambda s, d: _indexed_reader(s, d).search_span_near(
         PHRASE_QUERY_1, slop=2, k=10
     )
+    # match-phrase-prefix (ES search-as-you-type): "spark" then any
+    # 's…' completion at the next position; completion scored as ONE
+    # synonym-style group (summed tf, max-df idf)
+    q["phrase_prefix"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_phrase_prefix("spark s", k=10)
 
     def term_df(s, d):
         docs = _t(s, d, "documents").where(F.col("text").isNotNull())
@@ -1712,12 +1718,14 @@ FROM d, n
         PROX_QUERY, window=PROX_WINDOW, k=10
     )
     from tlhop_library_spark.index.phrase import (
+        oracle_sql_phrase_prefix,
         oracle_sql_span_first,
         oracle_sql_span_near,
     )
 
     o["span_first"] = oracle_sql_span_first("spark", end=20, k=10)
     o["span_near"] = oracle_sql_span_near(PHRASE_QUERY_1, slop=2, k=10)
+    o["phrase_prefix"] = oracle_sql_phrase_prefix("spark s", k=10)
 
     o["term_df"] = f"""
 WITH tok AS (

@@ -74,6 +74,7 @@ HEADLINE = [
     "span_near",
     "sig_terms",
     "term_autocomplete",
+    "phrase_prefix",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

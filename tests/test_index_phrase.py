@@ -401,3 +401,79 @@ def test_span_near_absent_term_and_empty(spark, pos_index_dir):
     reader = IndexReader(spark, pos_index_dir)
     assert reader.search_span_near("ação zzzunseen", 5, 10).count() == 0
     assert reader.search_span_near("", 5, 10).count() == 0
+
+
+# ---------------------------------------------------------------------
+# match-phrase-prefix (ES search-as-you-type)
+# ---------------------------------------------------------------------
+PHRASE_PREFIX_QUERIES = [
+    "análise tup",       # exact term + multi/uni-candidate prefix
+    "coração aç",        # accented prefix
+    "ba",                # bare prefix (no exact slots)
+    "análise zzznope",   # prefix with no completions → empty
+    "zzzunseen tup",     # missing exact term → empty
+]
+
+
+@pytest.mark.parametrize("query", PHRASE_PREFIX_QUERIES)
+def test_phrase_prefix_matches_duckdb(
+    spark, pos_index_dir, corpus_path, query
+):
+    import duckdb
+
+    from tlhop_library_spark.index import IndexReader
+    from tlhop_library_spark.index.phrase import oracle_sql_phrase_prefix
+
+    reader = IndexReader(spark, pos_index_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'")
+    got = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search_phrase_prefix(
+            query, k=10, max_expansions=1000
+        ).collect()
+    ]
+    exp = [
+        tuple(r)
+        for r in con.execute(oracle_sql_phrase_prefix(query, 10)).fetchall()
+    ]
+    assert got == exp, query
+
+
+def test_phrase_prefix_single_candidate_equals_phrase(
+    spark, pos_index_dir
+):
+    """When the trailing prefix expands to EXACTLY the one dictionary
+    term, the synonym group degenerates to that term (summed tf = its
+    tf, max df = its df) and the result must be rank+score-identical
+    to the exact phrase."""
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    # find a corpus term whose prefix-to-itself expansion is unique
+    assert set(reader.lookup_terms_prefix(["tupere"])) == {"tupere"}
+    a = [
+        tuple(r)
+        for r in reader.search_phrase_prefix("análise tupere", 10).collect()
+    ]
+    b = [tuple(r) for r in reader.search_phrase("análise tupere", 10).collect()]
+    assert a == b and a
+
+
+def test_phrase_prefix_guards(spark, pos_index_dir, index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    # a leading token below the analyzer's min length cannot be an
+    # exact phrase slot
+    with pytest.raises(ValueError, match="analyzable"):
+        reader.search_phrase_prefix("ab cde")
+    # Lucene-style expansion guard
+    with pytest.raises(ValueError, match="expands"):
+        reader.search_phrase_prefix("análise b", max_expansions=1)
+    # plain (non-positional) index rejected
+    plain = IndexReader(spark, index_dir)
+    with pytest.raises(ValueError, match="positional"):
+        plain.search_phrase_prefix("bace ca")
+    # empty query → empty result
+    assert reader.search_phrase_prefix("", 10).count() == 0

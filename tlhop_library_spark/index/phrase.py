@@ -260,6 +260,105 @@ def proximity_range_scorer(tids: list[int], idf_map: dict, window: int,
     return score_range
 
 
+def phrase_prefix_range_scorer(slot_tids: list[int], last_tids: list[int],
+                               idf_map: dict, group_idf: float, k: int,
+                               deleted=None):
+    """applyInPandas kernel for match-phrase-prefix (the Elasticsearch
+    ``match_phrase_prefix`` shape) over ONE doc range: the exact slots
+    must occur consecutively, immediately followed by ANY of the
+    ``last_tids`` completion terms (the dictionary expansion of the
+    query's trailing prefix). Scoring: frozen BM25 over the DISTINCT
+    exact-slot terms plus ONE SynonymQuery-style group for the
+    completion position — tf summed across matched completions per
+    doc, idf = ``group_idf`` (max candidate df corpus-wide, Lucene's
+    blended docFreq). ``slot_tids`` may be empty (bare-prefix query):
+    every doc containing a candidate matches and only the group
+    scores."""
+    distinct_exact = sorted(set(slot_tids))
+    last_set = sorted(set(last_tids))
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        present = set(int(t) for t in pdf["tid"])
+        if not all(t in present for t in distinct_exact):
+            return _EMPTY
+        cand_tids = [t for t in last_set if t in present]
+        if not cand_tids:
+            return _EMPTY
+        per_term = _decode_terms(
+            pdf, sorted(set(distinct_exact) | set(cand_tids)), deleted
+        )
+        cand_tids = [t for t in cand_tids if t in per_term]
+        if not cand_tids or not all(
+            t in per_term for t in distinct_exact
+        ):
+            return _EMPTY  # tombstones can empty a decoded term
+        # anchor join over the exact slots (phrase_range_scorer shape)
+        cand = None
+        for i, tid in enumerate(slot_tids):
+            _, _, _, inst_docs, inst_pos = per_term[tid]
+            frame = pd.DataFrame(
+                {"doc": inst_docs, "p": inst_pos - i}
+            )
+            if i > 0:
+                frame = frame[frame["p"] >= 0]
+            cand = (
+                frame
+                if cand is None
+                else cand.merge(frame, on=["doc", "p"], how="inner")
+            )
+            if cand.empty:
+                return _EMPTY
+        # completion position = anchor + len(slot_tids)
+        comp_docs = np.concatenate([per_term[t][3] for t in cand_tids])
+        comp_pos = np.concatenate([per_term[t][4] for t in cand_tids])
+        frame = pd.DataFrame(
+            {"doc": comp_docs, "p": comp_pos - len(slot_tids)}
+        )
+        if slot_tids:
+            frame = frame[frame["p"] >= 0]
+        cand = (
+            frame
+            if cand is None
+            else cand.merge(frame, on=["doc", "p"], how="inner")
+        )
+        if cand.empty:
+            return _EMPTY
+        matched = np.unique(cand["doc"].to_numpy(dtype=np.int64))
+        avgdl = float(pdf["avgdl"].iloc[0])
+        scores = np.zeros(len(matched), dtype=np.float64)
+        for tid in distinct_exact:
+            docs, tfs, dls, _, _ = per_term[tid]
+            sel = np.isin(docs, matched, assume_unique=True)
+            idx = np.searchsorted(matched, docs[sel])
+            scores[idx] += idf_map[tid] * bm25.tf_weight_np(
+                tfs[sel], dls[sel], avgdl
+            )
+        gd = np.concatenate([per_term[t][0] for t in cand_tids])
+        gtf = np.concatenate(
+            [per_term[t][1] for t in cand_tids]
+        ).astype(np.float64)
+        gdl = np.concatenate(
+            [per_term[t][2] for t in cand_tids]
+        ).astype(np.float64)
+        sel = np.isin(gd, matched)
+        gd, gtf, gdl = gd[sel], gtf[sel], gdl[sel]
+        uniq, inv = np.unique(gd, return_inverse=True)
+        tf_sum = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tf_sum, inv, gtf)
+        dl_u = np.zeros(len(uniq), dtype=np.float64)
+        dl_u[inv] = gdl
+        idx = np.searchsorted(matched, uniq)
+        scores[idx] += group_idf * bm25.tf_weight_np(tf_sum, dl_u, avgdl)
+        r = np.round(scores, bm25.ROUND_DIGITS)
+        order = np.lexsort((matched, -r))[:k]
+        return pd.DataFrame(
+            {"doc_id": matched[order].astype(np.int64),
+             "score": r[order]}
+        )
+
+    return score_range
+
+
 def _ordered_span(lists: list[np.ndarray], slop: int) -> bool:
     """True iff there exist positions p₀ < p₁ < … < pₙ₋₁, one per
     clause IN CLAUSE ORDER, with span width
@@ -649,6 +748,119 @@ WITH base AS (
   WHERE tf.term = dfreq.term
     AND tf.doc_id IN (SELECT doc_id FROM hits)
   GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_phrase_prefix(query_text: str, k: int = 10,
+                             table: str = "documents",
+                             doc_col: str = "doc_id") -> str:
+    """DuckDB SQL for the match-phrase-prefix spec: exact leading
+    terms consecutive, immediately followed by any term starting with
+    the trailing prefix; score = BM25 over the distinct exact terms +
+    one synonym-group over the prefix completions (tf summed per doc,
+    idf from the max completion df). The LIKE expansion is unguarded —
+    gates must use prefixes whose expansion stays under the engine's
+    ``max_expansions`` so both sides see the same candidate set."""
+    import re as _re
+
+    raw = [
+        t
+        for t in _re.split(r"[^\w]+", query_text.lower().replace("_", " "))
+        if t
+    ]
+    prefix, exact = raw[-1], raw[:-1]
+    like = prefix.replace("'", "''") + "%"
+    terms = sorted(set(exact))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    term_filter = (
+        f"(term IN ({in_list}) OR term LIKE '{like}')"
+        if terms
+        else f"term LIKE '{like}'"
+    )
+    m = len(exact)
+    if exact:
+        joins = []
+        for i in range(1, m):
+            w = exact[i].replace("'", "''")
+            joins.append(
+                f"  JOIN pos t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.term = '{w}' AND t{i}.p = t0.p + {i}"
+            )
+        joins.append(
+            f"  JOIN pos c ON c.doc_id = t0.doc_id "
+            f"AND c.term LIKE '{like}' AND c.p = t0.p + {m}"
+        )
+        w0 = exact[0].replace("'", "''")
+        hits = (
+            "  SELECT DISTINCT t0.doc_id\n  FROM pos t0\n"
+            + "\n".join(joins)
+            + f"\n  WHERE t0.term = '{w0}'"
+        )
+        ex_cte = f""", ex AS (
+  SELECT tf.doc_id,
+         sum(
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ) AS s
+  FROM tf, dfreq, stats
+  WHERE tf.term = dfreq.term AND tf.term IN ({in_list})
+  GROUP BY tf.doc_id
+)"""
+        ex_join = "JOIN ex ON ex.doc_id = h.doc_id"
+        ex_expr = "ex.s"
+    else:
+        hits = f"  SELECT DISTINCT doc_id FROM pos WHERE term LIKE '{like}'"
+        ex_cte = ""
+        ex_join = ""
+        ex_expr = "0.0"
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), pos0 AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) - 1 AS p
+  FROM base_dl
+), pos AS (
+  SELECT doc_id, term, CAST(p AS BIGINT) AS p FROM pos0
+  WHERE {term_filter}
+), hits AS (
+{hits}
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE {term_filter} GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), gmax AS (
+  SELECT max(df) AS df FROM dfreq WHERE term LIKE '{like}'
+), g AS (
+  SELECT doc_id, sum(tf) AS tf, max(dl) AS dl
+  FROM tf WHERE term LIKE '{like}' GROUP BY doc_id
+){ex_cte}, scored AS (
+  SELECT h.doc_id,
+         round({ex_expr} +
+            ln(1 + (stats.n - gmax.df + 0.5) / (gmax.df + 0.5))
+            * (g.tf * ({bm25.K1} + 1)) /
+              (g.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (g.dl / stats.avgdl))),
+            {bm25.ROUND_DIGITS}) AS score
+  FROM hits h
+  JOIN g ON g.doc_id = h.doc_id
+  {ex_join}, gmax, stats
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
        doc_id, score

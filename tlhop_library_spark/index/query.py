@@ -3463,6 +3463,97 @@ class IndexReader:
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def search_phrase_prefix(
+        self, query_text: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
+        """Match-phrase-prefix (Elasticsearch ``match_phrase_prefix``,
+        the search-as-you-type query): the leading tokens must occur
+        as an exact consecutive phrase, immediately followed by any
+        dictionary term starting with the query's TRAILING prefix
+        (which may be shorter than the analyzer's minimum token
+        length). Completion candidates come from one sargable
+        ``startsWith`` dictionary scan, guarded by ``max_expansions``
+        (Lucene-style: an unbounded head prefix would OR thousands of
+        posting lists). Scoring: frozen BM25 over the distinct exact
+        terms plus ONE SynonymQuery-style group for the completion
+        position (tf summed across matched candidates, idf from the
+        max candidate df — Lucene's blended docFreq). Returns
+        (rank, doc_id, score); needs a positional index unless the
+        query is a bare prefix. Scale shape = plain indexed search
+        over the union term set."""
+        from tlhop_library_spark.analyzer import (
+            MIN_TOKEN_LEN,
+            _PY_NON_WORD_RE,
+        )
+        from tlhop_library_spark.index.phrase import (
+            phrase_prefix_range_scorer,
+        )
+
+        raw = [
+            t
+            for t in _PY_NON_WORD_RE.split(
+                query_text.lower().replace("_", " ")
+            )
+            if t
+        ]
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not raw:
+            return empty
+        prefix, exact = raw[-1], raw[:-1]
+        if any(len(t) < MIN_TOKEN_LEN for t in exact):
+            raise ValueError(
+                "every token before the trailing prefix must be an "
+                f"analyzable term (≥ {MIN_TOKEN_LEN} chars); got "
+                f"{exact!r}"
+            )
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "match_phrase_prefix needs a positional index — "
+                "build with IndexBuilder(..., positions=True)"
+            )
+        cand_info = self.lookup_terms_prefix([prefix], max_expansions)
+        if not cand_info:
+            return empty
+        info = self.lookup_terms(sorted(set(exact))) if exact else {}
+        if len(info) < len(set(exact)):
+            return empty  # a missing exact term ⇒ no doc can match
+        n_docs = self.stats["n_docs"]
+        idf_map = {
+            tid: bm25.idf(n_docs, df) for (df, _, tid) in info.values()
+        }
+        group_idf = bm25.idf(
+            n_docs, max(df for (df, _, _) in cand_info.values())
+        )
+        slot_tids = [info[t][2] for t in exact]
+        last_tids = sorted(t for (_, _, t) in cand_info.values())
+        buckets = sorted(
+            {b for (_, b, _) in info.values()}
+            | {b for (_, b, _) in cand_info.values()}
+        )
+        tids = sorted(set(slot_tids) | set(last_tids))
+
+
+        fields = [f.name for f in POS_SEGMENT_SCHEMA.fields]
+        seg = self._segments.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        ).select(*fields).withColumn(
+            "avgdl", F.lit(self.stats["avgdl"])
+        )
+        scorer = phrase_prefix_range_scorer(
+            slot_tids, last_tids, idf_map, group_idf, k,
+            deleted=self._deleted,
+        )
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
     def search_span_first(
         self, term_text: str, end: int, k: int = 10
     ) -> DataFrame:
