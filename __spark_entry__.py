@@ -525,6 +525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_autocomplete"] = lambda s, d: _indexed_reader(s, d).autocomplete(
         "s", n=10
     )
+    # phrase suggester (multi-word did-you-mean): per-token fuzzy
+    # dictionary candidates, sequences ranked by the add-k bigram LM
+    q["phrase_suggest"] = lambda s, d: _indexed_reader(s, d).suggest_phrase(
+        "dat slon", _t(s, d, "documents"), n=5, max_edits=2
+    )
     # significant terms (ES significant_terms, JLH): foreground df
     # over the matching set vs dictionary df, range-pruned cogrouped
     # decode — DuckDB replays fg/bg from the raw token stream
@@ -1769,6 +1774,10 @@ WHERE term LIKE 's%'
 ORDER BY cf DESC, df DESC, term ASC
 LIMIT 10
 """
+
+    from tlhop_library_spark.index.query import oracle_sql_suggest_phrase
+
+    o["phrase_suggest"] = oracle_sql_suggest_phrase("dat slon", n=5, max_edits=2)
 
     o["sig_terms"] = f"""
 WITH tok AS (

@@ -75,6 +75,7 @@ HEADLINE = [
     "sig_terms",
     "term_autocomplete",
     "phrase_prefix",
+    "phrase_suggest",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

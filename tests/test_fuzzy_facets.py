@@ -220,3 +220,60 @@ def test_autocomplete_pushdown_and_guards(reader):
     with pytest.raises(ValueError):
         reader.autocomplete("")
     assert reader.autocomplete("zzznope").count() == 0
+
+
+# ---------------------------------------------------------------------
+# phrase suggester (multi-word did-you-mean, bigram-LM ranked)
+# ---------------------------------------------------------------------
+def test_suggest_phrase_matches_duckdb(reader, corpus_df, corpus_path):
+    import duckdb
+
+    from tlhop_library_spark.index.query import oracle_sql_suggest_phrase
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'")
+    # ASCII-only typo pairs: DuckDB's levenshtein is byte-level so the
+    # oracle replay is exact only over ASCII candidate sets (documented
+    # in oracle_sql_suggest_phrase)
+    for q in ["bce cda", "tupre pili", "bace cada"]:
+        got = [
+            (r["rank"], r["suggestion"], r["score"])
+            for r in reader.suggest_phrase(q, corpus_df, n=5).collect()
+        ]
+        exp = [
+            tuple(r)
+            for r in con.execute(oracle_sql_suggest_phrase(q, 5)).fetchall()
+        ]
+        assert got == exp, q
+        assert got, f"{q!r} produced no suggestions — weak fixture"
+
+
+def test_suggest_phrase_prefers_fluent_sequence(reader, corpus_df):
+    """The LM must rank a corpus-attested bigram above a sequence of
+    the same edit quality whose words never co-occur adjacently: for
+    the exact query 'bace cada' (both terms in the dictionary) the
+    top suggestion contains the original words only if their bigram
+    is at least as likely — and the winning score must be the max of
+    the candidate-sequence scores (sanity of the ranking order).
+    Both query terms are IN the dictionary (dist-0 candidates), so
+    the identity sequence must appear among the combinations."""
+    out = [
+        (r["suggestion"], r["score"])
+        for r in reader.suggest_phrase(
+            "bace babi", corpus_df, n=50, per_token=3
+        ).collect()
+    ]
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+    assert any(s == "bace babi" for s, _ in out)
+
+
+def test_suggest_phrase_guards(reader, corpus_df):
+    with pytest.raises(ValueError, match="2-4"):
+        reader.suggest_phrase("bace", corpus_df)
+    with pytest.raises(ValueError, match="2-4"):
+        reader.suggest_phrase("a b c d e f", corpus_df)
+    # a token with no dictionary candidate within max_edits → empty
+    assert (
+        reader.suggest_phrase("bace qqqqqqq", corpus_df, n=3).count() == 0
+    )

@@ -2644,6 +2644,88 @@ class IndexReader:
         rows = self.suggest_df(term, max_edits, n).collect()
         return [(r["term"], r["dist"], r["df"]) for r in rows]
 
+    def suggest_phrase(
+        self, query_text: str, docs: DataFrame, n: int = 3,
+        max_edits: int = 1, per_token: int = 3, add_k: float = 0.5,
+    ) -> DataFrame:
+        """Multi-word did-you-mean (the Elasticsearch phrase-suggester
+        shape): each query token generates up to ``per_token``
+        dictionary candidates within ``max_edits`` Levenshtein edits
+        (the :meth:`suggest_df` ranking — dist asc, df desc, term
+        asc), and every candidate SEQUENCE is ranked by its add-k
+        bigram-LM log-probability under the corpus LM
+        (``corpus_stats.train_bigram_lm`` frozen spec, trained on
+        ``docs``):  ``score = round(Σ_adjacent log2 P(w2|w1), 4)``
+        with ``P(w2|w1) = (c12+k)/(c1+k·V)``. Returns
+        (rank, suggestion, score), ranked (score desc, suggestion
+        asc) — a total order. 2–4 analyzable tokens (the combination
+        count is ``per_token^T``; the cap keeps it ≤ 81).
+
+        Scale shape: candidate generation is ``T`` length-pruned
+        distributed dictionary scans collecting ≤ ``per_token`` rows
+        each (bounded, Lucene-suggester-style); the LM train is the
+        gated one-shuffle bigram pass; the corpus-side bigram/context
+        tables are FILTERED to the candidate vocabulary (the isin
+        filter pushes through the aggregate to the scan) so the tiny
+        combo pair table joins two tiny broadcast sides — nothing
+        corpus-sized moves for scoring."""
+        import itertools
+
+        toks = py_tokens(query_text)
+        empty = self.spark.createDataFrame(
+            [], "rank int, suggestion string, score double"
+        )
+        if len(toks) < 2 or len(toks) > 4:
+            raise ValueError(
+                "suggest_phrase takes 2-4 analyzable tokens; got "
+                f"{query_text!r} -> {toks}"
+            )
+        cands: list[list[str]] = []
+        for t in toks:
+            rows = self.suggest_df(t, max_edits, per_token).collect()
+            if not rows:
+                return empty  # no candidate within reach ⇒ no phrase
+            cands.append([r["term"] for r in rows])
+        pair_rows = []
+        for combo in itertools.product(*cands):
+            sug = " ".join(combo)
+            for a, b in zip(combo, combo[1:]):
+                pair_rows.append((sug, a, b))
+        pairs = self.spark.createDataFrame(
+            pair_rows, "suggestion string, w1 string, w2 string"
+        )
+        from tlhop_library_spark.operators.corpus_stats import (
+            train_bigram_lm,
+        )
+
+        allc = sorted({c for cs in cands for c in cs})
+        big, ctx, vocab = train_bigram_lm(docs)
+        big_f = big.where(
+            F.col("w1").isin(allc) & F.col("w2").isin(allc)
+        )
+        ctx_f = ctx.where(F.col("w1").isin(allc))
+        logp = F.log2(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+            / (
+                F.coalesce(F.col("c1"), F.lit(0))
+                + F.lit(add_k) * F.col("v")
+            )
+        )
+        scored = (
+            pairs.join(F.broadcast(big_f), ["w1", "w2"], "left")
+            .join(F.broadcast(ctx_f), "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .select("suggestion", logp.alias("logp"))
+        )
+        agg = scored.groupBy("suggestion").agg(
+            F.round(F.sum("logp"), 4).alias("score")
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            agg, [F.desc("score"), F.asc("suggestion")], n
+        ).select("rank", "suggestion", "score")
+
     def autocomplete(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix autocomplete (the Lucene ``AnalyzingSuggester``
         shape): the ``n`` dictionary terms starting with the analyzed
@@ -3767,3 +3849,94 @@ class IndexReader:
             pd.concat(outs, ignore_index=True),
             schema="query_id long, rank int, doc_id long, score double",
         )
+
+
+def oracle_sql_suggest_phrase(
+    query_text: str, n: int = 3, max_edits: int = 1,
+    per_token: int = 3, add_k: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL replaying the full phrase-suggester pipeline:
+    per-token (dist, df desc, term) top-``per_token`` candidates from
+    the distinct-term dictionary, the cross-product candidate
+    sequences, and the add-k bigram-LM sequence score
+    ``round(Σ log2((c12+k)/(c1+k·V)), 4)`` with unseen bigrams and
+    contexts coalesced to 0 — the same frozen spec as
+    :meth:`IndexReader.suggest_phrase`.
+
+    Engine-parity boundary: DuckDB's ``levenshtein`` is BYTE-level
+    (an accented substitution costs 2) while Spark's is
+    character-level, so the replay is exact only when the query
+    tokens and their dictionary candidates are ASCII — which is what
+    the gate uses. The engine's own semantics are the char-level
+    ones."""
+    from tlhop_library_spark.analyzer import py_tokens as _pt
+
+    toks = _pt(query_text)
+    T = len(toks)
+    cand_ctes = []
+    for i, t in enumerate(toks):
+        w = t.replace("'", "''")
+        cand_ctes.append(f"""cand{i} AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (
+      ORDER BY levenshtein(term, '{w}') ASC, df DESC, term ASC
+    ) AS rn
+    FROM dict
+    WHERE abs(length(term) - {len(t)}) <= {max_edits}
+      AND levenshtein(term, '{w}') <= {max_edits}
+  ) WHERE rn <= {per_token}
+)""")
+    combo_cols = " || ' ' || ".join(f"c{i}.term" for i in range(T))
+    combo_from = ", ".join(f"cand{i} c{i}" for i in range(T))
+    combo_sel = ", ".join(f"c{i}.term AS s{i}" for i in range(T))
+    cpair_selects = [
+        f"SELECT suggestion, s{i} AS w1, s{i+1} AS w2 FROM combos"
+        for i in range(T - 1)
+    ]
+    cpairs = "\n  UNION ALL ".join(cpair_selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'), t -> length(t) >= 3) AS toks
+  FROM {table} WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM base
+), tf AS (
+  SELECT doc_id, term FROM tok GROUP BY doc_id, term
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), {", ".join(cand_ctes)},
+combos AS (
+  SELECT {combo_cols} AS suggestion, {combo_sel}
+  FROM {combo_from}
+), bpairs AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bpairs GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1
+), vocab AS (
+  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok
+), cpairs AS (
+  {cpairs}
+), scored AS (
+  SELECT cp.suggestion,
+         log2((coalesce(big.c12, 0) + {add_k})
+              / (coalesce(ctx.c1, 0) + {add_k} * vocab.v)) AS logp
+  FROM cpairs cp
+  LEFT JOIN big ON big.w1 = cp.w1 AND big.w2 = cp.w2
+  LEFT JOIN ctx ON ctx.w1 = cp.w1
+  CROSS JOIN vocab
+), agg AS (
+  SELECT suggestion, round(sum(logp), 4) AS score
+  FROM scored GROUP BY suggestion
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, suggestion ASC) AS INT)
+       AS rank,
+       suggestion, score
+FROM agg
+QUALIFY rank <= {n}
+ORDER BY rank
+"""
