@@ -1036,6 +1036,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _QV, k=20
     )
 
+    # hybrid retrieval: BM25 top-20 ⊕ embedding-cosine top-20 fused by
+    # reciprocal rank (RRF, c=60) — fusion moves only the ≤40 ranked
+    # rows, never the corpus
+    q["hybrid_rrf"] = lambda s, d: similarity.rrf_fuse(
+        [
+            _indexed_reader(s, d).search(BM25_QUERY_1, k=20),
+            similarity.cosine_topk(
+                _t(s, d, "embeddings"), _QV, k=20
+            ).withColumnRenamed("vec_id", "doc_id"),
+        ],
+        k=10,
+        c=60,
+    )
+
     # the SCALE path is the gated representative (round 2): multi-table
     # hyperplane-LSH candidates → exact cosine verify, no driver
     # collect anywhere in the plan; the collect-based exact variant is
@@ -2542,6 +2556,37 @@ WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.3
 """
 
     qv_sql = "[" + ", ".join(f"{x}" for x in _QV) + "]::DOUBLE[]"
+
+    o["hybrid_rrf"] = f"""
+WITH r1 AS (
+  SELECT doc_id, rank FROM ({oracle_sql_bm25(BM25_QUERY_1, k=20)})
+), r2 AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    WITH scored AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             round(
+               list_dot_product(CAST(embedding AS DOUBLE[]), [QVSQL]) /
+               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {_QN!r})
+             , 4) AS cosine
+      FROM embeddings
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+           vec_id
+    FROM scored QUALIFY rank <= 20
+  )
+), u AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS s FROM r1
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS s FROM r2
+), f AS (
+  SELECT doc_id, round(sum(s), 6) AS rrf FROM u GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, rrf
+FROM f
+QUALIFY rank <= 10
+ORDER BY rank
+""".replace("[QVSQL]", qv_sql)
     o["cosine_topk"] = f"""
 WITH scored AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,

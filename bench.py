@@ -76,6 +76,7 @@ HEADLINE = [
     "term_autocomplete",
     "phrase_prefix",
     "phrase_suggest",
+    "hybrid_rrf",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

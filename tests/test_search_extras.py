@@ -263,3 +263,59 @@ def test_constant_score_is_matching_set_by_docid(spark, index_dir):
     hits = sorted(x["doc_id"] for x in r._matching_scores(Q).collect())
     assert [x["doc_id"] for x in got] == hits[:8]
     assert r.search_constant_score("zzznope", 5).count() == 0
+
+
+# ---------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid retrieval combiner)
+# ---------------------------------------------------------------------
+def test_rrf_fuse_hand_computed(spark):
+    from tlhop_library_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank int, doc_id long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 20), (2, 40)], "rank int, doc_id long"
+    )
+    out = {
+        r["doc_id"]: (r["rank"], r["rrf"])
+        for r in rrf_fuse([r1, r2], k=10, c=60).collect()
+    }
+    # doc 20: 1/62 + 1/61 ; doc 10: 1/61 ; doc 40: 1/62 ; doc 30: 1/63
+    assert out[20][0] == 1
+    assert out[10][0] == 2
+    assert out[40][0] == 3
+    assert out[30][0] == 4
+    assert out[20][1] == round(1 / 62 + 1 / 61, 6)
+    assert out[10][1] == round(1 / 61, 6)
+
+
+def test_rrf_fuse_single_ranking_preserves_order(spark):
+    from tlhop_library_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 2)], "rank int, doc_id long"
+    )
+    out = [r["doc_id"] for r in rrf_fuse([r1], k=3).collect()]
+    assert out == [5, 9, 2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse([], k=3)
+
+
+def test_rrf_fuse_fusion_moves_no_corpus(spark):
+    """Plan check: fusion aggregates the union of the (tiny) ranked
+    inputs only — the plan contains no scan wider than the inputs and
+    the final top-k is a TakeOrderedAndProject."""
+    from tlhop_library_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1)], "rank int, doc_id long")
+    r2 = spark.createDataFrame([(1, 2)], "rank int, doc_id long")
+    plan = (
+        rrf_fuse([r1, r2], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -490,3 +490,44 @@ def semantic_dedup(
     )
     all_ids = embeddings.select(F.col(id_col).cast("long").alias("vec_id"))
     return all_ids.join(dropped, "vec_id", "left_anti")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09 — the
+    standard hybrid-retrieval combiner, e.g. BM25 ⊕ embedding-cosine):
+    ``rrf(d) = Σ_r 1/(c + rank_r(d))`` over the input rankings; an
+    item absent from a ranking contributes 0 for it. Each input must
+    carry (``id_col``, ``rank``) with rank starting at 1. Returns
+    (rank, id_col, rrf) with rrf rounded to 6 digits, ranked
+    (rrf desc, id asc) — a total order.
+
+    Scale shape: the inputs are already top-N rankings (≤ N rows
+    each), so the union + hash-agg + ``ranked_topk`` move O(Σ N)
+    rows — fusion never touches the corpus; the component retrievals
+    keep their own scale stories."""
+    from functools import reduce
+
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).cast("long").alias("__id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double")))
+            .alias("__s"),
+        )
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    fused = u.groupBy("__id").agg(
+        F.round(F.sum("__s"), 6).alias("rrf")
+    )
+    return ranked_topk(
+        fused, [F.desc("rrf"), F.asc("__id")], k
+    ).select("rank", F.col("__id").alias(id_col), "rrf")
