@@ -222,9 +222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
             with open(stats_path) as f:
                 st = _json.load(f)
-            fresh = st.get("positions") is True and st["n_docs"] == docs.where(
-                F.col("text").isNotNull()
-            ).count()
+            fresh = (
+                st.get("positions") is True
+                and st.get("stored_fields") == ["lang", "source", "n_chars"]
+                and st["n_docs"]
+                == docs.where(F.col("text").isNotNull()).count()
+            )
         if not fresh:
             import shutil
 
@@ -232,7 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # ONE positional index serves the plain-BM25, phrase, and
             # proximity gates (plain queries never read the position
             # streams — column pruning, asserted in tests/test_index_phrase)
-            build_index(s, docs, idx, n_buckets=16, positions=True)
+            build_index(
+                s, docs, idx, n_buckets=16, positions=True,
+                stored_fields=["lang", "source", "n_chars"],
+            )
         return IndexReader(s, idx)
 
     q["bm25_indexed"] = lambda s, d: _indexed_reader(s, d).search(
@@ -554,6 +560,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_lang"] = lambda s, d: _indexed_reader(s, d).facet_counts(
         BM25_QUERY_1, _t(s, d, "documents"), "lang"
     )
+    # DocValues twins: same collectors fed from the index's OWN
+    # stored-fields table (no external docs scan in the plan)
+    q["facet_lang_stored"] = lambda s, d: (
+        lambda r: r.facet_counts(BM25_QUERY_1, r.stored_docs(), "lang")
+    )(_indexed_reader(s, d))
+    q["bm25_sorted_stored"] = lambda s, d: (
+        lambda r: r.search_sorted_by(
+            BM25_QUERY_1, r.stored_docs(), "n_chars", k=15
+        )
+    )(_indexed_reader(s, d))
 
     def _incremental_reader(s, d):
         """Index built INCREMENTALLY at gate time — base build over the
@@ -1725,6 +1741,10 @@ FROM d, n
     o["bm25_wildcard"] = oracle_sql_bm25_wildcard(WILD_QUERY, k=10)
     o["bm25_wildcard_exhaustive"] = oracle_sql_bm25_wildcard(WILD_QUERY, k=10)
     o["facet_lang"] = oracle_sql_facets(BM25_QUERY_1, "lang")
+    o["facet_lang_stored"] = oracle_sql_facets(BM25_QUERY_1, "lang")
+    o["bm25_sorted_stored"] = oracle_sql_bm25_sorted_by(
+        BM25_QUERY_1, "n_chars", k=15
+    )
     # delete masking: score over ALL docs (stale stats, Lucene
     # semantics), drop deleted ids BEFORE ranking
     o["bm25_after_delete"] = oracle_sql_bm25(BM25_QUERY_1, k=10).replace(

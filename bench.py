@@ -77,6 +77,7 @@ HEADLINE = [
     "phrase_prefix",
     "phrase_suggest",
     "hybrid_rrf",
+    "facet_lang_stored",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

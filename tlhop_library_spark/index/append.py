@@ -94,6 +94,15 @@ def add_documents(
     )
     range_size = int(stats["range_size"])
 
+    stored_fields = list(stats.get("stored_fields") or [])
+    if stored_fields:
+        missing = [c for c in stored_fields if c not in new_docs.columns]
+        if missing:
+            raise ValueError(
+                f"index stores fields {stored_fields}; append batch is "
+                f"missing {missing}"
+            )
+    src = new_docs
     docs = new_docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).where(F.col("text").isNotNull())
@@ -132,6 +141,13 @@ def add_documents(
     with_tokens.select("doc_id", "dl").write.mode("overwrite").parquet(
         batch_dir
     )
+    if stored_fields:
+        # stored-fields delta batch, same idempotent-overwrite contract
+        src.where(F.col("text").isNotNull()).select(
+            F.col("doc_id").cast("long").alias("doc_id"), *stored_fields
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "stored_batches", gname)
+        )
 
     # 2. combined corpus stats from the doc_lengths UNION (crash-safe
     #    source of truth — never arithmetic accumulation on stats.json)

@@ -201,6 +201,7 @@ class IndexBuilder:
         n_jobs: int = 1,
         encode_parts: int | None = None,
         positions: bool = False,
+        stored_fields: list[str] | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -215,6 +216,12 @@ class IndexBuilder:
         #: plus the pos_bytes stream in segments; plain BM25 queries on a
         #: positional index never read those columns (column pruning).
         self.positions = positions
+        #: metadata columns captured at index time (Lucene DocValues
+        #: analogue): written as a (doc_id, fields...) parquet beside the
+        #: segments so sort/collapse/facet need no external docs table.
+        #: One narrow projection of the input scan — never through the
+        #: wide posting shuffle.
+        self.stored_fields = list(stored_fields or [])
 
     # -- paths ---------------------------------------------------------
     @property
@@ -240,6 +247,10 @@ class IndexBuilder:
     @property
     def manifest_path(self):
         return os.path.join(self.index_dir, "manifest")
+
+    @property
+    def stored_path(self):
+        return os.path.join(self.index_dir, "stored")
 
     # -- encode plan (shared by build and index.append) ------------------
     def _exploded(self, with_tokens: DataFrame) -> DataFrame:
@@ -310,6 +321,7 @@ class IndexBuilder:
             phases[name] = round(now - last, 3)
             last = now
 
+        src = docs
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), "text"
         ).where(F.col("text").isNotNull())
@@ -336,6 +348,19 @@ class IndexBuilder:
             with_tokens.select("doc_id", "dl").write.mode("overwrite").parquet(
                 self.doclen_path
             )
+        if self.stored_fields:
+            missing = [c for c in self.stored_fields if c not in src.columns]
+            if missing:
+                raise ValueError(
+                    f"stored_fields {missing} not in the input columns "
+                    f"{src.columns}"
+                )
+            # same doc filter as the postings (null-text docs are not
+            # indexed); idempotent overwrite keeps resume trivial
+            src.where(F.col("text").isNotNull()).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                *self.stored_fields,
+            ).write.mode("overwrite").parquet(self.stored_path)
         mark("tokenize_doc_lengths")
         row = spark.read.parquet(self.doclen_path).agg(
             F.count("*").alias("n"),
@@ -437,6 +462,7 @@ class IndexBuilder:
             "n_buckets": self.n_buckets,
             "n_jobs": self.n_jobs,
             "positions": self.positions,
+            "stored_fields": self.stored_fields,
             "block_size": BLOCK_SIZE,
             "build_sec": time.time() - t0,
             "phases": phases,

@@ -2644,6 +2644,40 @@ class IndexReader:
         rows = self.suggest_df(term, max_edits, n).collect()
         return [(r["term"], r["dist"], r["df"]) for r in rows]
 
+    def stored_docs(self) -> DataFrame:
+        """Stored-fields table (the Lucene DocValues analogue): the
+        metadata columns captured at build time with
+        ``IndexBuilder(..., stored_fields=[...])``, keyed by doc_id —
+        so :meth:`search_sorted_by` / :meth:`search_collapse` /
+        :meth:`facet_counts` / :meth:`facet_ranges` run WITHOUT any
+        external docs table (pass this as their ``docs`` argument).
+        Union of the base build and every appended delta batch (one
+        parquet dir per batch, mirroring ``doc_lengths_batches``).
+        Tombstoned docs are not filtered here: the collector
+        operators intersect with the hit stream, which masks deletes
+        (Lucene live-docs semantics)."""
+        import os
+
+        flds = self.stats.get("stored_fields") or []
+        if not flds:
+            raise ValueError(
+                "index was built without stored_fields — rebuild with "
+                "IndexBuilder(..., stored_fields=[...]) or pass an "
+                "external docs table"
+            )
+        base = self.spark.read.parquet(
+            os.path.join(self.index_dir, "stored")
+        )
+        batches = os.path.join(self.index_dir, "stored_batches")
+        if os.path.isdir(batches):
+            for name in sorted(os.listdir(batches)):
+                sub = os.path.join(batches, name)
+                if os.path.isdir(sub):
+                    base = base.unionByName(
+                        self.spark.read.parquet(sub)
+                    )
+        return base
+
     def suggest_phrase(
         self, query_text: str, docs: DataFrame, n: int = 3,
         max_edits: int = 1, per_token: int = 3, add_k: float = 0.5,
