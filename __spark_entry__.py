@@ -268,6 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lmdirichlet_topk"] = lambda s, d: _indexed_reader(s, d).search_sim(
         BM25_QUERY_1, k=10, similarity="lmdirichlet"
     )
+    # ES rescore: BM25 top-30 window re-ranked by BM25 + LM Dirichlet
+    q["bm25_rescored"] = lambda s, d: _indexed_reader(s, d).search_rescore(
+        BM25_QUERY_1, k=10, window=30, similarity="lmdirichlet"
+    )
     q["lmjm_topk"] = lambda s, d: _indexed_reader(s, d).search_sim(
         BM25_QUERY_1, k=10, similarity="lmjelinekmercer"
     )
@@ -1609,6 +1613,22 @@ def oracle_sql() -> dict[str, str]:
 
     o["tfidf_topk"] = oracle_sql_classic(BM25_QUERY_1, k=10)
     o["lmdirichlet_topk"] = oracle_sql_lmdirichlet(BM25_QUERY_1, k=10)
+    o["bm25_rescored"] = f"""
+WITH w AS (
+  SELECT doc_id, score AS s1 FROM ({oracle_sql_bm25(BM25_QUERY_1, k=30)})
+), sim AS (
+  SELECT doc_id, score AS s2
+  FROM ({oracle_sql_lmdirichlet(BM25_QUERY_1, k=10**9)})
+), comb AS (
+  SELECT w.doc_id, round(1.0 * s1 + 1.0 * s2, 4) AS score
+  FROM w JOIN sim USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM comb
+QUALIFY rank <= 10
+ORDER BY rank
+"""
     o["lmjm_topk"] = oracle_sql_lmjelinekmercer(BM25_QUERY_1, k=10)
     from tlhop_library_spark.index.query import (
         oracle_sql_bm25_boosted,

@@ -78,6 +78,7 @@ HEADLINE = [
     "phrase_suggest",
     "hybrid_rrf",
     "facet_lang_stored",
+    "bm25_rescored",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

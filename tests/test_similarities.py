@@ -117,3 +117,61 @@ def test_lmd_clamp_engages_for_common_terms():
     # and a rare term stays positive
     w2 = similarities.lmd_weight_np(tfs, dls, cf=5, sum_dl=100_000)
     assert w2[0] > 0.0
+
+
+# ---------------------------------------------------------------------
+# ES-style rescoring (two-pass window re-rank)
+# ---------------------------------------------------------------------
+def test_rescore_zero_weight_equals_plain_search(spark, index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    q = "bace cada"
+    a = [
+        tuple(x)
+        for x in r.search_rescore(
+            q, k=10, window=50, rescore_weight=0.0
+        ).collect()
+    ]
+    b = [tuple(x) for x in r.search(q, k=10).collect()]
+    assert a == b and a
+
+
+def test_rescore_query_zero_equals_sim_on_window(spark, index_dir):
+    """query_weight=0 with a window covering every matching doc ≡ the
+    secondary similarity's own top-k."""
+    from tlhop_library_spark.index import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    q = "bace cada"
+    n_match = r.count_matches(q, match="any").collect()[0]["n_docs"]
+    a = [
+        tuple(x)
+        for x in r.search_rescore(
+            q, k=10, window=n_match, similarity="lmdirichlet",
+            query_weight=0.0,
+        ).collect()
+    ]
+    b = [
+        tuple(x)
+        for x in r.search_sim(q, k=10, similarity="lmdirichlet").collect()
+    ]
+    assert a == b and a
+
+
+def test_rescore_window_bounds_candidates(spark, index_dir):
+    """A doc ranked outside the first-pass window can never appear,
+    even with a huge rescore weight (ES window semantics)."""
+    from tlhop_library_spark.index import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    q = "bace cada"
+    window = 5
+    first = {x["doc_id"] for x in r.search(q, window).collect()}
+    out = {
+        x["doc_id"]
+        for x in r.search_rescore(
+            q, k=5, window=window, rescore_weight=100.0
+        ).collect()
+    }
+    assert out <= first

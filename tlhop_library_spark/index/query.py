@@ -3101,6 +3101,71 @@ class IndexReader:
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def search_rescore(
+        self, query_text: str, k: int = 10, window: int = 50,
+        similarity: str = "lmdirichlet", query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """Two-pass rescoring (the Elasticsearch ``rescore`` API):
+        first-pass BM25 retrieves the top-``window`` docs (block-max
+        kernels), then ONLY those docs are re-ranked by
+        ``round(query_weight·bm25 + rescore_weight·sim, 4)`` where
+        ``sim`` is a pluggable second similarity
+        (:meth:`search_sim` models). Docs outside the window can
+        never enter the result — ES window semantics, so a cheap
+        first pass bounds the expensive model's candidate set.
+        Returns (rank, doc_id, score).
+
+        Scale shape: the ≤window first-pass rows BROADCAST into an
+        inner join against the secondary similarity's hit stream
+        (same (bucket, tid)-pruned scan as any query; the stream is
+        filtered map-side at the join — no shuffle, no driver
+        funnel), then ``ranked_topk`` over ≤window combined rows."""
+        from tlhop_library_spark import similarities
+
+        first = self.search(query_text, window)
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_full(terms)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not info:
+            return empty
+        weight_of = similarities.weight_fns(
+            similarity, info, self.stats["n_docs"],
+            int(self.stats["sum_dl"]),
+        )
+        scorer = similarity_range_scorer(
+            weight_of, None, deleted=self._deleted
+        )
+        sec = self._pruned_segments(info).groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        combined = (
+            sec.select("doc_id", F.col("score").alias("__s2"))
+            .join(
+                F.broadcast(
+                    first.select(
+                        "doc_id", F.col("score").alias("__s1")
+                    )
+                ),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(float(query_weight)) * F.col("__s1")
+                    + F.lit(float(rescore_weight)) * F.col("__s2"),
+                    bm25.ROUND_DIGITS,
+                ).alias("score"),
+            )
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            combined, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
     def _bm25_weight_fns(self, info, boosts=None):
         """term-closures for the frozen BM25 weights (optionally
         query-boosted) — shared by the boosted/dismax/field-sort/
