@@ -102,12 +102,45 @@ def main(argv: list[str] | None = None) -> int:
         help="cursor deep paging: return the top-k strictly after "
         "the (score, doc_id) cursor",
     )
+    sm.add_argument(
+        "--span-near", type=int, default=None, metavar="SLOP",
+        help="ordered span-near: terms left-to-right in query order "
+        "within SLOP intervening positions (positional index)",
+    )
+    sm.add_argument(
+        "--phrase-prefix", action="store_true",
+        help="match-phrase-prefix (search-as-you-type): exact leading "
+        "phrase + any completion of the trailing prefix",
+    )
+    sm.add_argument(
+        "--sig-terms", action="store_true",
+        help="significant_terms aggregation (JLH) over the matching "
+        "set instead of top-k docs",
+    )
+    sm.add_argument(
+        "--rescore",
+        choices=["classic", "lmdirichlet", "lmjelinekmercer"],
+        default=None,
+        help="two-pass rescore: BM25 window re-ranked by the given "
+        "second similarity",
+    )
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
     sg.add_argument("--term", required=True)
     sg.add_argument("--max-edits", type=int, default=2)
     sg.add_argument("-n", type=int, default=5)
+    sgm = sg.add_mutually_exclusive_group()
+    sgm.add_argument(
+        "--prefix", action="store_true",
+        help="prefix autocomplete over the dictionary (cf-ranked) "
+        "instead of edit-distance did-you-mean",
+    )
+    sgm.add_argument(
+        "--phrase", metavar="DOCS_PARQUET", default=None,
+        help="multi-word did-you-mean ranked by the corpus bigram LM "
+        "(needs the docs table path for LM training)",
+    )
 
     ad = sub.add_parser("append")
     ad.add_argument("--index", required=True)
@@ -226,6 +259,22 @@ def main(argv: list[str] | None = None) -> int:
                 args.query, (float(score_s), int(doc_s)), args.k
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
+        elif args.span_near is not None:
+            rows = reader.search_span_near(
+                args.query, slop=args.span_near, k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.phrase_prefix:
+            rows = reader.search_phrase_prefix(args.query, args.k).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.sig_terms:
+            rows = reader.significant_terms(args.query, m=args.k).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.rescore:
+            rows = reader.search_rescore(
+                args.query, k=args.k, similarity=args.rescore
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
         elif args.all_terms:
             rows = reader.search_and(args.query, args.k).collect()
             print(json.dumps([r.asDict() for r in rows]))
@@ -250,15 +299,25 @@ def main(argv: list[str] | None = None) -> int:
         from tlhop_library_spark.index.query import IndexReader
 
         reader = IndexReader(spark, args.index)
-        out = reader.suggest(args.term, args.max_edits, args.n)
-        print(
-            json.dumps(
-                [
-                    {"term": t, "distance": d, "df": df}
-                    for t, d, df in out
-                ]
+        if args.prefix:
+            rows = reader.autocomplete(args.term, n=args.n).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.phrase:
+            docs = spark.read.parquet(args.phrase)
+            rows = reader.suggest_phrase(
+                args.term, docs, n=args.n, max_edits=args.max_edits
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        else:
+            out = reader.suggest(args.term, args.max_edits, args.n)
+            print(
+                json.dumps(
+                    [
+                        {"term": t, "distance": d, "df": df}
+                        for t, d, df in out
+                    ]
+                )
             )
-        )
     elif args.cmd == "append":
         from tlhop_library_spark.index import add_documents
 
