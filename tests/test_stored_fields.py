@@ -109,3 +109,32 @@ def test_stored_fields_guards(spark, corpus_df, index_dir, tmp_path):
             spark, d,
             corpus_df.where(F.col("doc_id") >= 700).drop("lang"),
         )
+
+
+def test_sharded_stored_docs_union(spark, corpus_df, tmp_path):
+    from tlhop_library_spark.index import ShardedIndexReader
+
+    dirs = []
+    for i in range(2):
+        d = str(tmp_path / f"s{i}")
+        IndexBuilder(
+            spark, d, n_buckets=4, n_ranges=4, stored_fields=["lang"]
+        ).build(corpus_df.where(F.col("doc_id") % 2 == i))
+        dirs.append(d)
+    sh = ShardedIndexReader(spark, dirs)
+    got = {(x["doc_id"], x["lang"]) for x in sh.stored_docs().collect()}
+    want = {
+        (x["doc_id"], x["lang"])
+        for x in corpus_df.where(F.col("text").isNotNull())
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert got == want
+    # mismatched stored schemas are a config error
+    d2 = str(tmp_path / "nofields")
+    IndexBuilder(spark, d2, n_buckets=4, n_ranges=4).build(
+        corpus_df.where(F.col("doc_id") % 2 == 0)
+    )
+    bad = ShardedIndexReader(spark, [dirs[1], d2])
+    with pytest.raises(ValueError, match="disagree"):
+        bad.stored_docs()

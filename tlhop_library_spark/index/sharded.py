@@ -246,6 +246,28 @@ class ShardedIndexReader:
 
         return self._positional_local(query_text, k, make)
 
+    def stored_docs(self) -> DataFrame:
+        """Federated stored-fields table: the union of every shard's
+        DocValues parquet (shards own disjoint doc spaces, so the
+        union is a concatenation — no dedup shuffle). Requires every
+        shard to store the SAME field list (heterogeneous stored
+        schemas are a config error, like mismatched analyzers)."""
+        from functools import reduce
+
+        flds = [
+            tuple(r.stats.get("stored_fields") or [])
+            for r in self.readers
+        ]
+        if len(set(flds)) != 1 or not flds[0]:
+            raise ValueError(
+                f"shards disagree on stored_fields (or none stored): "
+                f"{flds}"
+            )
+        return reduce(
+            DataFrame.unionByName,
+            [r.stored_docs() for r in self.readers],
+        )
+
     def search_span_near(
         self, query_text: str, slop: int = 0, k: int = 10
     ) -> DataFrame:
