@@ -334,3 +334,38 @@ def test_sharded_term_vectors_identical_to_single(
     )
     want = sorted(map(tuple, single.term_vectors(ids).collect()))
     assert got == want and got
+
+
+def test_sharded_dictionary_suggesters_identical(spark, corpus_df,
+                                                 tmp_path_factory):
+    """Federated autocomplete/did-you-mean ≡ the same scans on one
+    union index (terms are content-addressed; global cf/df are plain
+    sums over disjoint shards)."""
+    from tlhop_library_spark.index import (
+        IndexReader,
+        ShardedIndexReader,
+    )
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("dictshards")
+    single_dir = str(base / "single")
+    IndexBuilder(spark, single_dir, n_buckets=4, n_ranges=4).build(
+        corpus_df
+    )
+    dirs = []
+    for i in range(2):
+        d = str(base / f"s{i}")
+        IndexBuilder(spark, d, n_buckets=4, n_ranges=4).build(
+            corpus_df.where(F.col("doc_id") % 2 == i)
+        )
+        dirs.append(d)
+    single = IndexReader(spark, single_dir)
+    sh = ShardedIndexReader(spark, dirs)
+    for p in ["ba", "co", "zzz"]:
+        a = [tuple(r) for r in sh.autocomplete(p, n=8).collect()]
+        b = [tuple(r) for r in single.autocomplete(p, n=8).collect()]
+        assert a == b, p
+    for t, e in [("bce", 1), ("analise", 2), ("zzznope", 1)]:
+        a = [tuple(r) for r in sh.suggest_df(t, e, n=8).collect()]
+        b = [tuple(r) for r in single.suggest_df(t, e, n=8).collect()]
+        assert a == b, t

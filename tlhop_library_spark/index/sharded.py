@@ -246,6 +246,75 @@ class ShardedIndexReader:
 
         return self._positional_local(query_text, k, make)
 
+    def autocomplete(self, prefix: str, n: int = 10) -> DataFrame:
+        """Federated prefix autocomplete: the shard dictionaries'
+        startswith scans union and re-aggregate (terms are
+        content-addressed, so a term's global cf/df are plain sums
+        over its shard rows — identical to a union index). Returns
+        (term, cf, df) ranked (cf desc, df desc, term asc)."""
+        import re
+        from functools import reduce
+
+        q = prefix.lower()
+        if not q or not re.fullmatch(r"[^\W_]+", q):
+            raise ValueError(
+                f"autocomplete() takes a single-token prefix; got "
+                f"{prefix!r}"
+            )
+        parts = [
+            r._dict.where(F.col("term").startswith(q)).select(
+                "term", "cf", "df"
+            )
+            for r in self.readers
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        agg = u.groupBy("term").agg(
+            F.sum("cf").alias("cf"), F.sum("df").alias("df")
+        )
+        return (
+            agg.orderBy(F.desc("cf"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def suggest_df(
+        self, term: str, max_edits: int = 2, n: int = 5
+    ) -> DataFrame:
+        """Federated did-you-mean: length-pruned levenshtein scans of
+        every shard dictionary, global df = Σ shard df per term,
+        ranked (dist asc, df desc, term asc) — identical to a union
+        index."""
+        from functools import reduce
+
+        from tlhop_library_spark.analyzer import py_tokens as _pt
+
+        toks = _pt(term)
+        if len(toks) != 1:
+            raise ValueError(
+                "suggest() takes a single analyzable term; got "
+                f"{term!r} -> {toks}"
+            )
+        q = toks[0]
+        parts = [
+            r._dict.where(
+                (F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
+                & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+            ).select("term", "df")
+            for r in self.readers
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        agg = u.groupBy("term").agg(F.sum("df").alias("df"))
+        return (
+            agg.select(
+                "term",
+                F.levenshtein(F.col("term"), F.lit(q))
+                .cast("int")
+                .alias("dist"),
+                "df",
+            )
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
     def stored_docs(self) -> DataFrame:
         """Federated stored-fields table: the union of every shard's
         DocValues parquet (shards own disjoint doc spaces, so the
