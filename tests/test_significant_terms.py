@@ -156,3 +156,29 @@ def test_sig_terms_hit_range_prune_plan(reader):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_sharded_sig_terms_identical_to_single(
+    spark, corpus_df, reader, tmp_path_factory
+):
+    """Federated significant_terms ≡ the single-index aggregation
+    (fg partials and bg df are plain sums over disjoint shards)."""
+    from pyspark.sql import functions as SF
+
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("sigshards")
+    dirs = []
+    for i in range(2):
+        d = str(base / f"s{i}")
+        IndexBuilder(spark, d, n_buckets=4, n_ranges=4).build(
+            corpus_df.where(SF.col("doc_id") % 2 == i)
+        )
+        dirs.append(d)
+    sh = ShardedIndexReader(spark, dirs)
+    for q in [QUERY, "bace"]:
+        a = _rows(sh.significant_terms(q, m=10))
+        b = _rows(reader.significant_terms(q, m=10))
+        assert a == b and a, q
+    assert sh.significant_terms("zzznope", m=5).count() == 0

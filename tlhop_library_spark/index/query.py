@@ -2818,8 +2818,6 @@ class IndexReader:
         stat — Lucene live-docs semantics). The n_hits scalar rides a
         broadcast 1-row cross join; nothing corpus-sized is
         collected."""
-        from tlhop_library_spark.index.phrase import decode_chunk
-
         empty = self.spark.createDataFrame(
             [],
             "rank int, term string, fg_df long, bg_df long, "
@@ -2827,9 +2825,52 @@ class IndexReader:
         )
         if not self.lookup_terms(sorted(set(py_tokens(query_text)))):
             return empty
+        partial, hits = self._sig_fg_partials(query_text)
+        bg_n = float(self.stats["n_docs"])
+        fg = partial.groupBy("tid").agg(F.sum("fg").alias("fg_df"))
+        n_hits = hits.agg(F.count("*").alias("fg_n"))
+        scored = (
+            fg.join(self._dict.select("tid", "term", "df"), "tid")
+            .crossJoin(F.broadcast(n_hits))
+            .where(F.col("fg_n") > 0)
+            .withColumn(
+                "fg_pct", F.col("fg_df") / F.col("fg_n").cast("double")
+            )
+            .withColumn("bg_pct", F.col("df") / F.lit(bg_n))
+            .where(
+                (F.col("fg_pct") > F.col("bg_pct"))
+                & (F.col("fg_df") >= F.lit(int(min_fg_df)))
+            )
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("fg_pct") - F.col("bg_pct"))
+                    * (F.col("fg_pct") / F.col("bg_pct")),
+                    6,
+                ),
+            )
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            scored, [F.desc("score"), F.asc("term")], m
+        ).select(
+            "rank", "term", F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("bg_df"), "score",
+        )
+
+    def _sig_fg_partials(self, query_text: str):
+        """(fg_partial, hits) building blocks of significant_terms —
+        shared with the sharded federation. ``fg_partial`` is a
+        (tid, fg) DataFrame with ONE row per (term, doc-range)
+        counting hit docs containing the term (chunk rows of a
+        (term, range) are doc-disjoint, so partials sum exactly);
+        ``hits`` is the matching doc_id stream. The full segment scan
+        is broadcast-semi-join-pruned to ranges containing a hit."""
+        from tlhop_library_spark.index.phrase import decode_chunk
+
         hits = self._matching_scores(query_text).select("doc_id")
         range_size = int(self.stats["range_size"])
-        bg_n = float(self.stats["n_docs"])
         hits_r = hits.select(
             "doc_id",
             F.floor(F.col("doc_id") / F.lit(range_size))
@@ -2867,37 +2908,7 @@ class IndexReader:
             .cogroup(hits_r.groupBy("range_id"))
             .applyInPandas(fg_kernel, schema="tid long, fg long")
         )
-        fg = partial.groupBy("tid").agg(F.sum("fg").alias("fg_df"))
-        n_hits = hits.agg(F.count("*").alias("fg_n"))
-        scored = (
-            fg.join(self._dict.select("tid", "term", "df"), "tid")
-            .crossJoin(F.broadcast(n_hits))
-            .where(F.col("fg_n") > 0)
-            .withColumn(
-                "fg_pct", F.col("fg_df") / F.col("fg_n").cast("double")
-            )
-            .withColumn("bg_pct", F.col("df") / F.lit(bg_n))
-            .where(
-                (F.col("fg_pct") > F.col("bg_pct"))
-                & (F.col("fg_df") >= F.lit(int(min_fg_df)))
-            )
-            .withColumn(
-                "score",
-                F.round(
-                    (F.col("fg_pct") - F.col("bg_pct"))
-                    * (F.col("fg_pct") / F.col("bg_pct")),
-                    6,
-                ),
-            )
-        )
-        from tlhop_library_spark.operators.relational import ranked_topk
-
-        return ranked_topk(
-            scored, [F.desc("score"), F.asc("term")], m
-        ).select(
-            "rank", "term", F.col("fg_df").cast("long").alias("fg_df"),
-            F.col("df").cast("long").alias("bg_df"), "score",
-        )
+        return partial, hits
 
     def search_fuzzy(
         self, query_text: str, k: int = 10, max_edits: int = 1,

@@ -246,6 +246,88 @@ class ShardedIndexReader:
 
         return self._positional_local(query_text, k, make)
 
+    def significant_terms(
+        self, query_text: str, m: int = 10, min_fg_df: int = 2
+    ) -> DataFrame:
+        """Federated significant_terms (JLH) — identical to the
+        aggregation on one union index: per-shard (tid, fg) partials
+        union and re-sum (shards own disjoint doc spaces and terms
+        are content-addressed), fg_n = Σ shard hit counts,
+        background df = Σ shard dictionary df, bg_n = global n_docs.
+        Scale shape per shard = the single-index shape (hit-range
+        pruned cogrouped decode); cross-shard traffic is the tiny
+        (tid, fg) vocabulary-of-matching-set stream."""
+        from functools import reduce
+
+        from tlhop_library_spark.analyzer import py_tokens as _pt
+
+        empty = self.spark.createDataFrame(
+            [],
+            "rank int, term string, fg_df long, bg_df long, "
+            "score double",
+        )
+        terms = sorted(set(_pt(query_text)))
+        parts, hit_parts = [], []
+        for r in self.readers:
+            if not r.lookup_terms(terms):
+                continue  # no query term in this shard ⇒ no hits
+            partial, hits = r._sig_fg_partials(query_text)
+            parts.append(partial)
+            hit_parts.append(hits)
+        if not parts:
+            return empty
+        fg = (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy("tid")
+            .agg(F.sum("fg").alias("fg_df"))
+        )
+        n_hits = (
+            reduce(DataFrame.unionByName, hit_parts)
+            .agg(F.count("*").alias("fg_n"))
+        )
+        bg = (
+            reduce(
+                DataFrame.unionByName,
+                [
+                    r._dict.select("tid", "term", "df")
+                    for r in self.readers
+                ],
+            )
+            .groupBy("tid", "term")
+            .agg(F.sum("df").alias("df"))
+        )
+        bg_n = float(self.n_docs)
+        scored = (
+            fg.join(bg, "tid")
+            .crossJoin(F.broadcast(n_hits))
+            .where(F.col("fg_n") > 0)
+            .withColumn(
+                "fg_pct", F.col("fg_df") / F.col("fg_n").cast("double")
+            )
+            .withColumn("bg_pct", F.col("df") / F.lit(bg_n))
+            .where(
+                (F.col("fg_pct") > F.col("bg_pct"))
+                & (F.col("fg_df") >= F.lit(int(min_fg_df)))
+            )
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("fg_pct") - F.col("bg_pct"))
+                    * (F.col("fg_pct") / F.col("bg_pct")),
+                    6,
+                ),
+            )
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            scored, [F.desc("score"), F.asc("term")], m
+        ).select(
+            "rank", "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("bg_df"), "score",
+        )
+
     def autocomplete(self, prefix: str, n: int = 10) -> DataFrame:
         """Federated prefix autocomplete: the shard dictionaries'
         startswith scans union and re-aggregate (terms are
