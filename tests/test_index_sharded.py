@@ -320,6 +320,12 @@ def test_sharded_weighted_modes_identical_to_single(
     full = rows(single.search(q, k=20))
     got = rows(sharded.search_after(q, (cur[2], cur[1]), 10))
     assert [(d, s) for _, d, s in got] == [(d, s) for _, d, s in full[10:]]
+    # two-pass rescore federates through the same global-stats path
+    assert rows(
+        sharded.search_rescore(q, 10, window=25, similarity="lmdirichlet")
+    ) == rows(
+        single.search_rescore(q, 10, window=25, similarity="lmdirichlet")
+    )
 
 
 def test_sharded_term_vectors_identical_to_single(

@@ -512,10 +512,52 @@ class ShardedIndexReader:
         if not parts:
             return self._empty()
         local = reduce(DataFrame.unionByName, parts)
+        if k is None:
+            # hit-stream mode (no k-cut): the rescore join consumes
+            # every (doc_id, score) row
+            return local
         from tlhop_library_spark.operators.relational import ranked_topk
 
         return ranked_topk(
             local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_rescore(
+        self, query_text: str, k: int = 10, window: int = 50,
+        similarity: str = "lmdirichlet", query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """Federated two-pass rescoring — identical to
+        ``IndexReader.search_rescore`` on a union index: the fed BM25
+        top-``window`` broadcasts into a map-side join against the
+        per-shard secondary-similarity hit streams (global Σ-stats
+        weight closures)."""
+        first = self.search(query_text, window)
+        infos, gdf, gcf = self._resolve_full(query_text)
+        if not any(infos):
+            return self._empty()
+        sec = self._weighted_local(infos, gdf, gcf, None, similarity)
+        combined = (
+            sec.select("doc_id", F.col("score").alias("__s2"))
+            .join(
+                F.broadcast(
+                    first.select("doc_id", F.col("score").alias("__s1"))
+                ),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(float(query_weight)) * F.col("__s1")
+                    + F.lit(float(rescore_weight)) * F.col("__s2"),
+                    bm25.ROUND_DIGITS,
+                ).alias("score"),
+            )
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            combined, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
     def search_sim(
