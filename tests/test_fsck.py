@@ -139,3 +139,31 @@ def test_detects_posting_count_tampering(spark, index_dir,
     got = statuses(verify_index(spark, cp))
     assert got["chunk_decode"] == "CORRUPT"
     assert got["manifest_lineage"] == "CORRUPT"
+
+
+def test_describe_reports_consistent_stats(spark, index_dir, corpus_df):
+    """describe() numbers must agree with the corpus ground truth:
+    n_terms = distinct tokens, n_postings = Σ df, n_tokens = Σ tf."""
+    from pyspark.sql import functions as F
+
+    from tlhop_library_spark.analyzer import tokens_col
+    from tlhop_library_spark.index import IndexReader
+
+    d = IndexReader(spark, index_dir).describe()
+    tok = corpus_df.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+    )
+    row = tok.agg(
+        F.count_distinct("t").alias("v"),
+        F.count("*").alias("cf"),
+    ).collect()[0]
+    n_postings = (
+        tok.groupBy("doc_id", "t").count().count()
+    )
+    assert d["n_terms"] == row["v"]
+    assert d["n_tokens"] == row["cf"]
+    assert d["n_postings"] == n_postings
+    assert d["n_docs"] == corpus_df.where(
+        F.col("text").isNotNull()
+    ).count()
+    assert d["n_deleted"] == 0 and d["n_segment_groups"] >= 1

@@ -166,6 +166,9 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--out", required=True)
     mg.add_argument("--factor", type=int, default=4)
 
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+
     fs = sub.add_parser("fsck")
     fs.add_argument("--index", required=True)
     fs.add_argument("--strict", action="store_true",
@@ -318,6 +321,10 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                 )
             )
+    elif args.cmd == "stats":
+        from tlhop_library_spark.index.query import IndexReader
+
+        print(json.dumps(IndexReader(spark, args.index).describe()))
     elif args.cmd == "append":
         from tlhop_library_spark.index import add_documents
 

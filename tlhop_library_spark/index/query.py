@@ -2644,6 +2644,47 @@ class IndexReader:
         rows = self.suggest_df(term, max_edits, n).collect()
         return [(r["term"], r["dist"], r["df"]) for r in rows]
 
+    def describe(self) -> dict:
+        """Operational index statistics (the Lucene ``SegmentInfos``
+        / ``IndexWriter.numDocs`` visibility surface): corpus stats
+        from stats.json plus three distributed aggregates — vocabulary
+        size, total postings (Σ df), and chunk/segment-group counts —
+        and the pending-tombstone count. One column-pruned dictionary
+        scan + one manifest read; returns a plain dict (a handful of
+        scalars — this is a report, not a data path)."""
+        import os
+
+        d = {
+            "n_docs": int(self.stats["n_docs"]),
+            "avgdl": float(self.stats["avgdl"]),
+            "max_doc": int(self.stats["max_doc"]),
+            "n_ranges": int(self.stats["n_ranges"]),
+            "n_buckets": int(self.stats["n_buckets"]),
+            "positions": bool(self.stats.get("positions", False)),
+            "stored_fields": list(self.stats.get("stored_fields") or []),
+            "delta_groups": list(self.stats.get("delta_groups") or []),
+            "analyzer": self.stats.get("analyzer"),
+        }
+        row = self._dict.agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("cf").alias("n_tokens"),
+        ).collect()[0]
+        d["n_terms"] = int(row["n_terms"])
+        d["n_postings"] = int(row["n_postings"])
+        d["n_tokens"] = int(row["n_tokens"])
+        d["n_chunks"] = self._segments.count()
+        d["n_deleted"] = (
+            int(self._deleted.size) if self._deleted is not None else 0
+        )
+        man = os.path.join(self.index_dir, "manifest")
+        d["n_segment_groups"] = (
+            self.spark.read.parquet(man).count()
+            if os.path.isdir(man)
+            else 0
+        )
+        return d
+
     def stored_docs(self) -> DataFrame:
         """Stored-fields table (the Lucene DocValues analogue): the
         metadata columns captured at build time with
