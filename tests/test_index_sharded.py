@@ -218,6 +218,12 @@ def test_sharded_phrase_proximity_identical(spark, corpus_df,
         assert rows(sh.search_span_near(q, s, k=10)) == rows(
             single.search_span_near(q, s, k=10)
         ), q
+    for q in ["análise tup", "ba", "informação se", "zzzunseen tup"]:
+        assert rows(
+            sh.search_phrase_prefix(q, k=10, max_expansions=1000)
+        ) == rows(
+            single.search_phrase_prefix(q, k=10, max_expansions=1000)
+        ), q
 
     plain = str(base / "plain")
     IndexBuilder(spark, plain, n_buckets=4, n_ranges=4).build(corpus_df)

@@ -397,6 +397,116 @@ class ShardedIndexReader:
             .limit(n)
         )
 
+    def search_phrase_prefix(
+        self, query_text: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
+        """Federated match-phrase-prefix — identical to
+        ``IndexReader.search_phrase_prefix`` on a union index: the
+        completion candidate set and its blended group idf come from
+        the FEDERATED dictionary (Σ df per candidate term across
+        shards, max over candidates — exactly the union index's
+        numbers), the exact-slot idfs from global Σ df; per-shard
+        positional kernels score with those global weights and the
+        winners union through ``ranked_topk``."""
+        from tlhop_library_spark.analyzer import (
+            MIN_TOKEN_LEN,
+            _PY_NON_WORD_RE,
+        )
+        from tlhop_library_spark.index.build import POS_SEGMENT_SCHEMA
+        from tlhop_library_spark.index.phrase import (
+            phrase_prefix_range_scorer,
+        )
+
+        for r in self.readers:
+            if not r.stats.get("positions"):
+                raise ValueError(
+                    "match_phrase_prefix federation needs positional "
+                    f"shards; {r.index_dir} is not positional"
+                )
+        raw = [
+            t
+            for t in _PY_NON_WORD_RE.split(
+                query_text.lower().replace("_", " ")
+            )
+            if t
+        ]
+        if not raw:
+            return self._empty()
+        prefix, exact = raw[-1], raw[:-1]
+        if any(len(t) < MIN_TOKEN_LEN for t in exact):
+            raise ValueError(
+                "every token before the trailing prefix must be an "
+                f"analyzable term (≥ {MIN_TOKEN_LEN} chars); got "
+                f"{exact!r}"
+            )
+        # federated candidate expansion: global df per candidate term
+        cand_by_shard = [
+            r.lookup_terms_prefix([prefix], max_expansions)
+            for r in self.readers
+        ]
+        gdf_cand: dict[str, int] = {}
+        for ci in cand_by_shard:
+            for t, (df, _b, _tid) in ci.items():
+                gdf_cand[t] = gdf_cand.get(t, 0) + int(df)
+        if len(gdf_cand) > max_expansions:
+            raise ValueError(
+                f"wildcard expands to more than {max_expansions} terms"
+            )
+        if not gdf_cand:
+            return self._empty()
+        # federated exact-term stats
+        infos, gdf, _gcf = (
+            self._resolve_full(sorted(set(exact)))
+            if exact
+            else ([{} for _ in self.readers], {}, {})
+        )
+        if exact and any(t not in gdf for t in set(exact)):
+            return self._empty()
+        group_idf = bm25.idf(self.n_docs, max(gdf_cand.values()))
+        idf_map_by_term = {
+            t: bm25.idf(self.n_docs, gdf[t]) for t in set(exact)
+        }
+        parts = []
+        for r, info, ci in zip(self.readers, infos, cand_by_shard):
+            if exact and len(info) < len(set(exact)):
+                continue  # shard missing an exact term ⇒ no match in it
+            if not ci:
+                continue  # no completion in this shard
+            slot_tids = [info[t][-1] for t in exact]
+            idf_map = {info[t][-1]: idf_map_by_term[t] for t in set(exact)}
+            last_tids = sorted(tid for (_df, _b, tid) in ci.values())
+            buckets = sorted(
+                {b for (_df, _cf, b, _t) in info.values()}
+                | {b for (_df, b, _t) in ci.values()}
+            ) if exact else sorted({b for (_df, b, _t) in ci.values()})
+            tids = sorted(set(slot_tids) | set(last_tids))
+            seg = r._segments.where(
+                F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+            ).select(
+                *[f.name for f in POS_SEGMENT_SCHEMA.fields]
+            ).withColumn("avgdl", F.lit(self.avgdl))
+            scorer = phrase_prefix_range_scorer(
+                slot_tids, last_tids, idf_map, group_idf, k,
+                deleted=r._deleted,
+            )
+
+            def _wrap(s):
+                return lambda key, pdf: s(key, pdf)
+
+            parts.append(
+                seg.groupBy("range_id").applyInPandas(
+                    _wrap(scorer), schema=_SCORE_SCHEMA
+                )
+            )
+        if not parts:
+            return self._empty()
+        local = reduce(DataFrame.unionByName, parts)
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
     def stored_docs(self) -> DataFrame:
         """Federated stored-fields table: the union of every shard's
         DocValues parquet (shards own disjoint doc spaces, so the
