@@ -381,3 +381,39 @@ def test_sharded_dictionary_suggesters_identical(spark, corpus_df,
         a = [tuple(r) for r in sh.suggest_df(t, e, n=8).collect()]
         b = [tuple(r) for r in single.suggest_df(t, e, n=8).collect()]
         assert a == b, t
+
+
+def test_sharded_suggest_phrase_identical(spark, corpus_df,
+                                          tmp_path_factory):
+    """Federated phrase suggester ≡ single union index (candidates
+    from the federated dictionary, LM scoring corpus-side)."""
+    from tlhop_library_spark.index import (
+        IndexReader,
+        ShardedIndexReader,
+    )
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("sugshards")
+    single_dir = str(base / "single")
+    IndexBuilder(spark, single_dir, n_buckets=4, n_ranges=4).build(
+        corpus_df
+    )
+    dirs = []
+    for i in range(2):
+        d = str(base / f"s{i}")
+        IndexBuilder(spark, d, n_buckets=4, n_ranges=4).build(
+            corpus_df.where(F.col("doc_id") % 2 == i)
+        )
+        dirs.append(d)
+    single = IndexReader(spark, single_dir)
+    sh = ShardedIndexReader(spark, dirs)
+    for q in ["bce cda", "bace babi"]:
+        a = [
+            tuple(r)
+            for r in sh.suggest_phrase(q, corpus_df, n=5).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in single.suggest_phrase(q, corpus_df, n=5).collect()
+        ]
+        assert a == b and a, q

@@ -507,6 +507,75 @@ class ShardedIndexReader:
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def suggest_phrase(
+        self, query_text: str, docs: DataFrame, n: int = 3,
+        max_edits: int = 1, per_token: int = 3, add_k: float = 0.5,
+    ) -> DataFrame:
+        """Federated phrase suggester — identical to
+        ``IndexReader.suggest_phrase`` on a union index: per-token
+        candidates come from the FEDERATED dictionary (Σ df across
+        shards, the :meth:`suggest_df` ranking), and the bigram-LM
+        sequence scoring is shard-agnostic (it runs on the caller's
+        ``docs`` corpus)."""
+        import itertools
+
+        from tlhop_library_spark.analyzer import py_tokens as _pt
+
+        toks = _pt(query_text)
+        empty = self.spark.createDataFrame(
+            [], "rank int, suggestion string, score double"
+        )
+        if len(toks) < 2 or len(toks) > 4:
+            raise ValueError(
+                "suggest_phrase takes 2-4 analyzable tokens; got "
+                f"{query_text!r} -> {toks}"
+            )
+        cands: list[list[str]] = []
+        for t in toks:
+            rows = self.suggest_df(t, max_edits, per_token).collect()
+            if not rows:
+                return empty
+            cands.append([r["term"] for r in rows])
+        pair_rows = []
+        for combo in itertools.product(*cands):
+            sug = " ".join(combo)
+            for a, b in zip(combo, combo[1:]):
+                pair_rows.append((sug, a, b))
+        pairs = self.spark.createDataFrame(
+            pair_rows, "suggestion string, w1 string, w2 string"
+        )
+        from tlhop_library_spark.operators.corpus_stats import (
+            train_bigram_lm,
+        )
+
+        allc = sorted({c for cs in cands for c in cs})
+        big, ctx, vocab = train_bigram_lm(docs)
+        big_f = big.where(
+            F.col("w1").isin(allc) & F.col("w2").isin(allc)
+        )
+        ctx_f = ctx.where(F.col("w1").isin(allc))
+        logp = F.log2(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+            / (
+                F.coalesce(F.col("c1"), F.lit(0))
+                + F.lit(add_k) * F.col("v")
+            )
+        )
+        scored = (
+            pairs.join(F.broadcast(big_f), ["w1", "w2"], "left")
+            .join(F.broadcast(ctx_f), "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .select("suggestion", logp.alias("logp"))
+        )
+        agg = scored.groupBy("suggestion").agg(
+            F.round(F.sum("logp"), 4).alias("score")
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            agg, [F.desc("score"), F.asc("suggestion")], n
+        ).select("rank", "suggestion", "score")
+
     def stored_docs(self) -> DataFrame:
         """Federated stored-fields table: the union of every shard's
         DocValues parquet (shards own disjoint doc spaces, so the
