@@ -454,6 +454,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, k=10, boosts={"title": 2.0, "body": 1.0}
     )
 
+    # ES multi_match type=best_fields: per-FIELD DisMax with a tie
+    # breaker (Lucene DisjunctionMaxQuery over field query scores)
+    q["bm25_best_fields"] = lambda s, d: _multifield_reader(
+        s, d
+    ).search_best_fields(
+        BM25_QUERY_1, k=10, boosts={"title": 2.0, "body": 1.0},
+        tie_breaker=0.3,
+    )
+
+    # ES multi_match type=cross_fields: blended per-term df across
+    # fields (Lucene BlendedTermQuery), per-(term, doc) DisMax
+    q["bm25_cross_fields"] = lambda s, d: _multifield_reader(
+        s, d
+    ).search_cross_fields(
+        BM25_QUERY_1, k=10, boosts={"title": 2.0, "body": 1.0},
+        tie_breaker=0.3,
+    )
+
     # Lucene-explain parity: per-(top-k doc, term) BM25 component rows
     # — tf, dl, idf, per-term weight, doc total — from the indexed
     # engine; DuckDB recomputes the identical breakdown from raw text
@@ -1698,17 +1716,24 @@ FROM tok GROUP BY doc_id, term
     o["bm25_sharded"] = oracle_sql_bm25(BM25_QUERY_1, k=10)
     o["bm25_explain"] = oracle_sql_bm25_explain(BM25_QUERY_1, k=10)
     from tlhop_library_spark.index.multifield import (
+        oracle_sql_bm25_best_fields,
+        oracle_sql_bm25_cross_fields,
         oracle_sql_bm25_multifield,
     )
 
+    _MF_EXPRS = {
+        "title": "array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')",
+        "body": "text",
+    }
+    _MF_BOOSTS = {"title": 2.0, "body": 1.0}
     o["bm25_multifield"] = oracle_sql_bm25_multifield(
-        BM25_QUERY_1,
-        {
-            "title": "array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')",
-            "body": "text",
-        },
-        {"title": 2.0, "body": 1.0},
-        k=10,
+        BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10
+    )
+    o["bm25_best_fields"] = oracle_sql_bm25_best_fields(
+        BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10, tie_breaker=0.3
+    )
+    o["bm25_cross_fields"] = oracle_sql_bm25_cross_fields(
+        BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10, tie_breaker=0.3
     )
     from tlhop_library_spark.index.query import (
         oracle_sql_bm25_expanded,

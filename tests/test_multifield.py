@@ -171,3 +171,139 @@ def test_misaligned_ranges_rejected(spark, corpus_df, tmp_path_factory):
         MultiFieldIndexReader(spark, {"a": a, "b": b})
     with pytest.raises(ValueError):
         MultiFieldIndexReader(spark, {})
+
+
+def _field_totals(texts: dict[int, str], terms, boosts):
+    """Per-field per-doc query totals (unrounded) for the spec
+    recomputations below."""
+    fields = {
+        "title": {d: py_title(t) for d, t in texts.items()},
+        "body": texts,
+    }
+    out: dict[str, dict[int, float]] = {}
+    stats = {}
+    for f, fd in fields.items():
+        toks = {d: py_tokens(t) for d, t in fd.items()}
+        dls = {d: len(tk) for d, tk in toks.items()}
+        n = len(fd)
+        avgdl = sum(dls.values()) / n
+        stats[f] = (toks, dls, n, avgdl)
+        tot: dict[int, float] = {}
+        for term in terms:
+            df = sum(1 for tk in toks.values() if term in tk)
+            if not df:
+                continue
+            idf = bm25.idf(n, df)
+            for d, tk in toks.items():
+                tf = tk.count(term)
+                if not tf:
+                    continue
+                w = (
+                    boosts[f] * idf * tf * (bm25.K1 + 1)
+                    / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dls[d] / avgdl))
+                )
+                tot[d] = tot.get(d, 0.0) + w
+        out[f] = tot
+    return out, stats
+
+
+def _rank(totals: dict[int, float], k: int):
+    ranked = sorted(
+        ((round(s, bm25.ROUND_DIGITS), d) for d, s in totals.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return [(i + 1, d, s) for i, (s, d) in enumerate(ranked)]
+
+
+def test_best_fields_tie1_equals_most_fields(spark, mf):
+    """tie_breaker=1.0 degenerates DisMax to the plain sum."""
+    for q in QUERIES:
+        assert rows(
+            mf.search_best_fields(q, k=10, tie_breaker=1.0)
+        ) == rows(mf.search(q, k=10)), q
+
+
+def test_best_fields_matches_reference_spec(spark, corpus_df, mf):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in corpus_df.where(F.col("text").isNotNull()).collect()
+    }
+    boosts = {"title": 2.0, "body": 1.0}
+    for q in ["bace cada", "informação"]:
+        terms = sorted(set(py_tokens(q)))
+        per_field, _ = _field_totals(texts, terms, boosts)
+        for tie in (0.0, 0.4):
+            want_tot: dict[int, float] = {}
+            docs = {d for t in per_field.values() for d in t}
+            for d in docs:
+                ss = [t[d] for t in per_field.values() if d in t]
+                want_tot[d] = max(ss) + tie * (sum(ss) - max(ss))
+            got = rows(
+                mf.search_best_fields(q, k=10, boosts=boosts,
+                                      tie_breaker=tie)
+            )
+            assert got == _rank(want_tot, 10), (q, tie)
+
+
+def test_cross_fields_matches_reference_spec(spark, corpus_df, mf):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in corpus_df.where(F.col("text").isNotNull()).collect()
+    }
+    boosts = {"title": 2.0, "body": 1.0}
+    for q in ["bace cada", "informação"]:
+        terms = sorted(set(py_tokens(q)))
+        _, stats = _field_totals(texts, terms, boosts)
+        n_blend = max(n for _, _, n, _ in stats.values())
+        for tie in (0.0, 0.3):
+            want_tot: dict[int, float] = {}
+            for term in terms:
+                dfb = max(
+                    sum(1 for tk in toks.values() if term in tk)
+                    for toks, _, _, _ in stats.values()
+                )
+                if not dfb:
+                    continue
+                idf = bm25.idf(n_blend, dfb)
+                per_doc: dict[int, list[float]] = {}
+                for f, (toks, dls, _, avgdl) in stats.items():
+                    for d, tk in toks.items():
+                        tf = tk.count(term)
+                        if not tf:
+                            continue
+                        w = (
+                            boosts[f] * idf * tf * (bm25.K1 + 1)
+                            / (tf + bm25.K1
+                               * (1 - bm25.B + bm25.B * dls[d] / avgdl))
+                        )
+                        per_doc.setdefault(d, []).append(w)
+                for d, ws in per_doc.items():
+                    v = max(ws) + tie * (sum(ws) - max(ws))
+                    want_tot[d] = want_tot.get(d, 0.0) + v
+            got = rows(
+                mf.search_cross_fields(q, k=10, boosts=boosts,
+                                       tie_breaker=tie)
+            )
+            assert got == _rank(want_tot, 10), (q, tie)
+
+
+def test_cross_fields_duplicate_field_degenerates(spark, index_dir):
+    """Two copies of the SAME index: per-(term, doc) dismax over two
+    equal weights is one of them and the blended df is the field df,
+    so cross_fields ≡ plain single-field search; best_fields(tie=0)
+    likewise."""
+    from tlhop_library_spark.index import (
+        IndexReader,
+        MultiFieldIndexReader,
+    )
+
+    single = IndexReader(spark, index_dir)
+    mf2 = MultiFieldIndexReader(
+        spark, {"a": index_dir, "b": index_dir}
+    )
+    for q in ["bace cada", "informação", "zzznope"]:
+        want = rows(single.search(q, k=10))
+        assert rows(mf2.search_cross_fields(q, k=10)) == want, q
+        assert rows(
+            mf2.search_best_fields(q, k=10, tie_breaker=0.0)
+        ) == want, q

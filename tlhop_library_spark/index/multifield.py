@@ -49,42 +49,25 @@ from tlhop_library_spark.index.query import (
     IndexReader,
 )
 
-__all__ = ["MultiFieldIndexReader", "oracle_sql_bm25_multifield"]
+__all__ = [
+    "MultiFieldIndexReader",
+    "oracle_sql_bm25_multifield",
+    "oracle_sql_bm25_best_fields",
+    "oracle_sql_bm25_cross_fields",
+]
 
 
 def _multifield_range_scorer(params: dict[int, tuple], k: int):
-    """params: field_id → (idf_by_tid, avgdl, boost, deleted)."""
-    from tlhop_library_spark.index.phrase import decode_chunk
+    """most_fields kernel — params: field_id → (idf_by_tid, avgdl,
+    boost, deleted); per doc, plain sum of every field contribution."""
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
         parts_d, parts_s = [], []
-        for ri in range(len(pdf)):
-            row = pdf.iloc[ri]
-            p = params.get(int(row["field_id"]))
-            if p is None:
-                continue
-            idf_by_tid, avgdl, boost, deleted = p
-            idf = idf_by_tid.get(int(row["tid"]))
-            if idf is None:
-                continue
-            docs_, tfs_, dls_ = decode_chunk(row)
-            if deleted is not None and deleted.size:
-                from tlhop_library_spark.index.delete import mask_deleted
-
-                docs_, tfs_, dls_, _ = mask_deleted(
-                    docs_, tfs_, dls_, deleted
-                )
-            if not len(docs_):
-                continue
+        for _, _, docs_, w in _decode_field_rows(pdf, params):
             parts_d.append(docs_)
-            parts_s.append(
-                boost * idf * bm25.tf_weight_np(tfs_, dls_, avgdl)
-            )
+            parts_s.append(w)
         if not parts_d:
-            return empty
+            return _EMPTY_SCORES.copy()
         alldocs = np.concatenate(parts_d)
         allsc = np.concatenate(parts_s)
         uniq, inv = np.unique(alldocs, return_inverse=True)
@@ -94,6 +77,122 @@ def _multifield_range_scorer(params: dict[int, tuple], k: int):
         order = np.lexsort((uniq, -r))[:k]
         return pd.DataFrame(
             {"doc_id": uniq[order].astype(np.int64), "score": r[order]}
+        )
+
+    return score_range
+
+
+def _decode_field_rows(pdf: pd.DataFrame, params: dict[int, tuple]):
+    """Shared chunk-decode loop: yields (field_id, tid, docs, weights)
+    per surviving chunk, applying the field's idf table, boost and
+    tombstones. ``params``: field_id → (idf_by_tid, avgdl, boost,
+    deleted)."""
+    from tlhop_library_spark.index.phrase import decode_chunk
+
+    for ri in range(len(pdf)):
+        row = pdf.iloc[ri]
+        fid = int(row["field_id"])
+        p = params.get(fid)
+        if p is None:
+            continue
+        idf_by_tid, avgdl, boost, deleted = p
+        tid = int(row["tid"])
+        idf = idf_by_tid.get(tid)
+        if idf is None:
+            continue
+        docs_, tfs_, dls_ = decode_chunk(row)
+        if deleted is not None and deleted.size:
+            from tlhop_library_spark.index.delete import mask_deleted
+
+            docs_, tfs_, dls_, _ = mask_deleted(
+                docs_, tfs_, dls_, deleted
+            )
+        if not len(docs_):
+            continue
+        yield fid, tid, docs_, boost * idf * bm25.tf_weight_np(
+            tfs_, dls_, avgdl
+        )
+
+
+_EMPTY_SCORES = pd.DataFrame({"doc_id": [], "score": []}).astype(
+    {"doc_id": "int64", "score": "float64"}
+)
+
+
+def _dismax_groups(keys: "np.ndarray", vals: "np.ndarray",
+                   tie_breaker: float):
+    """Per unique key: max + tie_breaker · (sum − max). Returns
+    (unique_keys, dismaxed_values)."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    mx = np.full(len(uniq), -np.inf)
+    np.maximum.at(mx, inv, vals)
+    if tie_breaker == 0.0:
+        return uniq, mx
+    sm = np.zeros(len(uniq))
+    np.add.at(sm, inv, vals)
+    return uniq, mx + tie_breaker * (sm - mx)
+
+
+def _bestfields_range_scorer(params: dict[int, tuple], k: int,
+                             tie_breaker: float):
+    """applyInPandas kernel for best_fields over ONE doc range:
+    aggregate per (field, doc) first (a field's full query score for
+    the doc), then dismax across fields per doc. Composite key
+    doc·NF+field keeps both passes as flat ufunc scatters."""
+    nf = max(params) + 1 if params else 1
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts_k, parts_s = [], []
+        for fid, _, docs_, w in _decode_field_rows(pdf, params):
+            parts_k.append(docs_.astype(np.int64) * nf + fid)
+            parts_s.append(w)
+        if not parts_k:
+            return _EMPTY_SCORES.copy()
+        keys = np.concatenate(parts_k)
+        vals = np.concatenate(parts_s)
+        uk, inv = np.unique(keys, return_inverse=True)
+        fsum = np.zeros(len(uk))
+        np.add.at(fsum, inv, vals)
+        udocs, v = _dismax_groups(uk // nf, fsum, tie_breaker)
+        r = np.round(v, bm25.ROUND_DIGITS)
+        order = np.lexsort((udocs, -r))[:k]
+        return pd.DataFrame(
+            {"doc_id": udocs[order].astype(np.int64), "score": r[order]}
+        )
+
+    return score_range
+
+
+def _crossfields_range_scorer(params: dict[int, tuple],
+                              tid_idx: dict[int, int], k: int,
+                              tie_breaker: float):
+    """applyInPandas kernel for cross_fields over ONE doc range:
+    per (term, doc) dismax across fields (``params`` carries the
+    BLENDED idf table, identical for every field), then sum per doc.
+    Chunks are doc-disjoint within a field, so each (term, doc,
+    field) weight arrives exactly once."""
+    nt = len(tid_idx) or 1
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts_k, parts_s = [], []
+        for _, tid, docs_, w in _decode_field_rows(pdf, params):
+            j = tid_idx.get(tid)
+            if j is None:
+                continue
+            parts_k.append(docs_.astype(np.int64) * nt + j)
+            parts_s.append(w)
+        if not parts_k:
+            return _EMPTY_SCORES.copy()
+        keys = np.concatenate(parts_k)
+        vals = np.concatenate(parts_s)
+        uk, v = _dismax_groups(keys, vals, tie_breaker)
+        udocs, dinv = np.unique(uk // nt, return_inverse=True)
+        total = np.zeros(len(udocs))
+        np.add.at(total, dinv, v)
+        r = np.round(total, bm25.ROUND_DIGITS)
+        order = np.lexsort((udocs, -r))[:k]
+        return pd.DataFrame(
+            {"doc_id": udocs[order].astype(np.int64), "score": r[order]}
         )
 
     return score_range
@@ -127,24 +226,15 @@ class MultiFieldIndexReader:
                     "same n_ranges"
                 )
 
-    def search(
-        self, query_text: str, k: int = 10,
-        boosts: dict[str, float] | None = None,
-    ) -> DataFrame:
-        """Weighted-sum multi-field BM25 top-k.
-
-        ``boosts``: field → query-time weight (default 1.0 each;
-        fields absent from the dict get 1.0, fields with boost 0 are
-        skipped entirely — their chunks are never scanned)."""
-        boosts = boosts or {}
-        terms = sorted(set(py_tokens(query_text)))
-        empty = self.spark.createDataFrame(
-            [], "rank int, doc_id long, score double"
-        )
-        if not terms:
-            return empty
+    def _gather(
+        self, terms: list[str], boosts: dict[str, float],
+    ) -> tuple["DataFrame | None", dict[int, tuple]]:
+        """Shared scan assembly for every multi-field mode: the
+        (bucket, tid)-pruned chunk union tagged with ``field_id``,
+        plus per-field lookup state ``field_id → (reader, info,
+        boost)`` where ``info`` is term → (df, bucket, tid)."""
         segs = []
-        params: dict[int, tuple] = {}
+        fields: dict[int, tuple] = {}
         for i, (f, r) in enumerate(sorted(self.readers.items())):
             boost = float(boosts.get(f, 1.0))
             if boost == 0.0:
@@ -152,16 +242,9 @@ class MultiFieldIndexReader:
             info = r.lookup_terms(terms)
             if not info:
                 continue
-            n_docs = r.stats["n_docs"]
-            idf_by_tid = {
-                tid: bm25.idf(n_docs, df)
-                for (df, _, tid) in info.values()
-            }
-            params[i] = (
-                idf_by_tid, float(r.stats["avgdl"]), boost, r._deleted,
-            )
+            fields[i] = (r, info, boost)
             buckets = sorted({b for _, b, _ in info.values()})
-            tids = sorted(idf_by_tid)
+            tids = sorted({t for _, _, t in info.values()})
             segs.append(
                 r._segments.where(
                     F.col("bucket").isin(buckets)
@@ -171,9 +254,10 @@ class MultiFieldIndexReader:
                 .withColumn("field_id", F.lit(i))
             )
         if not segs:
-            return empty
-        union = reduce(DataFrame.unionByName, segs)
-        scorer = _multifield_range_scorer(params, k)
+            return None, fields
+        return reduce(DataFrame.unionByName, segs), fields
+
+    def _topk(self, union: DataFrame, scorer, k: int) -> DataFrame:
         local = union.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
@@ -183,25 +267,148 @@ class MultiFieldIndexReader:
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
 
-def oracle_sql_bm25_multifield(
+    def search(
+        self, query_text: str, k: int = 10,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Weighted-sum multi-field BM25 top-k (ES ``multi_match``
+        type ``most_fields``).
+
+        ``boosts``: field → query-time weight (default 1.0 each;
+        fields absent from the dict get 1.0, fields with boost 0 are
+        skipped entirely — their chunks are never scanned)."""
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._empty()
+        union, fields = self._gather(terms, boosts or {})
+        if union is None:
+            return self._empty()
+        params: dict[int, tuple] = {}
+        for i, (r, info, boost) in fields.items():
+            n_docs = r.stats["n_docs"]
+            idf_by_tid = {
+                tid: bm25.idf(n_docs, df)
+                for (df, _, tid) in info.values()
+            }
+            params[i] = (
+                idf_by_tid, float(r.stats["avgdl"]), boost, r._deleted,
+            )
+        return self._topk(union, _multifield_range_scorer(params, k), k)
+
+    def search_best_fields(
+        self, query_text: str, k: int = 10,
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """ES ``multi_match`` type ``best_fields`` (Lucene
+        DisjunctionMaxQuery over per-FIELD query scores): per doc,
+
+            score = max_f S_f + tie_breaker · (Σ_f S_f − max_f S_f)
+
+        where ``S_f`` is the field's full boost-weighted BM25 query
+        score. ``tie_breaker=1.0`` degenerates to :meth:`search`
+        (most_fields sum); ``0.0`` is the winning field alone.
+        Same per-range completeness argument as :meth:`search` —
+        range-aligned fields make each range group self-contained."""
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._empty()
+        union, fields = self._gather(terms, boosts or {})
+        if union is None:
+            return self._empty()
+        params: dict[int, tuple] = {}
+        for i, (r, info, boost) in fields.items():
+            n_docs = r.stats["n_docs"]
+            idf_by_tid = {
+                tid: bm25.idf(n_docs, df)
+                for (df, _, tid) in info.values()
+            }
+            params[i] = (
+                idf_by_tid, float(r.stats["avgdl"]), boost, r._deleted,
+            )
+        scorer = _bestfields_range_scorer(params, k, float(tie_breaker))
+        return self._topk(union, scorer, k)
+
+    def search_cross_fields(
+        self, query_text: str, k: int = 10,
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """ES ``multi_match`` type ``cross_fields`` (Lucene
+        BlendedTermQuery): term-centric — each term's document
+        frequency is BLENDED across fields (df = max over fields, on
+        the max field docCount), so a term that is rare overall but
+        common in one narrow field isn't over-rewarded there; per
+        (term, doc) the per-field weights are dis-maxed
+
+            v(t, d) = max_f w_{f,t,d} + tie_breaker · (Σ_f w − max_f w)
+
+        with ``w_{f,t,d} = boost_f · idf_blend(t) · tfnorm_f(tf, dl)``
+        (the FIELD's length normalization, the BLENDED idf), and the
+        doc score is ``Σ_t v(t, d)``. Fields over identical text with
+        unit boosts degenerate to single-field BM25. Terms share
+        content-hash tids across fields, so blending is keyed by tid
+        with no extra lookup."""
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._empty()
+        union, fields = self._gather(terms, boosts or {})
+        if union is None:
+            return self._empty()
+        # blended per-term stats: df = max_f df_f, n = max_f n_docs_f
+        df_blend: dict[int, int] = {}
+        n_blend = 0
+        for _, (r, info, _) in fields.items():
+            n_blend = max(n_blend, int(r.stats["n_docs"]))
+            for df, _, tid in info.values():
+                df_blend[tid] = max(df_blend.get(tid, 0), int(df))
+        idf_blend = {
+            tid: bm25.idf(n_blend, df) for tid, df in df_blend.items()
+        }
+        tid_idx = {tid: j for j, tid in enumerate(sorted(idf_blend))}
+        params: dict[int, tuple] = {}
+        for i, (r, info, boost) in fields.items():
+            params[i] = (
+                idf_blend, float(r.stats["avgdl"]), boost, r._deleted,
+            )
+        scorer = _crossfields_range_scorer(
+            params, tid_idx, k, float(tie_breaker)
+        )
+        return self._topk(union, scorer, k)
+
+
+_TOPK_TAIL = """
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def _oracle_fields(
     query_text: str, field_exprs: dict[str, str],
-    boosts: dict[str, float] | None = None, k: int = 10,
-    table: str = "documents", doc_col: str = "doc_id",
-) -> str:
-    """DuckDB oracle: ``field_exprs`` maps field name → a SQL
-    expression (over ``table``'s columns) producing that field's text;
-    each field gets the full single-field BM25 CTE chain, contributions
-    are boost-weighted and summed per doc."""
+    boosts: dict[str, float] | None, table: str, doc_col: str,
+) -> tuple[list[tuple[str, float]], list[str]]:
+    """Per-field CTE chain base → tf → dfreq (analyzer v1 replicated
+    in DuckDB, same as the single-field oracles). Returns the kept
+    (field, boost) pairs and their CTE blocks; each mode's oracle adds
+    its own contrib CTEs on top."""
     boosts = boosts or {}
     terms = sorted(set(py_tokens(query_text)))
     terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    kept = []
     blocks = []
-    selects = []
     for f, expr in sorted(field_exprs.items()):
         boost = float(boosts.get(f, 1.0))
         if boost == 0.0:
             continue
+        kept.append((f, boost))
         blocks.append(f"""
 base_{f} AS (
   SELECT {doc_col} AS doc_id,
@@ -219,17 +426,42 @@ base_{f} AS (
   FROM tok_{f} WHERE term IN ({terms_list}) GROUP BY doc_id, term
 ), dfreq_{f} AS (
   SELECT term, count(*) AS df FROM tf_{f} GROUP BY term
-), contrib_{f} AS (
-  SELECT tf_{f}.doc_id,
+)""".strip())
+    assert kept, "all fields zero-boosted"
+    return kept, blocks
+
+
+def _contrib_field_idf(f: str, boost: float) -> str:
+    """contrib CTE scoring with the FIELD's own idf (most_fields /
+    best_fields)."""
+    return f"""
+contrib_{f} AS (
+  SELECT tf_{f}.doc_id, tf_{f}.term,
          {boost} * ln(1 + (stats_{f}.n - dfreq_{f}.df + 0.5) / (dfreq_{f}.df + 0.5))
             * (tf_{f}.tf * ({bm25.K1} + 1)) /
               (tf_{f}.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf_{f}.dl / stats_{f}.avgdl)))
          AS w
   FROM tf_{f}, dfreq_{f}, stats_{f} WHERE tf_{f}.term = dfreq_{f}.term
-)""".strip())
-        selects.append(f"SELECT doc_id, w FROM contrib_{f}")
-    assert selects, "all fields zero-boosted"
-    union = "\nUNION ALL\n".join(selects)
+)""".strip()
+
+
+def oracle_sql_bm25_multifield(
+    query_text: str, field_exprs: dict[str, str],
+    boosts: dict[str, float] | None = None, k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`MultiFieldIndexReader.search`
+    (most_fields): ``field_exprs`` maps field name → a SQL expression
+    (over ``table``'s columns) producing that field's text; each field
+    gets the full single-field BM25 CTE chain, contributions are
+    boost-weighted and summed per doc."""
+    kept, blocks = _oracle_fields(
+        query_text, field_exprs, boosts, table, doc_col
+    )
+    blocks += [_contrib_field_idf(f, b) for f, b in kept]
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, w FROM contrib_{f}" for f, _ in kept
+    )
     return f"""
 WITH {", ".join(blocks)},
 allc AS (
@@ -237,10 +469,85 @@ allc AS (
 ), scored AS (
   SELECT doc_id, round(sum(w), {bm25.ROUND_DIGITS}) AS score
   FROM allc GROUP BY doc_id
-)
-SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
-       doc_id, score
-FROM scored
-QUALIFY rank <= {k}
-ORDER BY rank
-"""
+)""" + _TOPK_TAIL.format(k=k)
+
+
+def oracle_sql_bm25_best_fields(
+    query_text: str, field_exprs: dict[str, str],
+    boosts: dict[str, float] | None = None, k: int = 10,
+    tie_breaker: float = 0.0,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`search_best_fields`: per-field query
+    totals, then per doc max + tie_breaker·(sum − max)."""
+    kept, blocks = _oracle_fields(
+        query_text, field_exprs, boosts, table, doc_col
+    )
+    blocks += [_contrib_field_idf(f, b) for f, b in kept]
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS fld, w FROM contrib_{f}"
+        for f, _ in kept
+    )
+    return f"""
+WITH {", ".join(blocks)},
+allc AS (
+{union}
+), fieldsc AS (
+  SELECT doc_id, fld, sum(w) AS s FROM allc GROUP BY doc_id, fld
+), scored AS (
+  SELECT doc_id,
+         round(max(s) + {float(tie_breaker)} * (sum(s) - max(s)),
+               {bm25.ROUND_DIGITS}) AS score
+  FROM fieldsc GROUP BY doc_id
+)""" + _TOPK_TAIL.format(k=k)
+
+
+def oracle_sql_bm25_cross_fields(
+    query_text: str, field_exprs: dict[str, str],
+    boosts: dict[str, float] | None = None, k: int = 10,
+    tie_breaker: float = 0.0,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`search_cross_fields`: per term the df
+    is blended as max over fields (docCount likewise), per (term, doc)
+    the per-field weights are dis-maxed, then summed per doc."""
+    kept, blocks = _oracle_fields(
+        query_text, field_exprs, boosts, table, doc_col
+    )
+    df_union = "\nUNION ALL\n".join(
+        f"SELECT term, df FROM dfreq_{f}" for f, _ in kept
+    )
+    n_union = "\nUNION ALL\n".join(
+        f"SELECT n FROM stats_{f}" for f, _ in kept
+    )
+    blocks.append(f"""
+dfb AS (
+  SELECT term, max(df) AS df FROM ({df_union}) GROUP BY term
+), nb AS (
+  SELECT max(n) AS n FROM ({n_union})
+)""".strip())
+    for f, boost in kept:
+        blocks.append(f"""
+contrib_{f} AS (
+  SELECT tf_{f}.doc_id, tf_{f}.term,
+         {boost} * ln(1 + (nb.n - dfb.df + 0.5) / (dfb.df + 0.5))
+            * (tf_{f}.tf * ({bm25.K1} + 1)) /
+              (tf_{f}.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf_{f}.dl / stats_{f}.avgdl)))
+         AS w
+  FROM tf_{f}, dfb, nb, stats_{f} WHERE tf_{f}.term = dfb.term
+)""".strip())
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, term, w FROM contrib_{f}" for f, _ in kept
+    )
+    return f"""
+WITH {", ".join(blocks)},
+allc AS (
+{union}
+), termsc AS (
+  SELECT doc_id, term,
+         max(w) + {float(tie_breaker)} * (sum(w) - max(w)) AS v
+  FROM allc GROUP BY doc_id, term
+), scored AS (
+  SELECT doc_id, round(sum(v), {bm25.ROUND_DIGITS}) AS score
+  FROM termsc GROUP BY doc_id
+)""" + _TOPK_TAIL.format(k=k)
