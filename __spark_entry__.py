@@ -472,6 +472,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tie_breaker=0.3,
     )
 
+    def _mf_sharded_reader(s, d):
+        """Federated multi-field: two doc-parity shards × two fields,
+        per-field global stats (Σ df, Σ n, Σ sum_dl) — rank- and
+        score-identical to the union multifield reader, so it shares
+        the best_fields DuckDB oracle."""
+        import json as _json
+        import os
+        import shutil
+        import tempfile
+
+        from tlhop_library_spark.index import (
+            ShardedMultiFieldIndexReader,
+            build_index,
+        )
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "tlhop_gate_mfsh_" + d.strip("/").replace("/", "_"),
+        )
+        docs = _t(s, d, "documents")
+        n_live = docs.where(F.col("text").isNotNull()).count()
+        fields = {
+            "title": F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 6), " "
+            ),
+            "body": F.col("text"),
+        }
+        shard_dirs = [
+            {f: os.path.join(base, f"s{i}", f) for f in fields}
+            for i in range(2)
+        ]
+        fresh = True
+        tot = 0
+        for sd in shard_dirs:
+            for fd in sd.values():
+                sp = os.path.join(fd, "stats.json")
+                if not os.path.exists(sp):
+                    fresh = False
+                    break
+        if fresh:
+            for sd in shard_dirs:
+                with open(os.path.join(sd["body"], "stats.json")) as fh:
+                    tot += _json.load(fh)["n_docs"]
+            fresh = tot == n_live
+        if not fresh:
+            shutil.rmtree(base, ignore_errors=True)
+            for i, sd in enumerate(shard_dirs):
+                part = docs.where(F.col("doc_id") % 2 == i)
+                for f, col in fields.items():
+                    build_index(
+                        s, part.select("doc_id", col.alias("text")),
+                        sd[f], n_buckets=8, n_ranges=8,
+                    )
+        return ShardedMultiFieldIndexReader(s, shard_dirs)
+
+    q["bm25_mf_federated"] = lambda s, d: _mf_sharded_reader(
+        s, d
+    ).search_best_fields(
+        BM25_QUERY_1, k=10, boosts={"title": 2.0, "body": 1.0},
+        tie_breaker=0.3,
+    )
+
     # Lucene-explain parity: per-(top-k doc, term) BM25 component rows
     # — tf, dl, idf, per-term weight, doc total — from the indexed
     # engine; DuckDB recomputes the identical breakdown from raw text
@@ -1733,6 +1795,10 @@ FROM tok GROUP BY doc_id, term
         BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10, tie_breaker=0.3
     )
     o["bm25_cross_fields"] = oracle_sql_bm25_cross_fields(
+        BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10, tie_breaker=0.3
+    )
+    # federated multifield ≡ union multifield ≡ the same SQL
+    o["bm25_mf_federated"] = oracle_sql_bm25_best_fields(
         BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10, tie_breaker=0.3
     )
     from tlhop_library_spark.index.query import (

@@ -307,3 +307,74 @@ def test_cross_fields_duplicate_field_degenerates(spark, index_dir):
         assert rows(
             mf2.search_best_fields(q, k=10, tie_breaker=0.0)
         ) == want, q
+
+
+@pytest.fixture(scope="module")
+def mf_sharded(spark, corpus_df, tmp_path_factory):
+    """Two shards (doc_id parity split) × two fields each."""
+    from tlhop_library_spark.index import (
+        ShardedMultiFieldIndexReader,
+        build_index,
+    )
+
+    base = tmp_path_factory.mktemp("mfshards")
+    shard_dirs = []
+    for i in range(2):
+        part = corpus_df.where(F.col("doc_id") % 2 == i)
+        dirs = {}
+        for field, col in [
+            ("title", title_expr()), ("body", F.col("text")),
+        ]:
+            d = str(base / f"s{i}" / field)
+            build_index(
+                spark, part.select("doc_id", col.alias("text")),
+                d, n_buckets=4, n_ranges=4,
+            )
+            dirs[field] = d
+        shard_dirs.append(dirs)
+    return ShardedMultiFieldIndexReader(spark, shard_dirs)
+
+
+def test_sharded_multifield_identical_to_union(spark, mf, mf_sharded):
+    """Every multi-field mode federates rank- AND score-identically
+    to the single reader over union-built field indexes."""
+    boosts = {"title": 2.0, "body": 1.0}
+    for q in ["bace cada", "informação", "zzznope"]:
+        assert rows(mf_sharded.search(q, k=10, boosts=boosts)) == rows(
+            mf.search(q, k=10, boosts=boosts)
+        ), ("most", q)
+        for tie in (0.0, 0.3):
+            assert rows(
+                mf_sharded.search_best_fields(
+                    q, k=10, boosts=boosts, tie_breaker=tie
+                )
+            ) == rows(
+                mf.search_best_fields(
+                    q, k=10, boosts=boosts, tie_breaker=tie
+                )
+            ), ("best", q, tie)
+            assert rows(
+                mf_sharded.search_cross_fields(
+                    q, k=10, boosts=boosts, tie_breaker=tie
+                )
+            ) == rows(
+                mf.search_cross_fields(
+                    q, k=10, boosts=boosts, tie_breaker=tie
+                )
+            ), ("cross", q, tie)
+
+
+def test_sharded_multifield_field_set_guard(spark, mf_sharded,
+                                            tmp_path_factory):
+    from tlhop_library_spark.index import ShardedMultiFieldIndexReader
+
+    s0 = {
+        f: r.index_dir for f, r in mf_sharded.shards[0].readers.items()
+    }
+    s1_missing = {
+        "body": mf_sharded.shards[1].readers["body"].index_dir
+    }
+    with pytest.raises(ValueError, match="field set"):
+        ShardedMultiFieldIndexReader(spark, [s0, s1_missing])
+    with pytest.raises(ValueError):
+        ShardedMultiFieldIndexReader(spark, [])

@@ -10,13 +10,17 @@ from tlhop_library_spark.index.fsck import (
     verify_index,
 )
 from tlhop_library_spark.index.merge import merge_index_ranges
-from tlhop_library_spark.index.multifield import MultiFieldIndexReader
+from tlhop_library_spark.index.multifield import (
+    MultiFieldIndexReader,
+    ShardedMultiFieldIndexReader,
+)
 from tlhop_library_spark.index.query import IndexReader, score_exhaustive
 from tlhop_library_spark.index.sharded import ShardedIndexReader
 
 __all__ = [
     "ShardedIndexReader",
     "MultiFieldIndexReader",
+    "ShardedMultiFieldIndexReader",
     "IndexBuilder",
     "build_index",
     "IndexReader",

@@ -51,6 +51,7 @@ from tlhop_library_spark.index.query import (
 
 __all__ = [
     "MultiFieldIndexReader",
+    "ShardedMultiFieldIndexReader",
     "oracle_sql_bm25_multifield",
     "oracle_sql_bm25_best_fields",
     "oracle_sql_bm25_cross_fields",
@@ -257,14 +258,19 @@ class MultiFieldIndexReader:
             return None, fields
         return reduce(DataFrame.unionByName, segs), fields
 
-    def _topk(self, union: DataFrame, scorer, k: int) -> DataFrame:
-        local = union.groupBy("range_id").applyInPandas(
+    @staticmethod
+    def _local(union: DataFrame, scorer) -> DataFrame:
+        """Per-range winner rows (doc_id, score), ≤ k per range — the
+        unit the sharded federation unions before its global top-k."""
+        return union.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
         )
+
+    def _topk(self, union: DataFrame, scorer, k: int) -> DataFrame:
         from tlhop_library_spark.operators.relational import ranked_topk
 
         return ranked_topk(
-            local, [F.desc("score"), F.asc("doc_id")], k
+            self._local(union, scorer), [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
     def _empty(self) -> DataFrame:
@@ -380,6 +386,191 @@ class MultiFieldIndexReader:
             params, tid_idx, k, float(tie_breaker)
         )
         return self._topk(union, scorer, k)
+
+
+class ShardedMultiFieldIndexReader:
+    """Federated multi-field search: one :class:`MultiFieldIndexReader`
+    per shard (each shard owns a disjoint doc-id space and carries the
+    SAME field set), rank- and score-identical to a single
+    MultiFieldIndexReader whose field indexes were built over the
+    union of the shards' corpora.
+
+    Identity argument (the single-field federation's, per field —
+    index/sharded.py): scoring depends on corpus-global statistics
+    only through per-FIELD (n_docs, avgdl, df_t). Those are summed
+    across shards here (Σ n, Σ sum_dl, Σ df — tiny driver-side
+    stats.json reads + one dictionary probe per shard per field) and
+    pushed into the SAME per-range kernels; because every doc lives
+    wholly in one shard, each shard's per-range groups still see every
+    contribution to their docs' totals in every field and every mode
+    (most_fields sum, best_fields per-field dismax, cross_fields
+    per-term dismax with df blended over the GLOBAL per-field dfs).
+    Per-shard per-range winners (≤ k each) union into one global
+    ``ranked_topk`` — only k·n_ranges·n_shards rows leave the
+    executors, no cross-shard shuffle."""
+
+    def __init__(
+        self, spark: SparkSession,
+        shard_field_dirs: list[dict[str, str]],
+        preload_dictionary: int | None = 2_000_000,
+    ):
+        if not shard_field_dirs:
+            raise ValueError("need at least one shard")
+        self.spark = spark
+        self.shards = [
+            MultiFieldIndexReader(spark, d, preload_dictionary)
+            for d in shard_field_dirs
+        ]
+        names0 = sorted(self.shards[0].readers)
+        for sh in self.shards[1:]:
+            if sorted(sh.readers) != names0:
+                raise ValueError(
+                    "shards disagree on the field set: "
+                    f"{sorted(sh.readers)} vs {names0}"
+                )
+        #: field_id (the _gather enumerate index) → field name
+        self.field_names = names0
+        self.n_of: dict[str, int] = {}
+        self.avgdl_of: dict[str, float] = {}
+        for f in names0:
+            n = sum(sh.readers[f].stats["n_docs"] for sh in self.shards)
+            sdl = sum(
+                sh.readers[f].stats["sum_dl"] for sh in self.shards
+            )
+            self.n_of[f] = n
+            self.avgdl_of[f] = sdl / n if n else 0.0
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+
+    def _resolve(self, terms: list[str], boosts: dict[str, float]):
+        """Per-shard gathers plus the federation-global per-(field_id,
+        term) df (Σ across shards)."""
+        per_shard = []
+        gdf: dict[tuple[int, str], int] = {}
+        for sh in self.shards:
+            union, fields = sh._gather(terms, boosts)
+            per_shard.append((union, fields))
+            for fid, (_, info, _) in fields.items():
+                for t, (df, _, _) in info.items():
+                    gdf[(fid, t)] = gdf.get((fid, t), 0) + int(df)
+        return per_shard, gdf
+
+    def _run(self, per_shard, make_scorer, k: int) -> DataFrame:
+        parts = []
+        for union, fields in per_shard:
+            if union is None:
+                continue
+            scorer = make_scorer(fields)
+            parts.append(MultiFieldIndexReader._local(union, scorer))
+        if not parts:
+            return self._empty()
+        local = reduce(DataFrame.unionByName, parts)
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def _global_params(self, fields, gdf) -> dict[int, tuple]:
+        """Per-shard kernel params with federation-global idf/avgdl
+        (most_fields and best_fields share this shape)."""
+        params: dict[int, tuple] = {}
+        for fid, (r, info, boost) in fields.items():
+            fname = self.field_names[fid]
+            n = self.n_of[fname]
+            idf_by_tid = {
+                tid: bm25.idf(n, gdf[(fid, t)])
+                for t, (_, _, tid) in info.items()
+            }
+            params[fid] = (
+                idf_by_tid, self.avgdl_of[fname], boost, r._deleted,
+            )
+        return params
+
+    def search(
+        self, query_text: str, k: int = 10,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Federated most_fields ≡ MultiFieldIndexReader.search on
+        union-built field indexes."""
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._empty()
+        per_shard, gdf = self._resolve(terms, boosts or {})
+        return self._run(
+            per_shard,
+            lambda fields: _multifield_range_scorer(
+                self._global_params(fields, gdf), k
+            ),
+            k,
+        )
+
+    def search_best_fields(
+        self, query_text: str, k: int = 10,
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """Federated best_fields — per-field dismax is per-doc, docs
+        live wholly in one shard, so per-shard kernels stay exact."""
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._empty()
+        per_shard, gdf = self._resolve(terms, boosts or {})
+        return self._run(
+            per_shard,
+            lambda fields: _bestfields_range_scorer(
+                self._global_params(fields, gdf), k, float(tie_breaker)
+            ),
+            k,
+        )
+
+    def search_cross_fields(
+        self, query_text: str, k: int = 10,
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """Federated cross_fields — the blend (df = max over fields,
+        docCount = max field n) is taken over the GLOBAL per-field
+        stats, so every shard scores with the identical blended idf
+        table (content-hash tids agree across shards and fields)."""
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._empty()
+        per_shard, gdf = self._resolve(terms, boosts or {})
+        # blended per-TERM stats over global per-field dfs
+        df_blend: dict[str, int] = {}
+        tid_of: dict[str, int] = {}
+        for (_, t), df in gdf.items():
+            df_blend[t] = max(df_blend.get(t, 0), df)
+        for _, fields in per_shard:
+            for _, (_, info, _) in fields.items():
+                for t, (_, _, tid) in info.items():
+                    tid_of[t] = tid
+        n_blend = max(self.n_of.values())
+        idf_blend = {
+            tid_of[t]: bm25.idf(n_blend, df)
+            for t, df in df_blend.items()
+        }
+        tid_idx = {tid: j for j, tid in enumerate(sorted(idf_blend))}
+
+        def make_scorer(fields):
+            params = {
+                fid: (
+                    idf_blend,
+                    self.avgdl_of[self.field_names[fid]],
+                    boost,
+                    r._deleted,
+                )
+                for fid, (r, info, boost) in fields.items()
+            }
+            return _crossfields_range_scorer(
+                params, tid_idx, k, float(tie_breaker)
+            )
+
+        return self._run(per_shard, make_scorer, k)
 
 
 _TOPK_TAIL = """
