@@ -125,6 +125,31 @@ def main(argv: list[str] | None = None) -> int:
         "second similarity",
     )
 
+    ms = sub.add_parser(
+        "msearch",
+        help="multi-field search over one index per field "
+        "(ES multi_match: most_fields / best_fields / cross_fields)",
+    )
+    ms.add_argument(
+        "--field", action="append", required=True, metavar="NAME=DIR",
+        help="field index (repeat per field), e.g. --field title=/idx/t",
+    )
+    ms.add_argument("--query", required=True)
+    ms.add_argument("-k", type=int, default=10)
+    ms.add_argument(
+        "--type",
+        choices=["most_fields", "best_fields", "cross_fields"],
+        default="most_fields",
+    )
+    ms.add_argument(
+        "--boost", action="append", default=[], metavar="NAME=W",
+        help="query-time field boost (repeat per field)",
+    )
+    ms.add_argument(
+        "--tie", type=float, default=0.0,
+        help="tie_breaker for best_fields/cross_fields",
+    )
+
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
     sg.add_argument("--term", required=True)
@@ -298,6 +323,26 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                 )
             )
+    elif args.cmd == "msearch":
+        from tlhop_library_spark.index import MultiFieldIndexReader
+
+        dirs = dict(kv.split("=", 1) for kv in args.field)
+        boosts = {
+            f: float(w)
+            for f, w in (kv.split("=", 1) for kv in args.boost)
+        }
+        mf = MultiFieldIndexReader(spark, dirs)
+        if args.type == "most_fields":
+            df = mf.search(args.query, k=args.k, boosts=boosts)
+        elif args.type == "best_fields":
+            df = mf.search_best_fields(
+                args.query, k=args.k, boosts=boosts, tie_breaker=args.tie
+            )
+        else:
+            df = mf.search_cross_fields(
+                args.query, k=args.k, boosts=boosts, tie_breaker=args.tie
+            )
+        print(json.dumps([r.asDict() for r in df.collect()]))
     elif args.cmd == "suggest":
         from tlhop_library_spark.index.query import IndexReader
 
