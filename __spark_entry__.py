@@ -328,6 +328,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, _t(s, d, "documents"), "n_chars", FACET_BOUNDS
     )
 
+    # ES function_score gaussian decay (multiply mode) over a numeric
+    # field — the recency/geo re-ranker; pure JVM column expression
+    q["bm25_decay"] = lambda s, d: _indexed_reader(s, d).search_decay(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars",
+        origin=400.0, scale=250.0, k=10, decay=0.5, fn="gauss",
+    )
+
+    # ES top_hits aggregation: top groups by best-doc score, each
+    # with its own top per_group hits (collapse is per_group=1)
+    q["bm25_group_topk"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_group_topk(
+        BM25_QUERY_1, _t(s, d, "documents"), "source",
+        n_groups=3, per_group=3,
+    )
+
     # display snippets over the indexed hits: broadcast the ≤k hit rows
     # back onto the docs scan; snippet window is a pure JVM expression
     q["bm25_snippets"] = lambda s, d: _indexed_reader(s, d).search_snippets(
@@ -1767,6 +1783,18 @@ FROM tok GROUP BY doc_id, term
     )
     o["facet_ranges_nchars"] = oracle_sql_facet_ranges(
         BM25_QUERY_1, "n_chars", FACET_BOUNDS
+    )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_bm25_decay,
+        oracle_sql_bm25_group_topk,
+    )
+
+    o["bm25_decay"] = oracle_sql_bm25_decay(
+        BM25_QUERY_1, "n_chars", origin=400.0, scale=250.0, k=10,
+        decay=0.5, fn="gauss",
+    )
+    o["bm25_group_topk"] = oracle_sql_bm25_group_topk(
+        BM25_QUERY_1, "source", n_groups=3, per_group=3
     )
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)

@@ -319,3 +319,139 @@ def test_rrf_fuse_fusion_moves_no_corpus(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decay_matches_python_recomputation(spark, index_dir, corpus_df):
+    """gauss / exp / linear decay: every matching doc's score equals
+    round(bm25 · factor, 4) recomputed in Python from the hit
+    stream."""
+    import math
+
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text"))
+    hits = {
+        x["doc_id"]: x["score"]
+        for x in r._matching_scores(Q).collect()
+    }
+    flen = {
+        x["doc_id"]: x["n_chars"]
+        for x in docs.select("doc_id", "n_chars").collect()
+    }
+    origin, scale, decay, offset = 400.0, 250.0, 0.5, 50.0
+    for fn in ("gauss", "exp", "linear"):
+        want = {}
+        for d_id, s in hits.items():
+            dd = max(0.0, abs(flen[d_id] - origin) - offset)
+            if fn == "gauss":
+                sigma2 = -(scale**2) / (2 * math.log(decay))
+                f = math.exp(-(dd**2) / (2 * sigma2))
+            elif fn == "exp":
+                f = math.exp(dd * math.log(decay) / scale)
+            else:
+                sl = scale / (1 - decay)
+                f = max(0.0, (sl - dd) / sl)
+            want[d_id] = round(s * f, 4)
+        ranked = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = _ranks(
+            r.search_decay(
+                Q, docs, "n_chars", origin=origin, scale=scale,
+                k=10, decay=decay, offset=offset, fn=fn,
+            )
+        )
+        assert got == [
+            (i + 1, d, s) for i, (d, s) in enumerate(ranked)
+        ], fn
+
+
+def test_decay_null_field_not_decayed(spark, index_dir, corpus_df):
+    """ES semantics: a doc missing the decay field keeps its raw BM25
+    score (factor 1) — with every other doc decayed hard, the nulled
+    doc must come out on top if its raw score is the max."""
+    r = IndexReader(spark, index_dir)
+    top = r.search(Q, k=1).collect()[0]
+    docs = corpus_df.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == top["doc_id"], F.lit(None))
+        .otherwise(F.length("text")),
+    )
+    got = r.search_decay(
+        Q, docs, "n_chars", origin=-1e9, scale=10.0, k=5,
+        decay=0.001, fn="gauss",
+    ).collect()
+    assert got[0]["doc_id"] == top["doc_id"]
+    assert got[0]["score"] == top["score"]
+
+
+def test_decay_param_validation(spark, index_dir, corpus_df):
+    r = IndexReader(spark, index_dir)
+    with pytest.raises(ValueError, match="decay"):
+        r.search_decay(Q, corpus_df, "doc_id", 0.0, 1.0, decay=1.0)
+    with pytest.raises(ValueError, match="fn"):
+        r.search_decay(Q, corpus_df, "doc_id", 0.0, 1.0, fn="step")
+
+
+def test_group_topk_projects_to_collapse(spark, index_dir, corpus_df):
+    """per_group=1 rows of top_hits ≡ search_collapse on the same
+    field (group_rank/doc pairs), and within-group hits are the
+    group's best-scoring docs in order."""
+    r = IndexReader(spark, index_dir)
+    # NULL group keys form no bucket (ES terms-agg semantics) while
+    # collapse keeps NULL as a group — compare on the non-null subset
+    docs = corpus_df.select("doc_id", "lang").where(
+        F.col("lang").isNotNull()
+    )
+    g = r.search_group_topk(Q, docs, "lang", n_groups=4, per_group=3)
+    rows = g.collect()
+    firsts = [
+        (x["group_rank"], x["lang"], x["doc_id"], x["score"])
+        for x in rows
+        if x["hit_rank"] == 1
+    ]
+    coll = [
+        (x["rank"], x["lang"], x["doc_id"], x["score"])
+        for x in r.search_collapse(Q, docs, "lang", k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert sorted(firsts) == coll
+    # within-group ordering: scores non-increasing, ranks contiguous
+    by_group = {}
+    for x in rows:
+        by_group.setdefault(x["lang"], []).append(
+            (x["hit_rank"], x["score"], x["doc_id"])
+        )
+    full = {
+        x["doc_id"]: x["score"] for x in r._matching_scores(Q).collect()
+    }
+    lang_of = {
+        x["doc_id"]: x["lang"] for x in docs.collect()
+    }
+    full = {d: s for d, s in full.items() if d in lang_of}
+    for lang, hs in by_group.items():
+        hs.sort()
+        assert [h[0] for h in hs] == list(range(1, len(hs) + 1))
+        # the group's top hits among ALL matching docs of that group
+        want = sorted(
+            (
+                (-s, d)
+                for d, s in full.items()
+                if lang_of[d] == lang
+            ),
+        )[: len(hs)]
+        assert [(round(-w[0], 4), w[1]) for w in want] == [
+            (h[1], h[2]) for h in hs
+        ], lang
+
+
+def test_group_topk_null_keys_form_no_bucket(spark, index_dir,
+                                             corpus_df):
+    """A doc with a NULL group key never appears and never claims a
+    group slot (ES terms aggregation drops missing keys)."""
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.select("doc_id", "lang")
+    with_null = r.search_group_topk(
+        Q, docs, "lang", n_groups=10, per_group=2
+    ).collect()
+    assert all(x["lang"] is not None for x in with_null)
+    ranks = sorted({x["group_rank"] for x in with_null})
+    assert ranks == list(range(1, len(ranks) + 1))  # no gaps

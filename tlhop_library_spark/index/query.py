@@ -647,6 +647,76 @@ ORDER BY rank
 """
 
 
+def oracle_sql_bm25_decay(
+    query_text: str, field: str, origin: float, scale: float,
+    k: int = 10, decay: float = 0.5, offset: float = 0.0,
+    fn: str = "gauss", table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for function_score decay retrieval: BM25 × the decay
+    factor, identical closed-form constants inlined on both sides."""
+    import math
+
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    d_expr = (
+        f"greatest(0.0, abs(CAST(d.{field} AS DOUBLE) - {float(origin)!r})"
+        f" - {float(offset)!r})"
+    )
+    if fn == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
+        f_expr = f"exp(-(({d_expr}) * ({d_expr})) / {2.0 * sigma2!r})"
+    elif fn == "exp":
+        lam = math.log(decay) / float(scale)
+        f_expr = f"exp(({d_expr}) * {lam!r})"
+    else:
+        s = float(scale) / (1.0 - decay)
+        f_expr = f"greatest(0.0, ({s!r} - ({d_expr})) / {s!r})"
+    return f"""{cte}, decayed AS (
+  SELECT s.doc_id,
+         round(s.score * coalesce({f_expr}, 1.0),
+               {bm25.ROUND_DIGITS}) AS score
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM decayed
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_group_topk(
+    query_text: str, group_field: str, n_groups: int = 5,
+    per_group: int = 3, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for grouped retrieval with per-group hits (ES top_hits):
+    groups ranked by best-doc score, each with its top per_group
+    docs; NULL group keys form no bucket (ES terms-agg semantics)."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, joined AS (
+  SELECT s.doc_id, s.score, d.{group_field} AS grp
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{group_field} IS NOT NULL
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY grp ORDER BY score DESC, doc_id ASC) AS INT
+  ) AS hit_rank
+  FROM joined
+), topg AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+             AS group_rank,
+         grp
+  FROM ranked WHERE hit_rank = 1
+  QUALIFY group_rank <= {n_groups}
+)
+SELECT t.group_rank, r.grp AS {group_field}, r.hit_rank, r.doc_id, r.score
+FROM ranked r JOIN topg t ON t.grp = r.grp
+WHERE r.hit_rank <= {per_group}
+ORDER BY t.group_rank, r.hit_rank
+"""
+
+
 def oracle_sql_facet_ranges(
     query_text: str, field: str, bounds: list[float],
     table: str = "documents", doc_col: str = "doc_id",
@@ -3364,6 +3434,121 @@ class IndexReader:
         return ranked_topk(
             best, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", group_field, "doc_id", "score")
+
+    def search_decay(
+        self, query_text: str, docs: DataFrame, field: str,
+        origin: float, scale: float, k: int = 10, decay: float = 0.5,
+        offset: float = 0.0, fn: str = "gauss",
+    ) -> DataFrame:
+        """function_score decay retrieval (Elasticsearch
+        ``function_score`` with a ``gauss``/``exp``/``linear`` decay
+        over a numeric field, multiply boost mode): every matching
+        doc's BM25 score is multiplied by a factor in (0, 1] that
+        decays with the field's distance from ``origin`` — factor
+        ``decay`` exactly at distance ``scale`` (past ``offset``).
+        The canonical recency/geo re-ranker (e.g. field =
+        epoch-seconds of ``warc_ts``).
+
+            d = max(0, |x − origin| − offset)
+            gauss:  exp(−d² / (2σ²)),  σ² = −scale² / (2·ln decay)
+            exp:    exp(d · ln(decay) / scale)
+            linear: max(0, (s − d) / s),  s = scale / (1 − decay)
+
+        A NULL field scores as factor 1 (ES semantics: docs missing
+        the field are not decayed). Shape: hit stream equi-joined to
+        the docs scan, decay factor as a pure JVM column expression,
+        ``ranked_topk`` — fully distributed, no Python in the hot
+        path. Returns (rank, doc_id, score)."""
+        import math
+
+        if fn not in ("gauss", "exp", "linear"):
+            raise ValueError(f"unknown decay fn {fn!r}")
+        if not (0.0 < decay < 1.0):
+            raise ValueError("decay must be in (0, 1)")
+        hits = self._matching_scores(query_text)
+        j = hits.join(
+            docs.select(
+                "doc_id", F.col(field).cast("double").alias("__x")
+            ),
+            "doc_id",
+        )
+        d = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col("__x") - F.lit(float(origin))) - F.lit(float(offset)),
+        )
+        if fn == "gauss":
+            sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
+            factor = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+        elif fn == "exp":
+            lam = math.log(decay) / float(scale)
+            factor = F.exp(d * F.lit(lam))
+        else:
+            s = float(scale) / (1.0 - decay)
+            factor = F.greatest(
+                F.lit(0.0), (F.lit(s) - d) / F.lit(s)
+            )
+        factor = F.coalesce(factor, F.lit(1.0))  # NULL field → no decay
+        scored = j.select(
+            "doc_id",
+            F.round(
+                F.col("score") * factor, bm25.ROUND_DIGITS
+            ).alias("score"),
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            scored, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_group_topk(
+        self, query_text: str, docs: DataFrame, group_field: str,
+        n_groups: int = 5, per_group: int = 3,
+    ) -> DataFrame:
+        """Grouped retrieval with hits per group (Elasticsearch
+        ``top_hits`` aggregation / Lucene grouping with
+        ``groupDocsLimit``): the top ``n_groups`` groups ranked by
+        their best matching doc's score, each carrying its own top
+        ``per_group`` docs. :meth:`search_collapse` is the
+        ``per_group=1`` projection of this.
+
+        Docs with a NULL group key are excluded (ES terms-aggregation
+        semantics: missing keys form no bucket — unlike
+        :meth:`search_collapse`, which keeps NULL as a group).
+
+        Shape: hit stream joined to the docs scan, ONE window
+        partitioned by the group field (distributed — group
+        cardinality is the parallelism, never a single partition),
+        ``ranked_topk`` over the one-best-per-group survivors to pick
+        the groups, then a broadcast-sized join back to the ≤
+        per_group rows. Returns (group_rank, <group_field>, hit_rank,
+        doc_id, score) ordered by (group_rank, hit_rank)."""
+        hits = self._matching_scores(query_text)
+        j = hits.join(
+            docs.select("doc_id", group_field).where(
+                F.col(group_field).isNotNull()
+            ),
+            "doc_id",
+        )
+        w = Window.partitionBy(group_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = j.withColumn(
+            "hit_rank", F.row_number().over(w)
+        ).where(F.col("hit_rank") <= per_group)
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        top_groups = ranked_topk(
+            ranked.where(F.col("hit_rank") == 1),
+            [F.desc("score"), F.asc("doc_id")],
+            n_groups,
+        ).select(F.col("rank").alias("group_rank"), group_field)
+        return (
+            ranked.join(F.broadcast(top_groups), group_field)
+            .select(
+                "group_rank", group_field, "hit_rank", "doc_id", "score"
+            )
+            .orderBy("group_rank", "hit_rank")
+        )
 
     def facet_ranges(
         self, query_text: str, docs: DataFrame, field: str,
