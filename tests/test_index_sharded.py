@@ -417,3 +417,42 @@ def test_sharded_suggest_phrase_identical(spark, corpus_df,
             for r in single.suggest_phrase(q, corpus_df, n=5).collect()
         ]
         assert a == b and a, q
+
+
+def test_sharded_decay_and_group_topk_identical(spark, corpus_df,
+                                                sharded, index_dir):
+    """Federated decay re-rank and top_hits grouping ≡ the single
+    union index (both consume only the global-stats hit stream)."""
+    from tlhop_library_spark.index import IndexReader
+
+    single, sh = IndexReader(spark, index_dir), sharded
+    docs = corpus_df.withColumn("n_chars", F.length("text"))
+    for q in ["bace cada", "informação"]:
+        a = [
+            tuple(r)
+            for r in sh.search_decay(
+                q, docs, "n_chars", origin=400.0, scale=250.0,
+                k=10, decay=0.5, fn="gauss",
+            ).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in single.search_decay(
+                q, docs, "n_chars", origin=400.0, scale=250.0,
+                k=10, decay=0.5, fn="gauss",
+            ).collect()
+        ]
+        assert a == b and a, q
+        a = [
+            tuple(r)
+            for r in sh.search_group_topk(
+                q, docs, "lang", n_groups=3, per_group=2
+            ).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in single.search_group_topk(
+                q, docs, "lang", n_groups=3, per_group=2
+            ).collect()
+        ]
+        assert a == b and a, q

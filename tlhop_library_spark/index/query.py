@@ -647,6 +647,85 @@ ORDER BY rank
 """
 
 
+def decay_rank_hits(
+    hits: DataFrame, docs: DataFrame, field: str, origin: float,
+    scale: float, k: int, decay: float, offset: float, fn: str,
+) -> DataFrame:
+    """Shared decay re-ranking over a (doc_id, score) hit stream —
+    used by :meth:`IndexReader.search_decay` and its sharded
+    federation (the hit stream is the only index-dependent part)."""
+    import math
+
+    if fn not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay fn {fn!r}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    j = hits.join(
+        docs.select(
+            "doc_id", F.col(field).cast("double").alias("__x")
+        ),
+        "doc_id",
+    )
+    d = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col("__x") - F.lit(float(origin))) - F.lit(float(offset)),
+    )
+    if fn == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
+        factor = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif fn == "exp":
+        lam = math.log(decay) / float(scale)
+        factor = F.exp(d * F.lit(lam))
+    else:
+        s = float(scale) / (1.0 - decay)
+        factor = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    factor = F.coalesce(factor, F.lit(1.0))  # NULL field → no decay
+    scored = j.select(
+        "doc_id",
+        F.round(F.col("score") * factor, bm25.ROUND_DIGITS).alias("score"),
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
+
+
+def group_topk_hits(
+    hits: DataFrame, docs: DataFrame, group_field: str,
+    n_groups: int, per_group: int,
+) -> DataFrame:
+    """Shared top_hits grouping over a (doc_id, score) hit stream —
+    used by :meth:`IndexReader.search_group_topk` and its sharded
+    federation. NULL group keys form no bucket."""
+    j = hits.join(
+        docs.select("doc_id", group_field).where(
+            F.col(group_field).isNotNull()
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy(group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = j.withColumn(
+        "hit_rank", F.row_number().over(w)
+    ).where(F.col("hit_rank") <= per_group)
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    top_groups = ranked_topk(
+        ranked.where(F.col("hit_rank") == 1),
+        [F.desc("score"), F.asc("doc_id")],
+        n_groups,
+    ).select(F.col("rank").alias("group_rank"), group_field)
+    return (
+        ranked.join(F.broadcast(top_groups), group_field)
+        .select(
+            "group_rank", group_field, "hit_rank", "doc_id", "score"
+        )
+        .orderBy("group_rank", "hit_rank")
+    )
+
+
 def oracle_sql_bm25_decay(
     query_text: str, field: str, origin: float, scale: float,
     k: int = 10, decay: float = 0.5, offset: float = 0.0,
@@ -3459,46 +3538,10 @@ class IndexReader:
         the docs scan, decay factor as a pure JVM column expression,
         ``ranked_topk`` — fully distributed, no Python in the hot
         path. Returns (rank, doc_id, score)."""
-        import math
-
-        if fn not in ("gauss", "exp", "linear"):
-            raise ValueError(f"unknown decay fn {fn!r}")
-        if not (0.0 < decay < 1.0):
-            raise ValueError("decay must be in (0, 1)")
-        hits = self._matching_scores(query_text)
-        j = hits.join(
-            docs.select(
-                "doc_id", F.col(field).cast("double").alias("__x")
-            ),
-            "doc_id",
+        return decay_rank_hits(
+            self._matching_scores(query_text), docs, field,
+            origin, scale, k, decay, offset, fn,
         )
-        d = F.greatest(
-            F.lit(0.0),
-            F.abs(F.col("__x") - F.lit(float(origin))) - F.lit(float(offset)),
-        )
-        if fn == "gauss":
-            sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
-            factor = F.exp(-(d * d) / F.lit(2.0 * sigma2))
-        elif fn == "exp":
-            lam = math.log(decay) / float(scale)
-            factor = F.exp(d * F.lit(lam))
-        else:
-            s = float(scale) / (1.0 - decay)
-            factor = F.greatest(
-                F.lit(0.0), (F.lit(s) - d) / F.lit(s)
-            )
-        factor = F.coalesce(factor, F.lit(1.0))  # NULL field → no decay
-        scored = j.select(
-            "doc_id",
-            F.round(
-                F.col("score") * factor, bm25.ROUND_DIGITS
-            ).alias("score"),
-        )
-        from tlhop_library_spark.operators.relational import ranked_topk
-
-        return ranked_topk(
-            scored, [F.desc("score"), F.asc("doc_id")], k
-        ).select("rank", "doc_id", "score")
 
     def search_group_topk(
         self, query_text: str, docs: DataFrame, group_field: str,
@@ -3522,32 +3565,9 @@ class IndexReader:
         the groups, then a broadcast-sized join back to the ≤
         per_group rows. Returns (group_rank, <group_field>, hit_rank,
         doc_id, score) ordered by (group_rank, hit_rank)."""
-        hits = self._matching_scores(query_text)
-        j = hits.join(
-            docs.select("doc_id", group_field).where(
-                F.col(group_field).isNotNull()
-            ),
-            "doc_id",
-        )
-        w = Window.partitionBy(group_field).orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        ranked = j.withColumn(
-            "hit_rank", F.row_number().over(w)
-        ).where(F.col("hit_rank") <= per_group)
-        from tlhop_library_spark.operators.relational import ranked_topk
-
-        top_groups = ranked_topk(
-            ranked.where(F.col("hit_rank") == 1),
-            [F.desc("score"), F.asc("doc_id")],
-            n_groups,
-        ).select(F.col("rank").alias("group_rank"), group_field)
-        return (
-            ranked.join(F.broadcast(top_groups), group_field)
-            .select(
-                "group_rank", group_field, "hit_rank", "doc_id", "score"
-            )
-            .orderBy("group_rank", "hit_rank")
+        return group_topk_hits(
+            self._matching_scores(query_text), docs, group_field,
+            n_groups, per_group,
         )
 
     def facet_ranges(

@@ -739,6 +739,43 @@ class ShardedIndexReader:
             combined, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def search_decay(
+        self, query_text: str, docs: DataFrame, field: str,
+        origin: float, scale: float, k: int = 10, decay: float = 0.5,
+        offset: float = 0.0, fn: str = "gauss",
+    ) -> DataFrame:
+        """Federated function_score decay — identical to
+        ``IndexReader.search_decay`` on a union index: the decay
+        re-rank is a pure function of the (doc_id, score) hit stream,
+        which federates with global Σ-stats."""
+        from tlhop_library_spark.index.query import decay_rank_hits
+
+        infos, gdf, gcf = self._resolve_full(query_text)
+        if not any(infos):
+            return self._empty()
+        hits = self._weighted_local(infos, gdf, gcf, None, "bm25")
+        return decay_rank_hits(
+            hits, docs, field, origin, scale, k, decay, offset, fn
+        )
+
+    def search_group_topk(
+        self, query_text: str, docs: DataFrame, group_field: str,
+        n_groups: int = 5, per_group: int = 3,
+    ) -> DataFrame:
+        """Federated top_hits grouping — identical to
+        ``IndexReader.search_group_topk`` on a union index (the
+        grouping consumes only the federated hit stream; a group may
+        span shards, which the post-union window handles exactly)."""
+        from tlhop_library_spark.index.query import group_topk_hits
+
+        infos, gdf, gcf = self._resolve_full(query_text)
+        if not any(infos):
+            return self._empty()
+        hits = self._weighted_local(infos, gdf, gcf, None, "bm25")
+        return group_topk_hits(
+            hits, docs, group_field, n_groups, per_group
+        )
+
     def search_sim(
         self, query_text: str, k: int = 10, similarity: str = "classic"
     ) -> DataFrame:
