@@ -71,6 +71,14 @@ _LSH_PLANES, _LSH_TABLES, _EMB_DIM = 4, 8, 64
 BM25_QUERY_1 = "spark join filter"
 BM25_QUERY_2 = "the"
 BOOL_QUERY = "(spark OR vector) AND filter AND NOT join"
+#: registered percolator queries: (query_id, query_text, msm) — NULL
+#: msm = AND semantics, 1 = OR, clamped to the query's term count
+PERCOLATE_QUERIES = [
+    (1, "spark join filter", None),
+    (2, "spark vector", 1),
+    (3, "filter shuffle stream", 2),
+    (4, "zzznope", None),
+]
 BOOSTED_QUERY = "spark^2.5 join filter^0.5"
 FACET_BOUNDS = [0.0, 200.0, 400.0, 800.0, 1600.0, 1e9]
 STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
@@ -148,7 +156,7 @@ def _family(key: str) -> str:
     if key.startswith(("bm25", "tfidf_topk", "lmdirichlet", "lmjm",
                        "phrase_",
                        "proximity_", "span_", "term_", "facet_",
-                       "boolean_", "doc_lengths")):
+                       "boolean_", "doc_lengths", "percolate")):
         return "search"
     return "relational"
 
@@ -343,6 +351,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, _t(s, d, "documents"), "source",
         n_groups=3, per_group=3,
     )
+
+    # ES percolate / Lucene Monitor: stream docs against REGISTERED
+    # queries (msm semantics; broadcast query side, doc stream never
+    # shuffled before the partial count)
+    def _q_percolate(s, d):
+        from tlhop_library_spark.operators.percolate import percolate
+
+        qdf = s.createDataFrame(
+            PERCOLATE_QUERIES,
+            "query_id long, query_text string, msm int",
+        )
+        return percolate(_t(s, d, "documents"), qdf)
+
+    q["percolate_matches"] = _q_percolate
 
     # display snippets over the indexed hits: broadcast the ≤k hit rows
     # back onto the docs scan; snippet window is a pure JVM expression
@@ -1796,6 +1818,11 @@ FROM tok GROUP BY doc_id, term
     o["bm25_group_topk"] = oracle_sql_bm25_group_topk(
         BM25_QUERY_1, "source", n_groups=3, per_group=3
     )
+    from tlhop_library_spark.operators.percolate import (
+        oracle_sql_percolate,
+    )
+
+    o["percolate_matches"] = oracle_sql_percolate(PERCOLATE_QUERIES)
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_filtered"] = oracle_sql_bm25_filtered(
