@@ -413,6 +413,14 @@ def test_extension_accessor(spark, docs):
     blocked = spark.createDataFrame([("ex.com",)], "domain string")
     assert urls.tlhop.domain_blocklist(blocked).count() == 0
     assert urls.tlhop.domain_temperature_sample(alpha=1.0).count() == 2
+    # percolator accessor routes to operators/percolate.py
+    pq = spark.createDataFrame(
+        [(1, "spark join", None)],
+        "query_id long, query_text string, msm int",
+    )
+    assert docs.tlhop.percolate(pq).columns == [
+        "doc_id", "query_id", "matched", "required",
+    ]
     assert "text_redacted" in docs.tlhop.redact_pii().columns
 
 

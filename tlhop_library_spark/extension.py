@@ -127,6 +127,11 @@ class TlhopExtension:
 
         return cleaning.redact_pii(self._df, text_col)
 
+    def percolate(self, queries_df, doc_col: str = "doc_id"):
+        from tlhop_library_spark.operators.percolate import percolate
+
+        return percolate(self._df, queries_df, doc_col)
+
     # webpage / screenshot wrappers (ref shodan_library.py:95-215,
     # tlhop_abstraction.py:61-82)
     def describe_html(self, html_col: str = "html",
