@@ -352,6 +352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_groups=3, per_group=3,
     )
 
+    # ES cardinality aggregation: distinct field values among the
+    # matching set (exact mode gated; KMV sketch mode in pytest)
+    q["facet_cardinality_src"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_cardinality(BM25_QUERY_1, _t(s, d, "documents"), "source")
+
     # ES percolate / Lucene Monitor: stream docs against REGISTERED
     # queries (msm semantics; broadcast query side, doc stream never
     # shuffled before the partial count)
@@ -1823,6 +1829,13 @@ FROM tok GROUP BY doc_id, term
     )
 
     o["percolate_matches"] = oracle_sql_percolate(PERCOLATE_QUERIES)
+    from tlhop_library_spark.index.query import (
+        oracle_sql_facet_cardinality,
+    )
+
+    o["facet_cardinality_src"] = oracle_sql_facet_cardinality(
+        BM25_QUERY_1, "source"
+    )
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_filtered"] = oracle_sql_bm25_filtered(

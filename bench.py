@@ -79,6 +79,10 @@ HEADLINE = [
     "hybrid_rrf",
     "facet_lang_stored",
     "bm25_rescored",
+    "bm25_best_fields",
+    "bm25_decay",
+    "bm25_group_topk",
+    "percolate_matches",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

@@ -277,3 +277,27 @@ def test_suggest_phrase_guards(reader, corpus_df):
     assert (
         reader.suggest_phrase("bace qqqqqqq", corpus_df, n=3).count() == 0
     )
+
+
+def test_facet_cardinality_exact_and_sketch(spark, index_dir, corpus_df):
+    """Exact mode = countDistinct among matching docs (NULLs
+    ignored); sketch mode = the oracle-reproducible KMV estimate,
+    exact below k."""
+    from tlhop_library_spark.index.query import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    q = "informação segurança"
+    hits = {x["doc_id"] for x in r._matching_scores(q).collect()}
+    assert hits
+    langs = {
+        x["lang"]
+        for x in corpus_df.where(
+            F.col("doc_id").isin(list(hits)) & F.col("lang").isNotNull()
+        ).collect()
+    }
+    got = r.facet_cardinality(q, corpus_df, "lang").collect()
+    assert got[0]["cardinality"] == len(langs)
+    # sketch mode: below k the KMV answer is exact
+    sk = r.facet_cardinality(q, corpus_df, "lang", k=64).collect()[0]
+    assert sk["kmv_estimate"] == float(len(langs))
+    assert sk["k_used"] == len(langs)

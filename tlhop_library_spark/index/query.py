@@ -796,6 +796,19 @@ ORDER BY t.group_rank, r.hit_rank
 """
 
 
+def oracle_sql_facet_cardinality(
+    query_text: str, field: str, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the exact cardinality aggregation: distinct field
+    values among matching docs (NULLs ignored)."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}
+SELECT CAST(count(DISTINCT d.{field}) AS BIGINT) AS cardinality
+FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+"""
+
+
 def oracle_sql_facet_ranges(
     query_text: str, field: str, bounds: list[float],
     table: str = "documents", doc_col: str = "doc_id",
@@ -3157,6 +3170,39 @@ class IndexReader:
                 self.lookup_terms_prefix(prefixes, max_expansions)
             )
         return self._search_with_info(info, k, mode)
+
+    def facet_cardinality(
+        self, query_text: str, docs: DataFrame, field: str,
+        k: "int | None" = None,
+    ) -> DataFrame:
+        """Cardinality aggregation over the matching set (ES
+        ``cardinality``): the number of distinct ``field`` values among
+        docs matching any query term (NULLs ignored, ES missing-value
+        semantics). One row ``(cardinality bigint)``.
+
+        ``k=None`` → exact ``countDistinct`` (one shuffle of distinct
+        values; fine up to huge-but-bounded cardinalities). ``k=int``
+        → the KMV sketch (``corpus_stats.kmv_distinct`` — mergeable,
+        O(k·partitions) reduce regardless of cardinality, exactly
+        reproducible across engines unlike HLL++ registers); returns
+        its ``(kmv_estimate, k_used)`` row instead."""
+        hits = self._matching_scores(query_text).select("doc_id")
+        # NULLs ignored up front (ES missing-value semantics) — also
+        # keeps the KMV path from hashing NULL into a phantom value
+        j = (
+            docs.join(hits, "doc_id", "left_semi")
+            .select(field)
+            .where(F.col(field).isNotNull())
+        )
+        if k is None:
+            return j.agg(
+                F.countDistinct(field).cast("long").alias("cardinality")
+            )
+        from tlhop_library_spark.operators.corpus_stats import (
+            kmv_distinct,
+        )
+
+        return kmv_distinct(j, field, k=k)
 
     def facet_counts(
         self, query_text: str, docs: DataFrame, facet_col: str = "lang"
