@@ -456,3 +456,37 @@ def test_sharded_decay_and_group_topk_identical(spark, corpus_df,
             ).collect()
         ]
         assert a == b and a, q
+
+
+def test_sharded_facets_and_cardinality_identical(spark, corpus_df,
+                                                  sharded, index_dir):
+    """Federated facet histogram and cardinality agg ≡ single union
+    index (both modes; KMV merges across shards like partitions)."""
+    from tlhop_library_spark.index import IndexReader
+
+    single = IndexReader(spark, index_dir)
+    key = lambda t: (t[0] is None, t)  # noqa: E731 — NULL facet sorts last
+    for q in ["bace cada", "informação"]:
+        a = sorted(
+            map(tuple, sharded.facet_counts(q, corpus_df, "lang").collect()),
+            key=key,
+        )
+        b = sorted(
+            map(tuple, single.facet_counts(q, corpus_df, "lang").collect()),
+            key=key,
+        )
+        assert a == b and a, q
+        for k in (None, 16):
+            a = [
+                tuple(r)
+                for r in sharded.facet_cardinality(
+                    q, corpus_df, "lang", k=k
+                ).collect()
+            ]
+            b = [
+                tuple(r)
+                for r in single.facet_cardinality(
+                    q, corpus_df, "lang", k=k
+                ).collect()
+            ]
+            assert a == b, (q, k)

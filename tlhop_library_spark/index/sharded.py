@@ -739,6 +739,66 @@ class ShardedIndexReader:
             combined, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
 
+    def _fed_hits(self, query_text: str) -> "DataFrame | None":
+        """Federated disjunctive (doc_id, score) hit stream with
+        global Σ-stats — the building block every hit-stream consumer
+        (decay, top_hits, facets, cardinality) federates through."""
+        infos, gdf, gcf = self._resolve_full(query_text)
+        if not any(infos):
+            return None
+        return self._weighted_local(infos, gdf, gcf, None, "bm25")
+
+    def facet_counts(
+        self, query_text: str, docs: DataFrame, facet_col: str = "lang"
+    ) -> DataFrame:
+        """Federated facet histogram ≡ ``IndexReader.facet_counts``
+        on a union index (matching ids are shard-disjoint, so the
+        unioned hit stream is the union matching set)."""
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [], "facet string, n_docs long"
+            )
+        meta = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(facet_col).alias("facet"),
+        )
+        return (
+            hits.select("doc_id")
+            .join(meta, "doc_id")
+            .groupBy("facet")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    def facet_cardinality(
+        self, query_text: str, docs: DataFrame, field: str,
+        k: "int | None" = None,
+    ) -> DataFrame:
+        """Federated cardinality aggregation — exact countDistinct or
+        the KMV sketch (k smallest hashes merge across shards exactly
+        like across partitions)."""
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [(0,)], "cardinality long"
+            ) if k is None else self.spark.createDataFrame(
+                [(0.0, 0)], "kmv_estimate double, k_used long"
+            )
+        j = (
+            docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+            .select(field)
+            .where(F.col(field).isNotNull())
+        )
+        if k is None:
+            return j.agg(
+                F.countDistinct(field).cast("long").alias("cardinality")
+            )
+        from tlhop_library_spark.operators.corpus_stats import (
+            kmv_distinct,
+        )
+
+        return kmv_distinct(j, field, k=k)
+
     def search_decay(
         self, query_text: str, docs: DataFrame, field: str,
         origin: float, scale: float, k: int = 10, decay: float = 0.5,
