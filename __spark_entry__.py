@@ -358,6 +358,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d
     ).facet_cardinality(BM25_QUERY_1, _t(s, d, "documents"), "source")
 
+    # ES extended_stats aggregation: one-pass exact partials
+    # (count/min/max/sum/sum_sq) over the matching set, derived
+    # avg/variance/std computed from them with oracle-identical
+    # arithmetic
+    q["facet_stats_nchars"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_stats(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars", extended=True
+    )
+
+    # ES composite aggregation: paginated terms buckets with a
+    # sargable after-key resume (page 2 gated so the resume predicate
+    # is exercised)
+    q["facet_composite_page2"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_composite(
+        BM25_QUERY_1, _t(s, d, "documents"), "source",
+        size=3, after="src12",
+    )
+
     # ES percolate / Lucene Monitor: stream docs against REGISTERED
     # queries (msm semantics; broadcast query side, doc stream never
     # shuffled before the partial count)
@@ -1835,6 +1855,17 @@ FROM tok GROUP BY doc_id, term
 
     o["facet_cardinality_src"] = oracle_sql_facet_cardinality(
         BM25_QUERY_1, "source"
+    )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_facet_composite,
+        oracle_sql_facet_stats,
+    )
+
+    o["facet_stats_nchars"] = oracle_sql_facet_stats(
+        BM25_QUERY_1, "n_chars", extended=True
+    )
+    o["facet_composite_page2"] = oracle_sql_facet_composite(
+        BM25_QUERY_1, "source", size=3, after="src12"
     )
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)

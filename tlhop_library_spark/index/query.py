@@ -726,6 +726,141 @@ def group_topk_hits(
     )
 
 
+def stats_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str, extended: bool = False,
+) -> DataFrame:
+    """Shared ES ``stats`` / ``extended_stats`` aggregation over a
+    (doc_id, …) hit stream — used by :meth:`IndexReader.facet_stats`
+    and its sharded federation (the hit stream is the only
+    index-dependent part; shard-disjoint streams union into the
+    global matching set, so the same one-pass agg federates exactly).
+
+    NULL field values are ignored (ES missing-value semantics). All
+    derived values (avg, variance, std_deviation) are computed from
+    the exact partials ``(count, sum, sum_sq)`` with the SAME
+    arithmetic the DuckDB oracle uses, then rounded to 4 digits —
+    for integer-valued fields whose Σv² < 2^53 the partials are
+    order-independent exact doubles, so the result is deterministic
+    under any partitioning. Variance is POPULATION variance (ES
+    ``extended_stats`` semantics); ``greatest(0, ·)`` guards the
+    sqrt against negative-epsilon cancellation.
+
+    One row; the only shuffle is the final single-row agg reduce —
+    the matching set never funnels through the driver."""
+    vals = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .select(F.col(field).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    agg = vals.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+    )
+    mean = F.col("sum_v") / F.col("cnt")
+    var_raw = F.col("sum_sq") / F.col("cnt") - mean * mean
+    cols = [
+        "cnt", "min_v", "max_v", "sum_v",
+        F.round(mean, 4).alias("avg_v"),
+    ]
+    if extended:
+        cols += [
+            "sum_sq",
+            F.round(var_raw, 4).alias("variance"),
+            F.round(
+                F.sqrt(F.greatest(var_raw, F.lit(0.0))), 4
+            ).alias("std_dev"),
+        ]
+    return agg.select(*cols)
+
+
+def composite_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str, size: int,
+    after: "str | None" = None,
+) -> DataFrame:
+    """Shared ES ``composite`` aggregation (paginated terms buckets)
+    over a hit stream — used by :meth:`IndexReader.facet_composite`
+    and its sharded federation.
+
+    Buckets of ``field`` among matching docs, key-ordered ascending,
+    strictly AFTER the resume key, first ``size`` buckets — ES
+    composite-agg ``after`` pagination. The resume predicate
+    ``field > after`` is applied BEFORE the aggregation (sargable:
+    it reaches the docs parquet scan as a PushedFilter), so a deep
+    page never aggregates the buckets it skips — the property that
+    makes composite pagination O(page) instead of O(all buckets) at
+    scale. The bucket cut is ``ranked_topk`` (TakeOrderedAndProject:
+    per-partition size-bounded heaps, no global-window cliff)."""
+    b = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col(field).isNotNull())
+    )
+    if after is not None:
+        b = b.where(F.col(field) > F.lit(after))
+    counts = b.groupBy(F.col(field).alias("key")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(counts, [F.asc("key")], size).select(
+        "rank", "key", "n_docs"
+    )
+
+
+def oracle_sql_facet_stats(
+    query_text: str, field: str, extended: bool = False,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the stats / extended_stats aggregation: identical
+    exact-partials arithmetic (sum, sum_sq as order-independent exact
+    doubles for integer fields), population variance, round 4."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    ext = ""
+    if extended:
+        ext = """,
+       sum(v*v) AS sum_sq,
+       round(sum(v*v)/count(*) - (sum(v)/count(*))*(sum(v)/count(*)), 4)
+         AS variance,
+       round(sqrt(greatest(
+         sum(v*v)/count(*) - (sum(v)/count(*))*(sum(v)/count(*)), 0.0)), 4)
+         AS std_dev"""
+    return f"""{cte}, vals AS (
+  SELECT CAST(d.{field} AS DOUBLE) AS v
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       min(v) AS min_v, max(v) AS max_v, sum(v) AS sum_v,
+       round(sum(v)/count(*), 4) AS avg_v{ext}
+FROM vals
+"""
+
+
+def oracle_sql_facet_composite(
+    query_text: str, field: str, size: int, after: "str | None" = None,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the composite (paginated terms) aggregation."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    after_pred = ""
+    if after is not None:
+        after_pred = " AND d." + field + " > '" + after.replace("'", "''") + "'"
+    return f"""{cte}, buckets AS (
+  SELECT d.{field} AS key, CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL{after_pred}
+  GROUP BY d.{field}
+)
+SELECT CAST(row_number() OVER (ORDER BY key ASC) AS INT) AS rank,
+       key, n_docs
+FROM buckets
+QUALIFY rank <= {size}
+ORDER BY rank
+"""
+
+
 def oracle_sql_bm25_decay(
     query_text: str, field: str, origin: float, scale: float,
     k: int = 10, decay: float = 0.5, offset: float = 0.0,
@@ -3203,6 +3338,29 @@ class IndexReader:
         )
 
         return kmv_distinct(j, field, k=k)
+
+    def facet_stats(
+        self, query_text: str, docs: DataFrame, field: str,
+        extended: bool = False,
+    ) -> DataFrame:
+        """ES ``stats`` / ``extended_stats`` aggregation over the
+        matching set: one row of (cnt, min_v, max_v, sum_v, avg_v
+        [, sum_sq, variance, std_dev]) for a numeric metadata field
+        of docs matching any query term. Semantics + scale shape in
+        :func:`stats_agg_hits`."""
+        hits = self._matching_scores(query_text).select("doc_id")
+        return stats_agg_hits(hits, docs, field, extended=extended)
+
+    def facet_composite(
+        self, query_text: str, docs: DataFrame, field: str,
+        size: int = 10, after: "str | None" = None,
+    ) -> DataFrame:
+        """ES ``composite`` aggregation — paginated terms buckets over
+        the matching set, key-ascending, resuming strictly after the
+        ``after`` key. Semantics + the sargable-resume scale shape in
+        :func:`composite_agg_hits`."""
+        hits = self._matching_scores(query_text).select("doc_id")
+        return composite_agg_hits(hits, docs, field, size, after=after)
 
     def facet_counts(
         self, query_text: str, docs: DataFrame, facet_col: str = "lang"

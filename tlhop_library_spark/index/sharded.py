@@ -799,6 +799,40 @@ class ShardedIndexReader:
 
         return kmv_distinct(j, field, k=k)
 
+    def facet_stats(
+        self, query_text: str, docs: DataFrame, field: str,
+        extended: bool = False,
+    ) -> DataFrame:
+        """Federated stats / extended_stats ≡ the single-index agg on
+        a union index: shard-disjoint hit streams union into the
+        global matching set and the partials (count, sum, sum_sq)
+        are plain Σs over it."""
+        from tlhop_library_spark.index.query import stats_agg_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return stats_agg_hits(hits, docs, field, extended=extended)
+
+    def facet_composite(
+        self, query_text: str, docs: DataFrame, field: str,
+        size: int = 10, after: "str | None" = None,
+    ) -> DataFrame:
+        """Federated composite (paginated terms) aggregation — a
+        bucket may span shards; the post-union groupBy merges it
+        exactly, and the sargable ``after`` resume predicate applies
+        identically to every shard's hits."""
+        from tlhop_library_spark.index.query import composite_agg_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [], "rank int, key string, n_docs long"
+            )
+        return composite_agg_hits(hits, docs, field, size, after=after)
+
     def search_decay(
         self, query_text: str, docs: DataFrame, field: str,
         origin: float, scale: float, k: int = 10, decay: float = 0.5,
