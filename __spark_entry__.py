@@ -155,7 +155,8 @@ def _family(key: str) -> str:
         return "text"
     if key.startswith(("bm25", "tfidf_topk", "lmdirichlet", "lmjm",
                        "phrase_",
-                       "proximity_", "span_", "term_", "facet_",
+                       "proximity_", "span_", "term_", "terms_set",
+                       "facet_",
                        "boolean_", "doc_lengths", "percolate")):
         return "search"
     return "relational"
@@ -357,6 +358,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_cardinality_src"] = lambda s, d: _indexed_reader(
         s, d
     ).facet_cardinality(BM25_QUERY_1, _t(s, d, "documents"), "source")
+
+    # ES boosting query: negative clause demotes (never filters) —
+    # negative term chosen FROM the positive set so the demotion
+    # visibly reorders
+    q["bm25_boosting"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_boosting(BM25_QUERY_1, "join", k=10, negative_boost=0.5)
+
+    # ES function_score.random_score: seeded deterministic uniform
+    # re-rank of the matching set (LCG arithmetic BIGINT-exact in
+    # both engines)
+    q["bm25_random_page"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_random(BM25_QUERY_1, k=10, seed=7)
+
+    # ES terms_set query: per-doc minimum_should_match_field (derived
+    # deterministic 1..3 requirement over a 3-term query)
+    q["terms_set_msm"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_terms_set(
+        BM25_QUERY_1,
+        _t(s, d, "documents").withColumn(
+            "req_terms", (F.col("doc_id") % 3 + 1).cast("int")
+        ),
+        "req_terms",
+        k=10,
+    )
 
     # ES extended_stats aggregation: one-pass exact partials
     # (count/min/max/sum/sum_sq) over the matching set, derived
@@ -1857,8 +1885,21 @@ FROM tok GROUP BY doc_id, term
         BM25_QUERY_1, "source"
     )
     from tlhop_library_spark.index.query import (
+        oracle_sql_bm25_boosting,
+        oracle_sql_bm25_random,
         oracle_sql_facet_composite,
         oracle_sql_facet_stats,
+        oracle_sql_terms_set,
+    )
+
+    o["bm25_boosting"] = oracle_sql_bm25_boosting(
+        BM25_QUERY_1, "join", k=10, negative_boost=0.5
+    )
+    o["bm25_random_page"] = oracle_sql_bm25_random(
+        BM25_QUERY_1, k=10, seed=7
+    )
+    o["terms_set_msm"] = oracle_sql_terms_set(
+        BM25_QUERY_1, "1 + d.doc_id % 3", k=10
     )
 
     o["facet_stats_nchars"] = oracle_sql_facet_stats(

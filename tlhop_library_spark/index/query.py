@@ -726,6 +726,233 @@ def group_topk_hits(
     )
 
 
+def counted_range_scorer(weight_of: dict,
+                         deleted: "np.ndarray | None" = None):
+    """applyInPandas kernel emitting ``(doc_id, score, n_matched)``
+    for EVERY doc in one range matching any query term — the
+    :func:`similarity_range_scorer` accumulation plus a per-doc
+    DISTINCT-matched-term count (each term's doc list within a range
+    is unique, so multiplicity over the concatenation counts terms).
+    Feeds ``terms_set`` retrieval, where the k-cut can only happen
+    AFTER the per-doc minimum-should-match join."""
+    from tlhop_library_spark.index.phrase import decode_chunk
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": [], "score": [], "n_matched": []}
+        ).astype({"doc_id": "int64", "score": "float64",
+                  "n_matched": "int32"})
+        parts_d, parts_s = [], []
+        for ri in range(len(pdf)):
+            row = pdf.iloc[ri]
+            tid = int(row["tid"])
+            if tid not in weight_of:
+                continue
+            docs_, tfs_, dls_ = decode_chunk(row)
+            if deleted is not None and deleted.size:
+                from tlhop_library_spark.index.delete import mask_deleted
+
+                docs_, tfs_, dls_, _ = mask_deleted(
+                    docs_, tfs_, dls_, deleted
+                )
+            if not len(docs_):
+                continue
+            parts_d.append(docs_)
+            parts_s.append(weight_of[tid](tfs_, dls_))
+        if not parts_d:
+            return empty
+        alldocs = np.concatenate(parts_d)
+        allsc = np.concatenate(parts_s)
+        uniq, inv, cnt = np.unique(
+            alldocs, return_inverse=True, return_counts=True
+        )
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, allsc)
+        return pd.DataFrame({
+            "doc_id": uniq.astype(np.int64),
+            "score": np.round(sums, bm25.ROUND_DIGITS),
+            "n_matched": cnt.astype(np.int32),
+        })
+
+    return score_range
+
+
+_COUNTED_SCHEMA = "doc_id long, score double, n_matched int"
+
+
+def boosting_rank_hits(
+    pos: DataFrame, neg: "DataFrame | None", k: int,
+    negative_boost: float,
+) -> DataFrame:
+    """Shared ES ``boosting`` query re-rank over hit streams: docs
+    matching the positive query keep their BM25 score, demoted by
+    ``negative_boost`` iff they ALSO match the negative query (ES
+    semantics: the negative clause never filters, only demotes). The
+    join carries only the two matching sets; the k-cut is
+    ``ranked_topk`` (TakeOrderedAndProject)."""
+    if not (0.0 <= negative_boost <= 1.0):
+        raise ValueError("negative_boost must be in [0, 1]")
+    if neg is None:
+        demoted = pos.select("doc_id", "score")
+    else:
+        flags = neg.select("doc_id").distinct().withColumn(
+            "__neg", F.lit(1)
+        )
+        demoted = pos.join(flags, "doc_id", "left").select(
+            "doc_id",
+            F.round(
+                F.when(
+                    F.col("__neg").isNotNull(),
+                    F.col("score") * F.lit(float(negative_boost)),
+                ).otherwise(F.col("score")),
+                bm25.ROUND_DIGITS,
+            ).alias("score"),
+        )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        demoted, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
+
+
+#: LCG constants for the deterministic random_score hash (public
+#: glibc rand() multiplier/increment; two mixing rounds decorrelate
+#: the score from doc_id order). NOT cryptographic — ES
+#: ``random_score`` only promises a seeded, uniform-ish, stable
+#: per-doc value, which this is, and unlike HLL-register or
+#: xxhash-based choices it is exactly reproducible in ANSI SQL.
+_RND_A = 1103515245
+_RND_C = 12345
+_RND_M = 2147483648
+
+
+def random_rank_hits(hits: DataFrame, k: int, seed: int) -> DataFrame:
+    """Shared ES ``function_score.random_score`` re-rank: each
+    matching doc gets a seeded deterministic uniform score in [0, 1)
+    (two LCG mixing rounds over (doc_id, seed), BIGINT-exact in both
+    engines), top-k by (score DESC, doc_id ASC). Pure JVM column
+    arithmetic — no shuffle beyond the ranked_topk reduce."""
+    h1 = F.pmod(
+        F.col("doc_id") * F.lit(_RND_A) + F.lit(int(seed)),
+        F.lit(_RND_M),
+    )
+    h2 = F.pmod(h1 * F.lit(_RND_A) + F.lit(_RND_C), F.lit(_RND_M))
+    scored = hits.select(
+        "doc_id",
+        F.round(h2.cast("double") / F.lit(float(_RND_M)), 6).alias(
+            "score"
+        ),
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
+
+
+def terms_set_rank_hits(
+    counted: DataFrame, docs: DataFrame, msm_field: str, k: int,
+) -> DataFrame:
+    """Shared ES ``terms_set`` retrieval over a counted hit stream
+    ``(doc_id, score, n_matched)``: a doc qualifies iff its DISTINCT
+    matched-term count ≥ its OWN ``msm_field`` value
+    (``minimum_should_match_field`` semantics; NULL field → never
+    matches, ES contract). The k-cut happens only after the per-doc
+    threshold join — the join carries the matching set, never the
+    corpus."""
+    req = docs.select(
+        "doc_id", F.col(msm_field).cast("int").alias("__req")
+    ).where(F.col("__req").isNotNull())
+    kept = (
+        counted.join(req, "doc_id")
+        .where(F.col("n_matched") >= F.col("__req"))
+        .select("doc_id", "score")
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        kept, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
+
+
+def oracle_sql_bm25_boosting(
+    positive: str, negative: str, k: int = 10,
+    negative_boost: float = 0.5, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the ES boosting query: positive BM25 scores,
+    demoted (never filtered) where any analyzed negative term
+    matches."""
+    cte = _bm25_scored_cte(positive, table, doc_col)
+    neg_terms = sorted(set(py_tokens(negative)))
+    neg_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in neg_terms
+    )
+    return f"""{cte}, neg AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({neg_list})
+), boosted AS (
+  SELECT s.doc_id,
+         round(s.score * CASE WHEN n.doc_id IS NOT NULL
+                              THEN {negative_boost!r} ELSE 1.0 END,
+               {bm25.ROUND_DIGITS}) AS score
+  FROM scored s LEFT JOIN neg n ON n.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank, doc_id, score
+FROM boosted
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_random(
+    query_text: str, k: int = 10, seed: int = 42,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for seeded random_score — identical LCG arithmetic
+    (BIGINT-exact in both engines)."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, rnd AS (
+  SELECT doc_id,
+         round(
+           CAST((((doc_id * {_RND_A} + {seed}) % {_RND_M})
+                  * {_RND_A} + {_RND_C}) % {_RND_M} AS DOUBLE)
+           / {_RND_M}.0, 6) AS score
+  FROM scored
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank, doc_id, score
+FROM rnd
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_terms_set(
+    query_text: str, msm_expr: str, k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for terms_set: per-doc distinct matched-term count from
+    the tf CTE vs a per-doc minimum expressed in SQL over the docs
+    table (``msm_expr`` references columns as ``d.<col>``)."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, mc AS (
+  SELECT doc_id, count(*) AS n_matched FROM tf GROUP BY doc_id
+), kept AS (
+  SELECT s.doc_id, s.score
+  FROM scored s
+  JOIN mc ON mc.doc_id = s.doc_id
+  JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE ({msm_expr}) IS NOT NULL AND mc.n_matched >= ({msm_expr})
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank, doc_id, score
+FROM kept
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
 def stats_agg_hits(
     hits: DataFrame, docs: DataFrame, field: str, extended: bool = False,
 ) -> DataFrame:
@@ -3338,6 +3565,61 @@ class IndexReader:
         )
 
         return kmv_distinct(j, field, k=k)
+
+    def search_boosting(
+        self, positive: str, negative: str, k: int = 10,
+        negative_boost: float = 0.5,
+    ) -> DataFrame:
+        """ES ``boosting`` query: positive-query BM25 ranking with
+        docs also matching the negative query demoted by
+        ``negative_boost`` (never filtered). Semantics + scale shape
+        in :func:`boosting_rank_hits`."""
+        pos = self._matching_scores(positive)
+        neg = self._matching_scores(negative)
+        return boosting_rank_hits(pos, neg, k, negative_boost)
+
+    def search_random(
+        self, query_text: str, k: int = 10, seed: int = 42,
+    ) -> DataFrame:
+        """ES ``function_score.random_score``: seeded deterministic
+        uniform re-ranking of the matching set (reproducible sampling
+        of matches — e.g. eyeballing a random page of hits at 10^12
+        docs without a global sort by anything data-dependent).
+        Semantics in :func:`random_rank_hits`."""
+        return random_rank_hits(
+            self._matching_scores(query_text), k, seed
+        )
+
+    def _counted_matching(self, query_text: str) -> "DataFrame | None":
+        """(doc_id, score, n_matched) for every matching doc — the
+        counted hit stream terms_set consumes."""
+        terms = sorted(set(py_tokens(query_text)))
+        info = self.lookup_terms_full(terms)
+        if not info:
+            return None
+        scorer = counted_range_scorer(
+            self._bm25_weight_fns(info), deleted=self._deleted
+        )
+        return self._pruned_segments(info).groupBy(
+            "range_id"
+        ).applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_COUNTED_SCHEMA
+        )
+
+    def search_terms_set(
+        self, query_text: str, docs: DataFrame, msm_field: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``terms_set`` query: docs qualify iff their DISTINCT
+        matched-term count ≥ their own ``msm_field`` value
+        (``minimum_should_match_field``). Semantics + scale shape in
+        :func:`terms_set_rank_hits`."""
+        counted = self._counted_matching(query_text)
+        if counted is None:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        return terms_set_rank_hits(counted, docs, msm_field, k)
 
     def facet_stats(
         self, query_text: str, docs: DataFrame, field: str,

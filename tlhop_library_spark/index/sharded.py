@@ -799,6 +799,78 @@ class ShardedIndexReader:
 
         return kmv_distinct(j, field, k=k)
 
+    def search_boosting(
+        self, positive: str, negative: str, k: int = 10,
+        negative_boost: float = 0.5,
+    ) -> DataFrame:
+        """Federated ES boosting query — both the positive and
+        negative matching sets federate as global-stats hit streams;
+        the demote join is shard-agnostic."""
+        from tlhop_library_spark.index.query import boosting_rank_hits
+
+        pos = self._fed_hits(positive)
+        if pos is None:
+            return self._empty()
+        return boosting_rank_hits(
+            pos, self._fed_hits(negative), k, negative_boost
+        )
+
+    def search_random(
+        self, query_text: str, k: int = 10, seed: int = 42,
+    ) -> DataFrame:
+        """Federated random_score — the LCG score is a pure function
+        of (doc_id, seed), so shard layout cannot change it."""
+        from tlhop_library_spark.index.query import random_rank_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self._empty()
+        return random_rank_hits(hits, k, seed)
+
+    def search_terms_set(
+        self, query_text: str, docs: DataFrame, msm_field: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """Federated terms_set — per-shard counted kernels with
+        GLOBAL weight closures; a doc lives in exactly one shard, so
+        shard-local distinct-term counts are global counts."""
+        from tlhop_library_spark.index.query import (
+            _COUNTED_SCHEMA,
+            counted_range_scorer,
+            terms_set_rank_hits,
+        )
+        from tlhop_library_spark import similarities
+
+        infos, gdf, gcf = self._resolve_full(query_text)
+        if not any(infos):
+            return self._empty()
+        parts = []
+        for r, info in zip(self.readers, infos):
+            if not info:
+                continue
+            ginfo = {
+                t: (gdf[t], gcf[t], b, tid)
+                for t, (_df, _cf, b, tid) in info.items()
+            }
+            weight_of = similarities.weight_fns(
+                "bm25", ginfo, self.n_docs, int(self.sum_dl),
+                avgdl=float(self.avgdl),
+            )
+            scorer = counted_range_scorer(
+                weight_of, deleted=r._deleted
+            )
+
+            def _wrap(s):
+                return lambda key, pdf: s(key, pdf)
+
+            parts.append(
+                r._pruned_segments(ginfo)
+                .groupBy("range_id")
+                .applyInPandas(_wrap(scorer), schema=_COUNTED_SCHEMA)
+            )
+        counted = reduce(DataFrame.unionByName, parts)
+        return terms_set_rank_hits(counted, docs, msm_field, k)
+
     def facet_stats(
         self, query_text: str, docs: DataFrame, field: str,
         extended: bool = False,
