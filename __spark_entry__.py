@@ -854,6 +854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_near"] = lambda s, d: _indexed_reader(s, d).search_span_near(
         PHRASE_QUERY_1, slop=2, k=10
     )
+    # Lucene SpanNotQuery: the span-near include with spans rejected
+    # when "filter" occurs inside [start-1, end+1] — demotes docs
+    # where the three hot terms collide, keeps spark→join spans that
+    # stand alone
+    q["span_not"] = lambda s, d: _indexed_reader(s, d).search_span_not(
+        PHRASE_QUERY_1, "filter", slop=2, k=10, pre=1, post=1
+    )
     # match-phrase-prefix (ES search-as-you-type): "spark" then any
     # 's…' completion at the next position; completion scored as ONE
     # synonym-style group (summed tf, max-df idf)
@@ -2011,10 +2018,14 @@ FROM d, n
         oracle_sql_phrase_prefix,
         oracle_sql_span_first,
         oracle_sql_span_near,
+        oracle_sql_span_not,
     )
 
     o["span_first"] = oracle_sql_span_first("spark", end=20, k=10)
     o["span_near"] = oracle_sql_span_near(PHRASE_QUERY_1, slop=2, k=10)
+    o["span_not"] = oracle_sql_span_not(
+        PHRASE_QUERY_1, "filter", slop=2, pre=1, post=1, k=10
+    )
     o["phrase_prefix"] = oracle_sql_phrase_prefix("spark s", k=10)
 
     o["term_df"] = f"""

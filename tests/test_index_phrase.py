@@ -477,3 +477,183 @@ def test_phrase_prefix_guards(spark, pos_index_dir, index_dir):
         plain.search_phrase_prefix("bace ca")
     # empty query → empty result
     assert reader.search_phrase_prefix("", 10).count() == 0
+
+
+# ---------------------------------------------------------------------
+# span_not (Lucene SpanNotQuery)
+# ---------------------------------------------------------------------
+def _py_span_not_docs(tokenized, include, excl, slop, pre, post):
+    """All-ordered-tuples reference (NOT the kernel's minimal-chain
+    shortcut — this independently verifies the minimal-chain theorem):
+    a doc matches iff SOME in-order tuple within slop has no exclude
+    occurrence in [p0-pre, plast+post]."""
+    import itertools
+
+    from tlhop_library_spark.analyzer import py_tokens
+
+    clauses = py_tokens(include)
+    ex = py_tokens(excl)[0]
+    out = set()
+    for doc, toks in tokenized.items():
+        lists = [
+            [i for i, x in enumerate(toks) if x == c] for c in clauses
+        ]
+        if any(not lst for lst in lists):
+            continue
+        xpos = [i for i, x in enumerate(toks) if x == ex]
+        for tup in itertools.product(*lists):
+            if any(tup[i] <= tup[i - 1] for i in range(1, len(tup))):
+                continue
+            if tup[-1] - tup[0] - (len(tup) - 1) > slop:
+                continue
+            if not any(
+                tup[0] - pre <= q <= tup[-1] + post for q in xpos
+            ):
+                out.add(doc)
+                break
+    return out
+
+
+SPAN_NOT_CASES = [
+    ("análise tupere", "ação", 3, 1, 1),
+    ("análise tupere", "coração", 3, 2, 2),
+    ("pili página conteúdo", "tecnologia", 5, 2, 2),
+    # self-exclusion: the include term's own occurrence sits inside
+    # every span window, so NOTHING can match (Lucene agrees)
+    ("análise tupere", "análise", 3, 0, 0),
+]
+
+
+@pytest.mark.parametrize("inc,ex,slop,pre,post", SPAN_NOT_CASES)
+def test_span_not_indexed_vs_python(
+    spark, pos_index_dir, tokenized, inc, ex, slop, pre, post
+):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    got = {
+        int(r["doc_id"])
+        for r in reader.search_span_not(
+            inc, ex, slop=slop, k=10_000, pre=pre, post=post
+        ).collect()
+    }
+    assert got == _py_span_not_docs(tokenized, inc, ex, slop, pre, post)
+
+
+def test_span_not_actually_rejects(spark, pos_index_dir, tokenized):
+    """At least one case must reject ≥1 span-near doc, or the fixture
+    proves nothing about the exclusion."""
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    rejected = 0
+    for inc, ex, slop, pre, post in SPAN_NOT_CASES:
+        near = {
+            int(r["doc_id"])
+            for r in reader.search_span_near(inc, slop, k=10_000).collect()
+        }
+        notq = {
+            int(r["doc_id"])
+            for r in reader.search_span_not(
+                inc, ex, slop=slop, k=10_000, pre=pre, post=post
+            ).collect()
+        }
+        assert notq <= near, (inc, ex)
+        rejected += len(near - notq)
+    assert rejected > 0, "no case rejects anything — weak fixture"
+
+
+def test_span_not_absent_exclude_is_span_near(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    a = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search_span_not(
+            "análise tupere", "zzznope", slop=3, k=10
+        ).collect()
+    ]
+    b = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search_span_near(
+            "análise tupere", slop=3, k=10
+        ).collect()
+    ]
+    assert a == b and a
+
+
+def test_span_not_matches_duckdb(spark, pos_index_dir, corpus_path):
+    import duckdb
+
+    from tlhop_library_spark.index import IndexReader
+    from tlhop_library_spark.index.phrase import oracle_sql_span_not
+
+    reader = IndexReader(spark, pos_index_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'"
+    )
+    for inc, ex, slop, pre, post in SPAN_NOT_CASES:
+        got = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in reader.search_span_not(
+                inc, ex, slop=slop, k=10, pre=pre, post=post
+            ).collect()
+        ]
+        exp = [
+            tuple(r)
+            for r in con.execute(
+                oracle_sql_span_not(inc, ex, slop, pre, post, 10)
+            ).fetchall()
+        ]
+        assert got == exp, (inc, ex)
+
+
+def test_span_not_guards(spark, pos_index_dir):
+    from tlhop_library_spark.index import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    with pytest.raises(ValueError, match="exactly one term"):
+        reader.search_span_not("análise tupere", "two words")
+    with pytest.raises(ValueError, match="exactly one term"):
+        # "de" is sub-min-length — the analyzer yields zero terms
+        reader.search_span_not("análise tupere", "de")
+    assert reader.search_span_not("", "tesa").count() == 0
+
+
+def test_span_not_sharded_identical(
+    spark, corpus_df, pos_index_dir, tmp_path_factory
+):
+    from pyspark.sql import functions as F
+
+    from tlhop_library_spark.index import (
+        IndexReader,
+        ShardedIndexReader,
+    )
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("span_not_shards")
+    dirs = []
+    for i, (nb, nr) in enumerate([(4, 4), (8, 2)]):
+        d = str(base / f"shard{i}")
+        IndexBuilder(
+            spark, d, n_buckets=nb, n_ranges=nr, n_jobs=2,
+            positions=True,
+        ).build(corpus_df.where(F.col("doc_id") % 2 == i))
+        dirs.append(d)
+    sharded = ShardedIndexReader(spark, dirs)
+    single = IndexReader(spark, pos_index_dir)
+    for inc, ex, slop, pre, post in SPAN_NOT_CASES:
+        a = [
+            tuple(r)
+            for r in sharded.search_span_not(
+                inc, ex, slop=slop, k=10, pre=pre, post=post
+            ).orderBy("rank").collect()
+        ]
+        b = [
+            tuple(r)
+            for r in single.search_span_not(
+                inc, ex, slop=slop, k=10, pre=pre, post=post
+            ).orderBy("rank").collect()
+        ]
+        assert a == b, (inc, ex)

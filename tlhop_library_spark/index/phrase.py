@@ -359,6 +359,36 @@ def phrase_prefix_range_scorer(slot_tids: list[int], last_tids: list[int],
     return score_range
 
 
+def _ordered_span_chains(
+    lists: list[np.ndarray], slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of the MINIMAL ordered chain for every start
+    position of the first clause, filtered to span width ≤ slop.
+
+    For a fixed start, taking the smallest valid position at each
+    later clause minimizes the chain end (the only constraint is
+    strict increase, so shrinking a link never invalidates a later
+    one) — so each surviving (start, end) is the tightest span that
+    start can produce, and a doc has ANY qualifying span iff one of
+    these minimal chains qualifies. Only (start, end) matter
+    downstream: span-not rejection windows grow monotonically with
+    the end, so a clean minimal chain certifies the start and a dirty
+    minimal chain damns every longer chain from the same start."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if any(pos.size == 0 for pos in lists):
+        return empty
+    starts = lists[0].astype(np.int64)
+    ends = starts.copy()
+    for pos in lists[1:]:
+        idx = np.searchsorted(pos, ends, side="right")
+        ok = idx < pos.size
+        if not ok.any():
+            return empty
+        starts, ends = starts[ok], pos[idx[ok]].astype(np.int64)
+    keep = (ends - starts) - (len(lists) - 1) <= slop
+    return starts[keep], ends[keep]
+
+
 def _ordered_span(lists: list[np.ndarray], slop: int) -> bool:
     """True iff there exist positions p₀ < p₁ < … < pₙ₋₁, one per
     clause IN CLAUSE ORDER, with span width
@@ -431,6 +461,76 @@ def span_near_range_scorer(clause_tids: list[int], idf_map: dict,
 # ---------------------------------------------------------------------
 # declarative (index-free) phrase path + oracle SQL
 # ---------------------------------------------------------------------
+def span_not_range_scorer(clause_tids: list[int], excl_tid: "int | None",
+                          idf_map: dict, slop: int, pre: int, post: int,
+                          k: int, deleted=None):
+    """applyInPandas kernel for Lucene ``SpanNotQuery`` with an
+    ordered span-near include and a single-term exclude: a doc
+    matches iff SOME include span (clause terms left-to-right within
+    ``slop``) has NO exclude occurrence in
+    ``[span_start − pre, span_end + post]`` (Lucene's pre/post slack;
+    pre=post=0 is plain overlap rejection). Matching docs are
+    BM25-scored on the distinct include terms; the exclude term never
+    contributes to the score (Lucene semantics).
+
+    Per start position only the MINIMAL chain needs checking
+    (:func:`_ordered_span_chains`): the rejection window grows with
+    the end, so minimal-clean ⇔ some-chain-clean.
+    ``excl_tid=None`` (term absent from the corpus) degenerates to
+    span-near."""
+    distinct = sorted(set(clause_tids))
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        present = set(int(t) for t in pdf["tid"])
+        if not all(t in present for t in distinct):
+            return _EMPTY
+        want = distinct + (
+            [excl_tid] if excl_tid is not None and excl_tid in present
+            else []
+        )
+        per_term = _decode_terms(pdf, want, deleted)
+        common = _intersect_docs(per_term, distinct)
+        if common.size == 0:
+            return _EMPTY
+        per_doc = []
+        for tid in clause_tids:
+            _, _, _, inst_docs, inst_pos = per_term[tid]
+            sel = np.isin(inst_docs, common)
+            d, p = inst_docs[sel], inst_pos[sel]
+            starts = np.searchsorted(d, common, side="left")
+            ends = np.searchsorted(d, common, side="right")
+            per_doc.append((p, starts, ends))
+        if excl_tid is not None and excl_tid in per_term:
+            _, _, _, x_docs, x_pos = per_term[excl_tid]
+            xs = np.searchsorted(x_docs, common, side="left")
+            xe = np.searchsorted(x_docs, common, side="right")
+        else:
+            x_pos, xs, xe = None, None, None
+        matched = []
+        for ci, doc in enumerate(common):
+            starts, ends = _ordered_span_chains(
+                [p[s[ci]:e[ci]] for p, s, e in per_doc], slop
+            )
+            if not starts.size:
+                continue
+            if x_pos is not None and xe[ci] > xs[ci]:
+                q = np.sort(x_pos[xs[ci]:xe[ci]])
+                lo = np.searchsorted(q, starts - pre, side="left")
+                hi = np.searchsorted(q, ends + post, side="right")
+                if not (hi == lo).any():
+                    continue  # every span overlaps an exclusion
+            matched.append(int(doc))
+        if not matched:
+            return _EMPTY
+        return _score_docs(
+            per_term, distinct, idf_map,
+            np.asarray(matched, dtype=np.int64),
+            float(pdf["avgdl"].iloc[0]), k,
+        )
+
+    return score_range
+
+
 def phrase_exhaustive(
     docs: DataFrame, phrase_text: str, k: int = 10, doc_col: str = "doc_id"
 ) -> DataFrame:
@@ -728,6 +828,96 @@ WITH base AS (
 ), pos AS (
   SELECT doc_id, term, CAST(p AS BIGINT) AS p FROM pos0
   WHERE term IN ({terms_list})
+), hits AS (
+{hits}
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+            ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * ({bm25.K1} + 1)) /
+              (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (tf.dl / stats.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tf, dfreq, stats
+  WHERE tf.term = dfreq.term
+    AND tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_span_not(include_text: str, exclude_term: str,
+                        slop: int = 0, pre: int = 0, post: int = 0,
+                        k: int = 10, table: str = "documents",
+                        doc_col: str = "doc_id") -> str:
+    """DuckDB SQL for the span-not spec: EXISTS an ordered include
+    tuple (width ≤ slop) with NOT EXISTS an exclude occurrence inside
+    ``[p₀ − pre, pₙ₋₁ + post]``. Quantifying over ALL tuples is
+    equivalent to the kernel's per-start minimal chains: a qualifying
+    tuple's window contains the same-start minimal chain's window, so
+    clean-tuple ⇔ clean-minimal-chain (phrase.py kernel docstring)."""
+    clauses = py_tokens(include_text)
+    excl = py_tokens(exclude_term)
+    if len(excl) != 1:
+        raise ValueError("exclude must analyze to exactly one term")
+    ex = excl[0].replace("'", "''")
+    terms = sorted(set(clauses))
+    all_terms = sorted(set(clauses) | {excl[0]})
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    all_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in all_terms
+    )
+    n = len(clauses)
+    joins = []
+    for i in range(1, n):
+        w = clauses[i].replace("'", "''")
+        joins.append(
+            f"  JOIN pos t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.term = '{w}' AND t{i}.p > t{i-1}.p"
+        )
+    w0 = clauses[0].replace("'", "''")
+    last = f"t{n-1}" if n > 1 else "t0"
+    where = f"t0.term = '{w0}'"
+    if n > 1:
+        where += f" AND {last}.p - t0.p - {n - 1} <= {slop}"
+    where += (
+        f"\n    AND NOT EXISTS (SELECT 1 FROM pos q"
+        f" WHERE q.doc_id = t0.doc_id AND q.term = '{ex}'"
+        f" AND q.p >= t0.p - {pre} AND q.p <= {last}.p + {post})"
+    )
+    hits = (
+        "  SELECT DISTINCT t0.doc_id\n  FROM pos t0\n"
+        + ("\n".join(joins) + "\n" if joins else "")
+        + f"  WHERE {where}"
+    )
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), pos0 AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) - 1 AS p
+  FROM base_dl
+), pos AS (
+  SELECT doc_id, term, CAST(p AS BIGINT) AS p FROM pos0
+  WHERE term IN ({all_list})
 ), hits AS (
 {hits}
 ), tok AS (

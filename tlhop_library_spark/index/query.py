@@ -4255,17 +4255,21 @@ class IndexReader:
             )
         )
 
-    def _positional_seg(self, terms: list[str]):
+    def _positional_seg(self, terms: list[str],
+                        optional: "frozenset[str]" = frozenset()):
         """(info, seg) for a positional-operator query: dictionary
         lookup + chunk scan pruned to the terms' (bucket, tid) sets,
-        WITH the position streams selected."""
+        WITH the position streams selected. Terms in ``optional``
+        (e.g. a span-not exclude) may be absent from the dictionary
+        without bailing — only a missing REQUIRED term means no doc
+        can match."""
         if not self.stats.get("positions"):
             raise ValueError(
                 "phrase/proximity queries need a positional index — "
                 "build with IndexBuilder(..., positions=True)"
             )
         info = self.lookup_terms(terms)
-        if len(info) < len(terms):
+        if any(t not in info for t in terms if t not in optional):
             return info, None  # a missing term ⇒ no doc can match
         buckets = sorted({b for _, b, _ in info.values()})
         tids = sorted(t for _, _, t in info.values())
@@ -4377,6 +4381,60 @@ class IndexReader:
         clause_tids = [info[t][2] for t in clauses]
         scorer = span_near_range_scorer(
             clause_tids, idf_map, int(slop), k, deleted=self._deleted
+        )
+        local = seg.groupBy("range_id").applyInPandas(
+            lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
+
+    def search_span_not(
+        self, include_text: str, exclude_term: str, slop: int = 0,
+        k: int = 10, pre: int = 0, post: int = 0,
+    ) -> DataFrame:
+        """Lucene ``SpanNotQuery``: ordered span-near include
+        (:meth:`search_span_near` semantics) whose matches are
+        rejected when the single-term exclude occurs within
+        ``[span_start − pre, span_end + post]``. A doc matches iff
+        SOME include span survives; scoring is BM25 over the distinct
+        include terms only (the exclude never scores). An exclude
+        term absent from the corpus degenerates to plain span-near
+        (tested). Needs a positional index; scale shape = plain
+        indexed search (pruned positional chunk scan, per-range
+        kernels, ≤ k rows per range leave the executors)."""
+        from tlhop_library_spark.index.phrase import (
+            span_not_range_scorer,
+        )
+
+        clauses = py_tokens(include_text)
+        excl = py_tokens(exclude_term)
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if len(excl) != 1:
+            raise ValueError(
+                "exclude must analyze to exactly one term"
+            )
+        if not clauses:
+            return empty
+        terms = sorted(set(clauses) | {excl[0]})
+        info, seg = self._positional_seg(
+            terms, optional=frozenset(excl)
+        )
+        if seg is None:
+            return empty
+        n_docs = self.stats["n_docs"]
+        idf_map = {
+            info[t][2]: bm25.idf(n_docs, info[t][0])
+            for t in set(clauses)
+        }
+        excl_tid = info[excl[0]][2] if excl[0] in info else None
+        scorer = span_not_range_scorer(
+            [info[t][2] for t in clauses], excl_tid, idf_map,
+            int(slop), int(pre), int(post), k, deleted=self._deleted,
         )
         local = seg.groupBy("range_id").applyInPandas(
             lambda key, pdf: scorer(key, pdf), schema=_SCORE_SCHEMA

@@ -155,15 +155,18 @@ class ShardedIndexReader:
 
     # ------------------------------------------------------------------
     def _positional_local(
-        self, query_text: str, k: int, make_scorer
+        self, query_text: str, k: int, make_scorer,
+        required: "set[str] | None" = None,
     ) -> DataFrame:
         """Shared shape of federated phrase/proximity: per-shard
         positional chunk scans scored with GLOBAL idf/avgdl by the
         kernel ``make_scorer(reader, info, idf_by_term)`` builds; a
-        shard missing any query term is skipped (no doc in it can
+        shard missing any REQUIRED term is skipped (no doc in it can
         match — docs live wholly in one shard), but its df
         contributions still feed the global idf like in a single
-        union index."""
+        union index. ``required`` defaults to every query term;
+        span-not passes only its include terms (a shard may lack the
+        exclude term and still match)."""
         from tlhop_library_spark.index.build import POS_SEGMENT_SCHEMA
 
         for r in self.readers:
@@ -173,10 +176,11 @@ class ShardedIndexReader:
                     f"shards; {r.index_dir} is not positional"
                 )
         infos, idf_by_term = self._resolve(query_text)
-        n_terms = len(set(py_tokens(query_text)))
+        if required is None:
+            required = set(py_tokens(query_text))
         parts = []
         for r, info in zip(self.readers, infos):
-            if len(info) < n_terms:
+            if any(t not in info for t in required):
                 continue
             scorer = make_scorer(r, info, idf_by_term)
             buckets = sorted({b for _, b, _ in info.values()})
@@ -622,6 +626,46 @@ class ShardedIndexReader:
             )
 
         return self._positional_local(query_text, k, make)
+
+    def search_span_not(
+        self, include_text: str, exclude_term: str, slop: int = 0,
+        k: int = 10, pre: int = 0, post: int = 0,
+    ) -> DataFrame:
+        """Federated span-not — rank-identical to
+        ``IndexReader.search_span_not`` on a single union index: a
+        doc's include AND exclude positions live wholly in its own
+        shard, so per-shard rejection is global rejection; only the
+        include terms are required per shard (a shard lacking the
+        exclude term simply never rejects)."""
+        from tlhop_library_spark.index.phrase import (
+            span_not_range_scorer,
+        )
+
+        clauses = py_tokens(include_text)
+        excl = py_tokens(exclude_term)
+        if len(excl) != 1:
+            raise ValueError(
+                "exclude must analyze to exactly one term"
+            )
+        if not clauses:
+            return self._empty()
+
+        def make(r, info, idf_by_term):
+            idf_map = {
+                info[t][2]: idf_by_term[t] for t in set(clauses)
+            }
+            excl_tid = (
+                info[excl[0]][2] if excl[0] in info else None
+            )
+            return span_not_range_scorer(
+                [info[t][2] for t in clauses], excl_tid, idf_map,
+                int(slop), int(pre), int(post), k, deleted=r._deleted,
+            )
+
+        return self._positional_local(
+            include_text + " " + exclude_term, k, make,
+            required=set(clauses),
+        )
 
     # ------------------------------------------------------------------
     def _resolve_full(self, query_text_or_terms):
