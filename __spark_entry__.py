@@ -1123,6 +1123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stratified_sample"] = lambda s, d: corpus_stats.stratified_sample(
         _t(s, d, "documents"), "lang", STRATA_FRACTIONS
     ).select("doc_id", "lang", "source")
+    # ES sliced scroll: deterministic slice 1 of 8 — the parallel
+    # reindex/export scan splitter (layout-independent md5 slicing,
+    # zero shuffle)
+    q["slice_scan_docs"] = lambda s, d: corpus_stats.slice_scan(
+        _t(s, d, "documents"), slice_id=1, n_slices=8
+    ).select("doc_id", "lang", "source")
     # CCNet-style bigram-LM quality signal, self-trained on the corpus
     q["lm_perplexity"] = lambda s, d: corpus_stats.lm_perplexity(
         _t(s, d, "documents")
@@ -2475,6 +2481,14 @@ FROM documents GROUP BY lang
     )
     o["stratified_sample"] = f"""
 SELECT doc_id, lang, source FROM documents WHERE {_strata_pred}
+"""
+    from tlhop_library_spark.operators.corpus_stats import (
+        sql_slice_pred,
+    )
+
+    o["slice_scan_docs"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {sql_slice_pred('doc_id', 1, 8)}
 """
 
     o["lm_perplexity"] = f"""

@@ -16,6 +16,11 @@ from tlhop_library_spark.index.multifield import (
 )
 from tlhop_library_spark.index.query import IndexReader, score_exhaustive
 from tlhop_library_spark.index.sharded import ShardedIndexReader
+from tlhop_library_spark.index.snapshot import (
+    restore_index,
+    snapshot_index,
+    verify_snapshot,
+)
 
 __all__ = [
     "ShardedIndexReader",
@@ -32,5 +37,8 @@ __all__ = [
     "expunge_deletes",
     "load_tombstones",
     "verify_index",
+    "snapshot_index",
+    "restore_index",
+    "verify_snapshot",
     "IndexCorruption",
 ]

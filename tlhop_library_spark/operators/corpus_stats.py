@@ -326,6 +326,38 @@ def sql_strata_hash(strata_expr: str, key_expr: str,
     )
 
 
+def slice_scan(
+    docs: DataFrame, slice_id: int, n_slices: int,
+    key_col: str = "doc_id", salt: str = "v1",
+) -> DataFrame:
+    """ES sliced-scroll parity: deterministic slice ``slice_id`` of
+    ``n_slices`` over a table — the shape parallel reindex/export
+    workers use to split a scan WITHOUT coordination. Keep a row iff
+    ``md5('salt|key') mod n_slices == slice_id``: slices are disjoint,
+    tile the table exactly, and are identical on any cluster size or
+    partition layout (unlike ``rdd.mapPartitionsWithIndex`` slicing,
+    which is layout-dependent). Pure stateless filter over the scan —
+    zero shuffle, and the same formula is DuckDB-expressible
+    (:func:`sql_slice_pred`)."""
+    if not (0 <= slice_id < n_slices):
+        raise ValueError("slice_id must be in [0, n_slices)")
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    b = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_slices
+    return docs.where(b == F.lit(int(slice_id)))
+
+
+def sql_slice_pred(key_expr: str, slice_id: int, n_slices: int,
+                   salt: str = "v1") -> str:
+    """DuckDB replica of the :func:`slice_scan` predicate."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || '|' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {n_slices}) "
+        f"= {slice_id}"
+    )
+
+
 def kmv_hash(col: Column, salt: str = "v1") -> Column:
     """Uniform (0, 1] hash for the KMV sketch: the first 13 hex chars
     of md5('salt|value') — 52 bits, every integer exactly
