@@ -83,6 +83,13 @@ HEADLINE = [
     "bm25_decay",
     "bm25_group_topk",
     "percolate_matches",
+    "span_not",
+    "bm25_boosting",
+    "bm25_random_page",
+    "terms_set_msm",
+    "facet_stats_nchars",
+    "facet_composite_page2",
+    "slice_scan_docs",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

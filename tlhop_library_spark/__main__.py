@@ -15,6 +15,9 @@ Subcommands:
     append  — add a new document batch to an existing index
     delete  — tombstone doc ids (metadata-only, Lucene semantics)
     expunge — compaction: rewrite without tombstoned postings
+    snapshot— checksummed (incremental) copy of an index dir
+    restore — materialize an index from a snapshot (verifies checksums)
+    slice   — write deterministic slice I of N of a docs table
 """
 
 from __future__ import annotations
@@ -124,6 +127,38 @@ def main(argv: list[str] | None = None) -> int:
         help="two-pass rescore: BM25 window re-ranked by the given "
         "second similarity",
     )
+    sm.add_argument(
+        "--span-not", metavar="EXCL[:SLOP[:PRE[:POST]]]", default=None,
+        help="ordered span-near of the query terms with spans "
+        "rejected when EXCL occurs in [start-PRE, end+POST] "
+        "(positional index)",
+    )
+    sm.add_argument(
+        "--boosting", metavar="NEGQUERY[:NB]", default=None,
+        help="ES boosting query: demote docs also matching NEGQUERY "
+        "by factor NB (default 0.5) — never filters",
+    )
+    sm.add_argument(
+        "--random", type=int, default=None, metavar="SEED",
+        help="function_score.random_score: seeded deterministic "
+        "uniform re-rank of the matching set",
+    )
+    sm.add_argument(
+        "--terms-set", metavar="DOCS_PARQUET:COL", default=None,
+        help="terms_set query: per-doc minimum_should_match from the "
+        "given docs column",
+    )
+    sm.add_argument(
+        "--stats", metavar="DOCS_PARQUET:COL", default=None,
+        help="extended_stats aggregation over the matching set "
+        "instead of top-k docs",
+    )
+    sm.add_argument(
+        "--composite", metavar="DOCS_PARQUET:COL[:SIZE[:AFTER]]",
+        default=None,
+        help="composite (paginated terms) aggregation; resume "
+        "strictly after AFTER",
+    )
 
     ms = sub.add_parser(
         "msearch",
@@ -199,6 +234,32 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--strict", action="store_true",
                     help="exit 1 on any failed check")
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="checksummed (incremental) snapshot of an index dir",
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+    sn.add_argument("--full", action="store_true",
+                    help="copy everything even if unchanged")
+
+    rs = sub.add_parser(
+        "restore", help="materialize an index from a snapshot"
+    )
+    rs.add_argument("--snap", required=True)
+    rs.add_argument("--dest", required=True)
+    rs.add_argument("--overwrite", action="store_true")
+
+    sl = sub.add_parser(
+        "slice",
+        help="write deterministic slice I of N of a docs table "
+        "(sliced-scroll parallel export)",
+    )
+    sl.add_argument("--docs", required=True)
+    sl.add_argument("--out", required=True)
+    sl.add_argument("--slice", type=int, required=True)
+    sl.add_argument("--of", type=int, required=True)
+
     pr = sub.add_parser("prep")
     pr.add_argument("--docs", required=True)
     pr.add_argument("--out", required=True)
@@ -224,6 +285,21 @@ def main(argv: list[str] | None = None) -> int:
 
         write_corpus_parquet(args.out, args.docs, args.seed)
         print(json.dumps({"written": args.out, "docs": args.docs}))
+        return 0
+
+    if args.cmd == "snapshot":
+        from tlhop_library_spark.index.snapshot import snapshot_index
+
+        print(json.dumps(snapshot_index(
+            args.index, args.out, incremental=not args.full
+        )))
+        return 0
+    if args.cmd == "restore":
+        from tlhop_library_spark.index.snapshot import restore_index
+
+        print(json.dumps(restore_index(
+            args.snap, args.dest, overwrite=args.overwrite
+        )))
         return 0
 
     from tlhop_library_spark.session import get_spark
@@ -303,6 +379,55 @@ def main(argv: list[str] | None = None) -> int:
                 args.query, k=args.k, similarity=args.rescore
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
+        elif args.span_not is not None:
+            parts = args.span_not.split(":")
+            excl = parts[0]
+            slop = int(parts[1]) if len(parts) > 1 else 0
+            pre = int(parts[2]) if len(parts) > 2 else 0
+            post = int(parts[3]) if len(parts) > 3 else 0
+            rows = reader.search_span_not(
+                args.query, excl, slop=slop, k=args.k, pre=pre,
+                post=post,
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.boosting is not None:
+            negq, _, nb_s = args.boosting.rpartition(":")
+            if not negq:  # no ':' — the whole arg is the query
+                negq, nb_s = nb_s, ""
+            nb = float(nb_s) if nb_s else 0.5
+            rows = reader.search_boosting(
+                args.query, negq, k=args.k, negative_boost=nb
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.random is not None:
+            rows = reader.search_random(
+                args.query, args.k, seed=args.random
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.terms_set is not None:
+            path, _, col = args.terms_set.rpartition(":")
+            docs = spark.read.parquet(path)
+            rows = reader.search_terms_set(
+                args.query, docs, col, k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.stats is not None:
+            path, _, col = args.stats.rpartition(":")
+            docs = spark.read.parquet(path)
+            rows = reader.facet_stats(
+                args.query, docs, col, extended=True
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.composite is not None:
+            spec = args.composite.split(":")
+            path, col = spec[0], spec[1]
+            size = int(spec[2]) if len(spec) > 2 else 10
+            after = spec[3] if len(spec) > 3 else None
+            docs = spark.read.parquet(path)
+            rows = reader.facet_composite(
+                args.query, docs, col, size=size, after=after
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
         elif args.all_terms:
             rows = reader.search_and(args.query, args.k).collect()
             print(json.dumps([r.asDict() for r in rows]))
@@ -370,6 +495,16 @@ def main(argv: list[str] | None = None) -> int:
         from tlhop_library_spark.index.query import IndexReader
 
         print(json.dumps(IndexReader(spark, args.index).describe()))
+    elif args.cmd == "slice":
+        from tlhop_library_spark.operators.corpus_stats import slice_scan
+
+        docs = spark.read.parquet(args.docs)
+        part = slice_scan(docs, args.slice, args.of)
+        part.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "written": args.out, "slice": args.slice, "of": args.of,
+            "rows": spark.read.parquet(args.out).count(),
+        }))
     elif args.cmd == "append":
         from tlhop_library_spark.index import add_documents
 
