@@ -18,6 +18,7 @@ Subcommands:
     snapshot— checksummed (incremental) copy of an index dir
     restore — materialize an index from a snapshot (verifies checksums)
     slice   — write deterministic slice I of N of a docs table
+    alias   — atomic alias add/remove/swap (ES _aliases parity)
 """
 
 from __future__ import annotations
@@ -260,6 +261,18 @@ def main(argv: list[str] | None = None) -> int:
     sl.add_argument("--slice", type=int, required=True)
     sl.add_argument("--of", type=int, required=True)
 
+    al = sub.add_parser(
+        "alias",
+        help="ES _aliases parity: atomic add/remove/swap on a JSON "
+        "registry; 'resolve' prints an alias's index dirs",
+    )
+    al.add_argument("--registry", required=True)
+    al.add_argument("--add", action="append", default=[],
+                    metavar="ALIAS=DIR")
+    al.add_argument("--remove", action="append", default=[],
+                    metavar="ALIAS=DIR|ALIAS=*")
+    al.add_argument("--resolve", metavar="ALIAS", default=None)
+
     pr = sub.add_parser("prep")
     pr.add_argument("--docs", required=True)
     pr.add_argument("--out", required=True)
@@ -287,6 +300,28 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": args.out, "docs": args.docs}))
         return 0
 
+    if args.cmd == "alias":
+        from tlhop_library_spark.index.aliases import (
+            read_aliases,
+            update_aliases,
+        )
+
+        if args.resolve is not None:
+            print(json.dumps(
+                read_aliases(args.registry).get(args.resolve, [])
+            ))
+            return 0
+        actions = []
+        # removes first so an add=remove pair on one CLI line is the
+        # blue/green swap (both land in ONE atomic registry rename)
+        for spec in args.remove:
+            a, _, d = spec.partition("=")
+            actions.append({"remove": {"alias": a, "index": d or "*"}})
+        for spec in args.add:
+            a, _, d = spec.partition("=")
+            actions.append({"add": {"alias": a, "index": d}})
+        print(json.dumps(update_aliases(args.registry, actions)))
+        return 0
     if args.cmd == "snapshot":
         from tlhop_library_spark.index.snapshot import snapshot_index
 

@@ -1,3 +1,8 @@
+from tlhop_library_spark.index.aliases import (
+    read_aliases,
+    reader_for_alias,
+    update_aliases,
+)
 from tlhop_library_spark.index.append import add_documents, read_doc_lengths
 from tlhop_library_spark.index.build import IndexBuilder, build_index
 from tlhop_library_spark.index.delete import (
@@ -40,5 +45,8 @@ __all__ = [
     "snapshot_index",
     "restore_index",
     "verify_snapshot",
+    "read_aliases",
+    "update_aliases",
+    "reader_for_alias",
     "IndexCorruption",
 ]
