@@ -121,7 +121,8 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
     "search": ["bm25_topk", "bm25_indexed", "bm25_conjunctive",
                "phrase_topk", "bm25_fuzzy", "bm25_sharded",
                "bm25_incremental", "bm25_after_delete", "facet_lang",
-               "bm25_serving", "bm25_expanded", "bm25_boolean"],
+               "bm25_serving", "bm25_expanded", "bm25_boolean",
+               "bm25_highlight"],
     "dedup": ["dedup_exact", "dup_groups", "ngram_jaccard_pairs",
               "near_dup_components", "ngram_jaccard_capped",
               "minhash_lsh_pairs", "training_data_prep",
@@ -151,7 +152,7 @@ def _family(key: str) -> str:
         return "corpus"
     if key.startswith(("token_", "text_", "lang_", "doc_fingerprint",
                        "stopword_", "median_", "winnow_", "normalize_",
-                       "gopher_", "redact_")):
+                       "gopher_", "redact_", "packing_")):
         return "text"
     if key.startswith(("bm25", "tfidf_topk", "lmdirichlet", "lmjm",
                        "phrase_",
@@ -333,6 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_collapse"] = lambda s, d: _indexed_reader(s, d).search_collapse(
         BM25_QUERY_1, _t(s, d, "documents"), "source", k=10
     )
+    # plain-highlighter snippets on the top-k page (re-analyzes only
+    # the k hit texts — broadcast join + JVM HOFs, index/highlight.py)
+    q["bm25_highlight"] = lambda s, d: _indexed_reader(s, d).search_highlight(
+        BM25_QUERY_1, _t(s, d, "documents"), k=10
+    )
     q["facet_ranges_nchars"] = lambda s, d: _indexed_reader(s, d).facet_ranges(
         BM25_QUERY_1, _t(s, d, "documents"), "n_chars", FACET_BOUNDS
     )
@@ -405,6 +411,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, _t(s, d, "documents"), "source",
         size=3, after="src12",
     )
+
+    # ES date_histogram (calendar_interval=week): non-empty
+    # date_trunc buckets of the matching docs' timestamp, epoch-millis
+    # keys, bucket cardinality bounded by time range not corpus size.
+    # The sf documents table carries no timestamp column, so the gate
+    # derives a deterministic crawl time (2024-01-01 + (doc_id mod
+    # 2160) hours — a 90-day window) identically on both sides.
+    def _q_date_histogram(s, d):
+        docs = _t(s, d, "documents").withColumn(
+            "doc_ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, cast(doc_id % 2160 as int), 0, 0)"
+            ),
+        )
+        return _indexed_reader(s, d).facet_date_histogram(
+            BM25_QUERY_1, docs, "doc_ts", "week"
+        )
+
+    q["facet_date_histogram"] = _q_date_histogram
+
+    # ES _rank_eval: P@k / recall@k / MRR / NDCG@k of the engine's own
+    # BM25 rankings against synthetic graded judgments (grade = count
+    # of distinct query terms in the doc) — both sides reconstruct the
+    # ranking AND the judgments from the same frozen specs
+    def _q_rank_eval(s, d):
+        from tlhop_library_spark.analyzer import py_tokens as _pt
+        from tlhop_library_spark.analyzer import tokens_col as _tc
+        from tlhop_library_spark.operators.rank_eval import rank_eval
+
+        docs = _t(s, d, "documents")
+        rankings = None
+        judgments = None
+        for qid, qtext in ((1, BM25_QUERY_1), (2, PHRASE_QUERY_2)):
+            rk = score_exhaustive(docs, qtext, k=10).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "rank", "doc_id",
+            )
+            terms = sorted(set(_pt(qtext)))
+            jd = (
+                docs.where(F.col("text").isNotNull())
+                .select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    "doc_id",
+                    F.size(
+                        F.array_intersect(
+                            F.array_distinct(_tc(F.col("text"))),
+                            F.array(*[F.lit(t) for t in terms]),
+                        )
+                    ).cast("double").alias("grade"),
+                )
+                .where(F.col("grade") > 0)
+            )
+            rankings = rk if rankings is None else rankings.unionByName(rk)
+            judgments = jd if judgments is None else judgments.unionByName(jd)
+        return rank_eval(rankings, judgments, k=10)
+
+    q["rank_eval_bm25"] = _q_rank_eval
+
+    # sequence packing (concat-and-chunk): per-shard block/padding
+    # stats of the GPT-style fixed-length chunking of the corpus —
+    # pure windowed arithmetic over v1 token counts, shard-partitioned
+    # windows (never a global running-sum funnel)
+    def _q_packing(s, d):
+        from tlhop_library_spark.operators.packing import packing_summary
+
+        return packing_summary(
+            _t(s, d, "documents"), block_len=2048, shard_docs=200
+        )
+
+    q["packing_summary"] = _q_packing
 
     # ES percolate / Lucene Monitor: stream docs against REGISTERED
     # queries (msm semantics; broadcast query side, doc stream never
@@ -562,6 +639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).search_cross_fields(
         BM25_QUERY_1, k=10, boosts={"title": 2.0, "body": 1.0},
         tie_breaker=0.3,
+    )
+
+    # Lucene CombinedFieldQuery (simplified BM25F): weighted tfs
+    # merged into ONE pseudo-frequency + combined norms, single
+    # saturation — cogrouped per-range kernel (chunks × norms table)
+    q["bm25_combined_fields"] = lambda s, d: _multifield_reader(
+        s, d
+    ).search_combined_fields(
+        BM25_QUERY_1, k=10, weights={"title": 2.0, "body": 1.0}
     )
 
     def _mf_sharded_reader(s, d):
@@ -1870,6 +1956,9 @@ FROM tok GROUP BY doc_id, term
     o["bm25_collapse"] = oracle_sql_bm25_collapse(
         BM25_QUERY_1, "source", k=10
     )
+    from tlhop_library_spark.index.highlight import oracle_sql_highlight
+
+    o["bm25_highlight"] = oracle_sql_highlight(BM25_QUERY_1, k=10)
     o["facet_ranges_nchars"] = oracle_sql_facet_ranges(
         BM25_QUERY_1, "n_chars", FACET_BOUNDS
     )
@@ -1921,6 +2010,53 @@ FROM tok GROUP BY doc_id, term
     o["facet_composite_page2"] = oracle_sql_facet_composite(
         BM25_QUERY_1, "source", size=3, after="src12"
     )
+    from tlhop_library_spark.index.query import oracle_sql_date_histogram
+
+    o["facet_date_histogram"] = oracle_sql_date_histogram(
+        BM25_QUERY_1, "doc_ts", "week",
+        table="(SELECT *, TIMESTAMP '2024-01-01 00:00:00' + "
+        "(doc_id % 2160) * INTERVAL 1 HOUR AS doc_ts FROM documents)",
+    )
+    from tlhop_library_spark.analyzer import (
+        py_tokens as _re_pt,
+        sql_tokens_duckdb as _re_tok,
+    )
+    from tlhop_library_spark.operators.rank_eval import (
+        oracle_sql_rank_eval,
+    )
+
+    _re_parts_r, _re_parts_j = [], []
+    for _re_qid, _re_q in ((1, BM25_QUERY_1), (2, PHRASE_QUERY_2)):
+        _re_parts_r.append(
+            f"SELECT {_re_qid} AS query_id, rank, doc_id "
+            f"FROM ({oracle_sql_bm25(_re_q, k=10)})"
+        )
+        _re_terms = ", ".join(
+            "'" + t.replace("'", "''") + "'"
+            for t in sorted(set(_re_pt(_re_q)))
+        )
+        _re_grade = (
+            f"len(list_intersect(list_distinct({_re_tok('text')}), "
+            f"[{_re_terms}]))"
+        )
+        _re_parts_j.append(
+            f"SELECT {_re_qid} AS query_id, doc_id, "
+            f"CAST({_re_grade} AS DOUBLE) AS grade "
+            f"FROM documents WHERE text IS NOT NULL "
+            f"AND {_re_grade} > 0"
+        )
+    o["rank_eval_bm25"] = oracle_sql_rank_eval(
+        " UNION ALL ".join(_re_parts_r),
+        " UNION ALL ".join(_re_parts_j),
+        k=10,
+    )
+    from tlhop_library_spark.operators.packing import (
+        oracle_sql_packing_summary,
+    )
+
+    o["packing_summary"] = oracle_sql_packing_summary(
+        block_len=2048, shard_docs=200
+    )
     o["bm25_boolean"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_boolean_exhaustive"] = oracle_sql_boolean(BOOL_QUERY, k=10)
     o["bm25_filtered"] = oracle_sql_bm25_filtered(
@@ -1949,6 +2085,13 @@ FROM tok GROUP BY doc_id, term
     )
     o["bm25_cross_fields"] = oracle_sql_bm25_cross_fields(
         BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10, tie_breaker=0.3
+    )
+    from tlhop_library_spark.index.multifield import (
+        oracle_sql_bm25_combined_fields,
+    )
+
+    o["bm25_combined_fields"] = oracle_sql_bm25_combined_fields(
+        BM25_QUERY_1, _MF_EXPRS, _MF_BOOSTS, k=10
     )
     # federated multifield ≡ union multifield ≡ the same SQL
     o["bm25_mf_federated"] = oracle_sql_bm25_best_fields(

@@ -90,6 +90,11 @@ HEADLINE = [
     "facet_stats_nchars",
     "facet_composite_page2",
     "slice_scan_docs",
+    "bm25_highlight",
+    "facet_date_histogram",
+    "packing_summary",
+    "bm25_combined_fields",
+    "rank_eval_bm25",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

@@ -143,3 +143,48 @@ def test_expunge_positional_phrase(spark, corpus_df, tmp_path):
     assert _rows(IndexReader(spark, out).search_phrase("informação segurança", 10)) == _rows(
         IndexReader(spark, rebuilt).search_phrase("informação segurança", 10)
     )
+
+
+def test_delete_by_query_tombstones_whole_matching_set(
+    spark, corpus_df, tmp_path
+):
+    """ES _delete_by_query: every doc matching the OR query is
+    tombstoned — the deleted term disappears entirely, other queries
+    become rank-identical to a cold build over the filtered corpus."""
+    from tlhop_library_spark.analyzer import tokens_col
+    from tlhop_library_spark.index.delete import delete_by_query
+
+    d = str(tmp_path / "idx")
+    IndexBuilder(spark, d, n_buckets=8, n_ranges=8).build(corpus_df)
+    r0 = IndexReader(spark, d)
+    n_matching = r0._matching_scores("bace").count()
+    assert n_matching > 0
+    stats = delete_by_query(spark, d, "bace")
+    assert len(stats["tombstone_batches"]) == 1
+    r = IndexReader(spark, d)
+    assert _rows(r.search("bace", 10)) == []
+    # survivors rank-identically to a cold index over the survivors
+    survivors = corpus_df.where(
+        ~F.array_contains(tokens_col(F.col("text")), "bace")
+        & F.col("text").isNotNull()
+    )
+    cold = str(tmp_path / "cold")
+    IndexBuilder(spark, cold, n_buckets=8, n_ranges=8).build(survivors)
+    rc = IndexReader(spark, cold)
+    got = [
+        (x["rank"], x["doc_id"]) for x in
+        r.search("informação segurança", 10).collect()
+    ]
+    want = [
+        (x["rank"], x["doc_id"]) for x in
+        rc.search("informação segurança", 10).collect()
+    ]
+    assert got == want
+    # idempotent: re-running matches only already-dead docs -> the
+    # surviving index is unchanged (a second batch may appear, but
+    # queries are stable)
+    delete_by_query(spark, d, "bace")
+    r2 = IndexReader(spark, d)
+    assert _rows(r2.search("informação segurança", 10)) == _rows(
+        r.search("informação segurança", 10)
+    )

@@ -378,3 +378,116 @@ def test_sharded_multifield_field_set_guard(spark, mf_sharded,
         ShardedMultiFieldIndexReader(spark, [s0, s1_missing])
     with pytest.raises(ValueError):
         ShardedMultiFieldIndexReader(spark, [])
+
+
+# ---------------------------------------------------------------------
+# CombinedFieldQuery (simplified BM25F) — round 3
+# ---------------------------------------------------------------------
+def _py_combined_topk(texts, terms, weights, k):
+    """Pure-python reference of the combined-fields spec."""
+    fields = {
+        "title": {d: py_title(t) for d, t in texts.items()},
+        "body": dict(texts),
+    }
+    toks = {
+        f: {d: py_tokens(t) for d, t in ft.items()}
+        for f, ft in fields.items()
+    }
+    dlc = {
+        d: sum(weights[f] * len(toks[f][d]) for f in fields)
+        for d in texts
+    }
+    n = len(texts)
+    avgdl = sum(dlc.values()) / n
+    totals: dict[int, float] = {}
+    for term in terms:
+        dfb = max(
+            sum(1 for tk in ft.values() if term in tk)
+            for ft in toks.values()
+        )
+        if not dfb:
+            continue
+        idf = bm25.idf(n, dfb)
+        for d in texts:
+            tfc = sum(
+                weights[f] * toks[f][d].count(term) for f in fields
+            )
+            if not tfc:
+                continue
+            w = idf * tfc * (bm25.K1 + 1) / (
+                tfc + bm25.K1
+                * (1 - bm25.B + bm25.B * dlc[d] / avgdl)
+            )
+            totals[d] = totals.get(d, 0.0) + w
+    return _rank(totals, k)
+
+
+def test_combined_fields_matches_reference_spec(spark, corpus_df, mf):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in corpus_df.where(F.col("text").isNotNull()).collect()
+    }
+    weights = {"title": 2.0, "body": 1.0}
+    for q in ["bace cada", "informação"]:
+        terms = sorted(set(py_tokens(q)))
+        want = _py_combined_topk(texts, terms, weights, 10)
+        got = rows(mf.search_combined_fields(q, k=10, weights=weights))
+        assert got == want, q
+
+
+def test_combined_fields_duckdb_oracle(spark, corpus_path, mf):
+    import duckdb
+
+    from tlhop_library_spark.index.multifield import (
+        oracle_sql_bm25_combined_fields,
+    )
+
+    field_exprs = {
+        "title": (
+            f"array_to_string(list_slice(string_split(text, ' '), "
+            f"1, {TITLE_TOKENS}), ' ')"
+        ),
+        "body": "text",
+    }
+    weights = {"title": 2.0, "body": 1.0}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{corpus_path}'"
+    )
+    for q in ["bace cada", "informação"]:
+        got = rows(mf.search_combined_fields(q, k=10, weights=weights))
+        want = con.execute(
+            oracle_sql_bm25_combined_fields(
+                q, field_exprs, weights, k=10
+            )
+        ).fetchall()
+        assert got == [tuple(w) for w in want], q
+
+
+def test_combined_fields_single_field_degenerates(spark, index_dir):
+    """One field at weight 1: tf~=tf, dl_c=dl, df_c=df — identically
+    plain BM25."""
+    from tlhop_library_spark.index import (
+        IndexReader,
+        MultiFieldIndexReader,
+    )
+
+    single = IndexReader(spark, index_dir)
+    mf1 = MultiFieldIndexReader(spark, {"body": index_dir})
+    for q in QUERIES:
+        assert rows(
+            mf1.search_combined_fields(q, k=10)
+        ) == rows(single.search(q, k=10)), q
+
+
+def test_combined_fields_saturates_once(spark, mf):
+    """The defining BM25F property: a term spread across fields
+    saturates once, so combined != the per-field-sum (most_fields)
+    ranking in general — assert the score VECTORS differ while both
+    remain self-consistent."""
+    q = "bace cada"
+    combined = rows(mf.search_combined_fields(q, k=10,
+                                              weights={"title": 2.0}))
+    most = rows(mf.search(q, k=10, boosts={"title": 2.0}))
+    assert combined and most
+    assert [s for _, _, s in combined] != [s for _, _, s in most]

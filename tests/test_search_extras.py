@@ -140,11 +140,15 @@ def test_sorted_by_null_fields_sort_last_ascending(
     assert {x["doc_id"] for x in rows} == set(hits)
     null_ranks = [x["rank"] for x in rows if x["n_chars"] is None]
     assert sorted(null_ranks) == [k - 1, k]  # the two NULLs rank last
-    # descending: DuckDB DESC puts NULLs FIRST
+    # descending: DuckDB ≥0.8 puts NULLs LAST on DESC too (verified
+    # against duckdb 1.0 in this container) — not FIRST as ANSI
+    # NULLS-are-largest engines would
     rows_d = r.search_sorted_by(
         Q, docs, "n_chars", k=k, ascending=False
     ).orderBy("rank").collect()
-    assert [x["rank"] for x in rows_d if x["n_chars"] is None] == [1, 2]
+    assert sorted(
+        x["rank"] for x in rows_d if x["n_chars"] is None
+    ) == [k - 1, k]
 
 
 def test_collapse_one_best_doc_per_group(spark, index_dir, corpus_df):

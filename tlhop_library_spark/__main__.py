@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
         help="attach first-match snippets (needs the docs table path)",
     )
     sm.add_argument(
+        "--highlight", metavar="DOCS_PARQUET[:SIZE[:NFRAGS]]",
+        default=None,
+        help="plain-highlighter fragments: best-scoring token windows "
+        "with query terms wrapped in <em> (needs the docs table path)",
+    )
+    sm.add_argument(
         "--wildcard", action="store_true",
         help="expand '*'-suffixed words against the dictionary "
         "(prefix search)",
@@ -174,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("-k", type=int, default=10)
     ms.add_argument(
         "--type",
-        choices=["most_fields", "best_fields", "cross_fields"],
+        choices=["most_fields", "best_fields", "cross_fields",
+                 "combined_fields"],
         default="most_fields",
     )
     ms.add_argument(
@@ -209,9 +216,15 @@ def main(argv: list[str] | None = None) -> int:
 
     dl = sub.add_parser("delete")
     dl.add_argument("--index", required=True)
-    dl.add_argument(
-        "--ids", required=True,
+    dlg = dl.add_mutually_exclusive_group(required=True)
+    dlg.add_argument(
+        "--ids",
         help="comma list of doc ids, or @path to a parquet of doc_id",
+    )
+    dlg.add_argument(
+        "--query",
+        help="ES _delete_by_query: tombstone every doc matching the "
+        "OR query (distributed matching-set scan)",
     )
 
     ex = sub.add_parser("expunge")
@@ -379,6 +392,16 @@ def main(argv: list[str] | None = None) -> int:
                 args.query, docs, args.k, mode=args.mode
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
+        elif args.highlight:
+            path, _, rest = args.highlight.partition(":")
+            size_s, _, nf_s = rest.partition(":")
+            docs = spark.read.parquet(path)
+            rows = reader.search_highlight(
+                args.query, docs, args.k,
+                fragment_size=int(size_s) if size_s else 8,
+                n_fragments=int(nf_s) if nf_s else 1,
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
         elif args.similarity:
             rows = reader.search_sim(
                 args.query, args.k, similarity=args.similarity
@@ -498,6 +521,10 @@ def main(argv: list[str] | None = None) -> int:
             df = mf.search_best_fields(
                 args.query, k=args.k, boosts=boosts, tie_breaker=args.tie
             )
+        elif args.type == "combined_fields":
+            df = mf.search_combined_fields(
+                args.query, k=args.k, weights=boosts
+            )
         else:
             df = mf.search_cross_fields(
                 args.query, k=args.k, boosts=boosts, tie_breaker=args.tie
@@ -547,12 +574,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
     elif args.cmd == "delete":
         from tlhop_library_spark.index import delete_documents
+        from tlhop_library_spark.index.delete import delete_by_query
 
-        if args.ids.startswith("@"):
+        if args.query is not None:
+            stats = delete_by_query(spark, args.index, args.query)
+        elif args.ids.startswith("@"):
             ids = spark.read.parquet(args.ids[1:])
+            stats = delete_documents(spark, args.index, ids)
         else:
             ids = [int(x) for x in args.ids.split(",") if x]
-        stats = delete_documents(spark, args.index, ids)
+            stats = delete_documents(spark, args.index, ids)
         print(json.dumps(stats))
     elif args.cmd == "expunge":
         from tlhop_library_spark.index import expunge_deletes

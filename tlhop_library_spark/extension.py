@@ -91,6 +91,16 @@ class TlhopExtension:
         return similarity.semantic_dedup(self._df, threshold, **kw)
 
     # training-data prep funnel
+    def pack_blocks(self, block_len: int = 2048, **kw):
+        from tlhop_library_spark.operators.packing import pack_blocks
+
+        return pack_blocks(self._df, block_len, **kw)
+
+    def packing_summary(self, block_len: int = 2048, **kw):
+        from tlhop_library_spark.operators.packing import packing_summary
+
+        return packing_summary(self._df, block_len, **kw)
+
     def prepare_training_data(self, **kw):
         from tlhop_library_spark.pipeline import prepare_training_data
 

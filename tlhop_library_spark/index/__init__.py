@@ -6,6 +6,7 @@ from tlhop_library_spark.index.aliases import (
 from tlhop_library_spark.index.append import add_documents, read_doc_lengths
 from tlhop_library_spark.index.build import IndexBuilder, build_index
 from tlhop_library_spark.index.delete import (
+    delete_by_query,
     delete_documents,
     expunge_deletes,
     load_tombstones,
@@ -39,6 +40,7 @@ __all__ = [
     "add_documents",
     "read_doc_lengths",
     "delete_documents",
+    "delete_by_query",
     "expunge_deletes",
     "load_tombstones",
     "verify_index",

@@ -88,6 +88,24 @@ def delete_documents(
     return stats
 
 
+def delete_by_query(
+    spark: SparkSession, index_dir: str, query_text: str
+) -> dict:
+    """ES ``_delete_by_query``: tombstone EVERY document matching the
+    OR query (any v1 term present), not a top-k page. The matching set
+    is computed distributed — the same pruned (bucket, tid) chunk scan
+    the facet kernels use, each range emitting its matching doc_ids
+    once — and handed to :func:`delete_documents` as a DataFrame, so
+    the ids never round-trip through the driver beyond the single
+    coalesced tombstone write. Idempotent like every tombstone batch;
+    returns the updated stats dict (unchanged when nothing matches)."""
+    from tlhop_library_spark.index.query import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    hits = reader._matching_scores(query_text).select("doc_id")
+    return delete_documents(spark, index_dir, hits)
+
+
 def load_tombstones(index_dir: str) -> np.ndarray | None:
     """Driver-side sorted-unique int64 tombstone ids (None if none) —
     read with pyarrow directly: the set must enter task closures as a

@@ -55,6 +55,7 @@ __all__ = [
     "oracle_sql_bm25_multifield",
     "oracle_sql_bm25_best_fields",
     "oracle_sql_bm25_cross_fields",
+    "oracle_sql_bm25_combined_fields",
 ]
 
 
@@ -118,6 +119,85 @@ def _decode_field_rows(pdf: pd.DataFrame, params: dict[int, tuple]):
 _EMPTY_SCORES = pd.DataFrame({"doc_id": [], "score": []}).astype(
     {"doc_id": "int64", "score": "float64"}
 )
+
+
+def _combinedfields_range_scorer(
+    params: dict[int, tuple], idf_by_tid: dict[int, float],
+    tid_idx: dict[int, int], avgdl_c: float, k: int,
+):
+    """Cogrouped kernel for CombinedFieldQuery (simplified BM25F)
+    over ONE doc range: ``params`` is field_id → (weight, deleted);
+    per (term, doc) the weighted tfs are SUMMED into one combined
+    pseudo-frequency, the doc's combined length comes from the
+    cogrouped per-range slice of the weighted doc-length table, and
+    one BM25 saturation is applied to the combined tf:
+
+        score(d) = Σ_t idf_c(t) · tf̃·(k1+1) / (tf̃ + k1·(1−b+b·dl_c/avgdl_c))
+
+    — Lucene ``CombinedFieldQuery`` semantics ("BM25F without
+    per-field b", SIGIR'20), NOT a sum of per-field scores: a match
+    spread across fields saturates ONCE, which is the property the
+    per-field modes (most/best/cross) lack."""
+    from tlhop_library_spark.index.phrase import decode_chunk
+
+    nt = len(tid_idx) or 1
+
+    def score_range(seg_pdf: pd.DataFrame, dl_pdf: pd.DataFrame):
+        parts_k, parts_s = [], []
+        for ri in range(len(seg_pdf)):
+            row = seg_pdf.iloc[ri]
+            p = params.get(int(row["field_id"]))
+            if p is None:
+                continue
+            weight, deleted = p
+            j = tid_idx.get(int(row["tid"]))
+            if j is None:
+                continue
+            docs_, tfs_, dls_ = decode_chunk(row)
+            if deleted is not None and deleted.size:
+                from tlhop_library_spark.index.delete import mask_deleted
+
+                docs_, tfs_, dls_, _ = mask_deleted(
+                    docs_, tfs_, dls_, deleted
+                )
+            if not len(docs_):
+                continue
+            parts_k.append(docs_.astype(np.int64) * nt + j)
+            parts_s.append(weight * tfs_.astype(np.float64))
+        if not parts_k or not len(dl_pdf):
+            return _EMPTY_SCORES.copy()
+        keys = np.concatenate(parts_k)
+        vals = np.concatenate(parts_s)
+        uk, inv = np.unique(keys, return_inverse=True)
+        tfc = np.zeros(len(uk))
+        np.add.at(tfc, inv, vals)
+        # combined doc length lookup for this range's docs
+        dl_docs = dl_pdf["doc_id"].to_numpy(np.int64)
+        dl_vals = dl_pdf["dl_c"].to_numpy(np.float64)
+        o = np.argsort(dl_docs)
+        dl_docs, dl_vals = dl_docs[o], dl_vals[o]
+        docs_of_uk = uk // nt
+        pos = np.searchsorted(dl_docs, docs_of_uk)
+        dlc = dl_vals[np.clip(pos, 0, len(dl_docs) - 1)]
+        idf_arr = np.empty(len(uk))
+        inv_tids = {j: t for t, j in tid_idx.items()}
+        for j in range(nt):
+            m = (uk % nt) == j
+            if m.any():
+                idf_arr[m] = idf_by_tid[inv_tids[j]]
+        w = idf_arr * tfc * (bm25.K1 + 1) / (
+            tfc + bm25.K1 * (1 - bm25.B + bm25.B * dlc / avgdl_c)
+        )
+        udocs, dinv = np.unique(docs_of_uk, return_inverse=True)
+        total = np.zeros(len(udocs))
+        np.add.at(total, dinv, w)
+        r = np.round(total, bm25.ROUND_DIGITS)
+        order = np.lexsort((udocs, -r))[:k]
+        return pd.DataFrame(
+            {"doc_id": udocs[order].astype(np.int64), "score": r[order]}
+        )
+
+    return score_range
 
 
 def _dismax_groups(keys: "np.ndarray", vals: "np.ndarray",
@@ -339,6 +419,126 @@ class MultiFieldIndexReader:
             )
         scorer = _bestfields_range_scorer(params, k, float(tie_breaker))
         return self._topk(union, scorer, k)
+
+    def _combined_dl(
+        self, weights: dict[str, float]
+    ) -> tuple[DataFrame, float, int]:
+        """(weighted combined doc-length table with range_id, exact
+        avgdl_c, N) for a weight-set — the BM25F "norms file". Cached
+        per weight-set on the reader: at scale this is materialized
+        once per weight configuration, exactly like Lucene stores one
+        norm per (field, doc) and CombinedFieldQuery merges them at
+        read time. The table is (doc_id, dl_c, range_id) — one narrow
+        groupBy over the per-field doc_lengths parquets."""
+        import os
+
+        key = tuple(sorted(
+            (f, float(weights.get(f, 1.0))) for f in self.readers
+        ))
+        cache = getattr(self, "_dlc_cache", None)
+        if cache is None:
+            cache = self._dlc_cache = {}
+        if key in cache:
+            return cache[key]
+        rs = sorted(self.readers.items())
+        range_size = int(rs[0][1].stats["range_size"])
+        parts = []
+        for f, r in rs:
+            w = float(weights.get(f, 1.0))
+            if w == 0.0:
+                continue
+            dl = self.spark.read.parquet(
+                os.path.join(r.index_dir, "doc_lengths")
+            )
+            parts.append(
+                dl.select(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    (F.col("dl").cast("double") * w).alias("wdl"),
+                )
+            )
+        dlc = (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy("doc_id")
+            .agg(F.sum("wdl").alias("dl_c"))
+            .withColumn(
+                "range_id",
+                F.floor(F.col("doc_id") / range_size).cast("int"),
+            )
+        )
+        row = dlc.agg(
+            F.sum("dl_c").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
+        n = int(row["n"])
+        avgdl_c = float(row["s"]) / n if n else 1.0
+        dlc = dlc.localCheckpoint(eager=False)
+        cache[key] = (dlc, avgdl_c, n)
+        return cache[key]
+
+    def search_combined_fields(
+        self, query_text: str, k: int = 10,
+        weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Lucene ``CombinedFieldQuery`` — simplified BM25F (Robertson
+        & Zaragoza's model with shared k1/b, per SIGIR'20 "BM25F as
+        simple as possible"): fields are merged into ONE pseudo-field
+        before saturation,
+
+            tf~(t,d) = Σ_f w_f · tf_{f,t,d}
+            dl_c(d)  = Σ_f w_f · dl_f(d),  avgdl_c = Σ_d dl_c / N
+            df_c(t)  = max_f df_f(t)       (Lucene's pseudo TermStats)
+            score(d) = Σ_t idf(df_c) · tf~·(k1+1)
+                               / (tf~ + k1·(1−b+b·dl_c(d)/avgdl_c))
+
+        so a term spread across fields saturates ONCE — the BM25F
+        property none of the per-field modes (most/best/cross) have.
+        With one field at weight 1 this degenerates to plain BM25
+        (pinned by tests).
+
+        Scale shape: the (bucket, tid)-pruned per-field chunk union is
+        COGROUPED by range_id with the combined doc-length table
+        (:meth:`_combined_dl` — ≤ range_size rows per group), so each
+        range kernel has every posting AND every norm it needs and
+        per-range top-k → global top-k stays exact; only k rows per
+        range leave an executor. Norms-table construction is one
+        narrow groupBy, cached per weight-set."""
+        weights = weights or {}
+        terms = sorted(set(py_tokens(query_text)))
+        if not terms:
+            return self._empty()
+        union, fields = self._gather(terms, weights)
+        if union is None:
+            return self._empty()
+        df_c: dict[int, int] = {}
+        n_c = 0
+        for _, (r, info, _) in fields.items():
+            n_c = max(n_c, int(r.stats["n_docs"]))
+            for df, _, tid in info.values():
+                df_c[tid] = max(df_c.get(tid, 0), int(df))
+        idf_by_tid = {
+            tid: bm25.idf(n_c, df) for tid, df in df_c.items()
+        }
+        tid_idx = {tid: j for j, tid in enumerate(sorted(idf_by_tid))}
+        params = {
+            i: (boost, r._deleted)
+            for i, (r, info, boost) in fields.items()
+        }
+        dlc, avgdl_c, _ = self._combined_dl(weights)
+        scorer = _combinedfields_range_scorer(
+            params, idf_by_tid, tid_idx, avgdl_c, k
+        )
+        local = (
+            union.groupBy("range_id")
+            .cogroup(dlc.groupBy("range_id"))
+            .applyInPandas(
+                lambda left, right: scorer(left, right),
+                schema=_SCORE_SCHEMA,
+            )
+        )
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            local, [F.desc("score"), F.asc("doc_id")], k
+        ).select("rank", "doc_id", "score")
 
     def search_cross_fields(
         self, query_text: str, k: int = 10,
@@ -690,6 +890,61 @@ allc AS (
          round(max(s) + {float(tie_breaker)} * (sum(s) - max(s)),
                {bm25.ROUND_DIGITS}) AS score
   FROM fieldsc GROUP BY doc_id
+)""" + _TOPK_TAIL.format(k=k)
+
+
+def oracle_sql_bm25_combined_fields(
+    query_text: str, field_exprs: dict[str, str],
+    weights: dict[str, float] | None = None, k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`search_combined_fields` (Lucene
+    CombinedFieldQuery / simplified BM25F): weighted tfs summed into
+    one pseudo-frequency per (term, doc), weighted doc lengths summed
+    into one combined norm, df = max over fields, ONE saturation."""
+    weights = weights or {}
+    kept, blocks = _oracle_fields(
+        query_text, field_exprs, weights, table, doc_col
+    )
+    df_union = "\nUNION ALL\n".join(
+        f"SELECT term, df FROM dfreq_{f}" for f, _ in kept
+    )
+    n_union = "\nUNION ALL\n".join(
+        f"SELECT n FROM stats_{f}" for f, _ in kept
+    )
+    tf_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, term, {w} * tf AS wtf FROM tf_{f}"
+        for f, w in kept
+    )
+    dl_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {w} * dl AS wdl FROM base_dl_{f}"
+        for f, w in kept
+    )
+    blocks.append(f"""
+dfb AS (
+  SELECT term, max(df) AS df FROM ({df_union}) GROUP BY term
+), nb AS (
+  SELECT max(n) AS n FROM ({n_union})
+), tfc AS (
+  SELECT doc_id, term, sum(wtf) AS tfc
+  FROM ({tf_union}) GROUP BY doc_id, term
+), dlc AS (
+  SELECT doc_id, sum(wdl) AS dlc FROM ({dl_union}) GROUP BY doc_id
+), avgc AS (
+  SELECT sum(dlc) / count(*) AS avgdl FROM dlc
+)""".strip())
+    return f"""
+WITH {", ".join(blocks)},
+scored AS (
+  SELECT t.doc_id,
+         round(sum(
+           ln(1 + (nb.n - dfb.df + 0.5) / (dfb.df + 0.5))
+           * (t.tfc * ({bm25.K1} + 1)) /
+             (t.tfc + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (d.dlc / avgc.avgdl)))
+         ), {bm25.ROUND_DIGITS}) AS score
+  FROM tfc t, dfb, nb, dlc d, avgc
+  WHERE t.term = dfb.term AND d.doc_id = t.doc_id
+  GROUP BY t.doc_id
 )""" + _TOPK_TAIL.format(k=k)
 
 

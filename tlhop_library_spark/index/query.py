@@ -1036,6 +1036,73 @@ def composite_agg_hits(
     )
 
 
+def date_histogram_hits(
+    hits: DataFrame, docs: DataFrame, ts_col: str,
+    interval: str = "day",
+) -> DataFrame:
+    """Shared ES ``date_histogram`` aggregation (calendar_interval)
+    over a hit stream — used by :meth:`IndexReader.facet_date_histogram`
+    and its sharded federation (shard-disjoint hit streams union into
+    the global matching set, so the per-bucket counts federate by the
+    same groupBy).
+
+    Buckets are ``date_trunc(interval)`` boundaries of the matching
+    docs' ``ts_col``, keyed as EPOCH MILLIS (``key`` — ES's wire
+    format for date buckets) plus ``key_as_string``; only non-empty
+    buckets are returned (ES ``min_doc_count=1`` shape), ascending.
+    NULL timestamps are ignored (ES missing-value semantics).
+
+    Scale shape: left-semi join of the docs scan against the hit
+    stream (only doc_id crosses the shuffle), then a groupBy on the
+    truncated key — bucket cardinality is bounded by the time range /
+    interval, never by corpus size. Pure JVM expressions throughout;
+    the session timezone (UTC in this engine) defines the calendar."""
+    allowed = {"hour", "day", "week", "month", "quarter", "year"}
+    if interval not in allowed:
+        raise ValueError(f"interval must be one of {sorted(allowed)}")
+    b = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col(ts_col).isNotNull())
+        .select(F.date_trunc(interval, F.col(ts_col)).alias("b"))
+    )
+    return (
+        b.groupBy("b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            (F.unix_timestamp("b") * 1000).cast("long").alias("key"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias(
+                "key_as_string"
+            ),
+            "n_docs",
+        )
+        .orderBy("key")
+    )
+
+
+def oracle_sql_date_histogram(
+    query_text: str, ts_col: str, interval: str = "day",
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the date_histogram aggregation: identical
+    date_trunc calendar (both engines truncate wall-clock UTC; weeks
+    start Monday in both Spark and DuckDB), epoch-millis keys."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, buckets AS (
+  SELECT date_trunc('{interval}', d.{ts_col}) AS b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{ts_col} IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(epoch_ms(CAST(b AS TIMESTAMP)) AS BIGINT) AS key,
+       strftime(CAST(b AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS key_as_string,
+       n_docs
+FROM buckets
+ORDER BY key
+"""
+
+
 def oracle_sql_facet_stats(
     query_text: str, field: str, extended: bool = False,
     table: str = "documents", doc_col: str = "doc_id",
@@ -3644,6 +3711,18 @@ class IndexReader:
         hits = self._matching_scores(query_text).select("doc_id")
         return composite_agg_hits(hits, docs, field, size, after=after)
 
+    def facet_date_histogram(
+        self, query_text: str, docs: DataFrame, ts_col: str,
+        interval: str = "day",
+    ) -> DataFrame:
+        """ES ``date_histogram`` (calendar_interval) over the matching
+        set: non-empty ``date_trunc(interval)`` buckets of ``ts_col``
+        with per-bucket doc counts, keyed as epoch millis + a rendered
+        ``key_as_string``, ascending. Semantics + scale shape in
+        :func:`date_histogram_hits`."""
+        hits = self._matching_scores(query_text).select("doc_id")
+        return date_histogram_hits(hits, docs, ts_col, interval)
+
     def facet_counts(
         self, query_text: str, docs: DataFrame, facet_col: str = "lang"
     ) -> DataFrame:
@@ -3954,11 +4033,12 @@ class IndexReader:
         ``ranked_topk`` (TakeOrderedAndProject) on (field, doc_id) —
         only k rows reach the driver.
 
-        NULL placement matches the SQL oracle (DuckDB default):
-        ASC → NULLS LAST, DESC → NULLS FIRST — Spark's bare
-        asc()/desc() would put them the other way around and a
-        matching doc with a NULL sort field would top the ascending
-        result (round-2 ADVICE)."""
+        NULL placement matches the SQL oracle (DuckDB ≥0.8 default,
+        verified against duckdb 1.0): NULLS LAST in BOTH directions —
+        Spark's bare asc() would put them FIRST instead and a matching
+        doc with a NULL sort field would top the ascending result
+        (round-2 ADVICE); bare desc() already matches but is written
+        explicitly so the contract survives a Spark default change."""
         hits = self._matching_scores(query_text)
         j = hits.join(
             docs.select("doc_id", F.col(field).cast("long").alias(field)),
@@ -3968,11 +4048,31 @@ class IndexReader:
 
         order = (
             F.asc_nulls_last(field) if ascending
-            else F.desc_nulls_first(field)
+            else F.desc_nulls_last(field)
         )
         return ranked_topk(j, [order, F.asc("doc_id")], k).select(
             "rank", "doc_id", field, "score"
         )
+
+    def search_highlight(
+        self, query_text: str, docs: DataFrame, k: int = 10,
+        fragment_size: int = 8, n_fragments: int = 1,
+    ) -> DataFrame:
+        """Top-k retrieval with plain-highlighter snippets (Lucene/ES
+        ``highlight`` parity): the regular BM25 page, each hit carrying
+        a ``fragment`` of its text with query-term occurrences wrapped
+        in ``<em>`` tags. The fragment is computed by RE-ANALYZING the
+        k hit docs' stored text (broadcast hit page → docs join, pure
+        JVM higher-order functions — see ``index/highlight.py`` for
+        the frozen v1 fragment spec and the cost argument: O(k) texts
+        analyzed regardless of corpus size).
+        Returns (rank, doc_id, score, fragment)."""
+        from tlhop_library_spark.index.highlight import highlight_hits
+
+        hits = self.search(query_text, k=k)
+        return highlight_hits(
+            hits, docs, query_text, fragment_size, n_fragments
+        ).select("rank", "doc_id", "score", "fragment")
 
     def search_collapse(
         self, query_text: str, docs: DataFrame, group_field: str,

@@ -932,6 +932,22 @@ class ShardedIndexReader:
             )
         return stats_agg_hits(hits, docs, field, extended=extended)
 
+    def facet_date_histogram(
+        self, query_text: str, docs: DataFrame, ts_col: str,
+        interval: str = "day",
+    ) -> DataFrame:
+        """Federated date_histogram ≡ the single-index aggregation on
+        a union index: a calendar bucket may span shards; the
+        post-union groupBy merges its count exactly."""
+        from tlhop_library_spark.index.query import date_histogram_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return date_histogram_hits(hits, docs, ts_col, interval)
+
     def facet_composite(
         self, query_text: str, docs: DataFrame, field: str,
         size: int = 10, after: "str | None" = None,
@@ -967,6 +983,21 @@ class ShardedIndexReader:
         return decay_rank_hits(
             hits, docs, field, origin, scale, k, decay, offset, fn
         )
+
+    def search_highlight(
+        self, query_text: str, docs: DataFrame, k: int = 10,
+        fragment_size: int = 8, n_fragments: int = 1,
+    ) -> DataFrame:
+        """Federated highlighting — identical to
+        ``IndexReader.search_highlight`` on a union index: fragments
+        are a pure per-hit function of (doc_id, text, query), applied
+        to the federated top-k page."""
+        from tlhop_library_spark.index.highlight import highlight_hits
+
+        hits = self.search(query_text, k=k)
+        return highlight_hits(
+            hits, docs, query_text, fragment_size, n_fragments
+        ).select("rank", "doc_id", "score", "fragment")
 
     def search_group_topk(
         self, query_text: str, docs: DataFrame, group_field: str,
