@@ -470,6 +470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_eval_bm25"] = _q_rank_eval
 
+    # ES sliced scroll over a QUERY's matching set: every matching doc
+    # + score, md5-sliced for coordination-free parallel export (no
+    # top-k heap, no global sort — the hit stream stays distributed)
+    q["bm25_scan_slice"] = lambda s, d: _indexed_reader(s, d).search_scan(
+        BM25_QUERY_1, slice_id=1, n_slices=3
+    )
+
     # sequence packing (concat-and-chunk): per-shard block/padding
     # stats of the GPT-style fixed-length chunking of the corpus —
     # pure windowed arithmetic over v1 token counts, shard-partitioned
@@ -2049,6 +2056,14 @@ FROM tok GROUP BY doc_id, term
         " UNION ALL ".join(_re_parts_r),
         " UNION ALL ".join(_re_parts_j),
         k=10,
+    )
+    from tlhop_library_spark.index.query import _bm25_scored_cte
+    from tlhop_library_spark.operators.corpus_stats import sql_slice_pred
+
+    o["bm25_scan_slice"] = (
+        _bm25_scored_cte(BM25_QUERY_1, "documents", "doc_id")
+        + "\nSELECT doc_id, score FROM scored WHERE "
+        + sql_slice_pred("doc_id", 1, 3)
     )
     from tlhop_library_spark.operators.packing import (
         oracle_sql_packing_summary,

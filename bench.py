@@ -95,6 +95,7 @@ HEADLINE = [
     "packing_summary",
     "bm25_combined_fields",
     "rank_eval_bm25",
+    "bm25_scan_slice",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

@@ -129,3 +129,51 @@ def test_pack_blocks_rejects_bad_params(spark, corpus_df):
         pack_blocks(corpus_df, 0, 10)
     with pytest.raises(ValueError):
         pack_blocks(corpus_df, 10, 0)
+
+
+def test_pack_blocks_shuffled_is_permutation_with_same_blocks(
+    spark, corpus_df
+):
+    """shuffle_salt reorders docs within shards deterministically:
+    same doc set, same per-shard token totals (summary invariant),
+    different offsets; two runs with the same salt agree exactly and
+    a different salt gives a different order."""
+    a1 = {
+        r["doc_id"]: r["start_off"]
+        for r in pack_blocks(
+            corpus_df, 64, 100, shuffle_salt="epoch1"
+        ).collect()
+    }
+    a2 = {
+        r["doc_id"]: r["start_off"]
+        for r in pack_blocks(
+            corpus_df, 64, 100, shuffle_salt="epoch1"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["start_off"]
+        for r in pack_blocks(
+            corpus_df, 64, 100, shuffle_salt="epoch2"
+        ).collect()
+    }
+    plain = {
+        r["doc_id"]: r["start_off"]
+        for r in pack_blocks(corpus_df, 64, 100).collect()
+    }
+    assert a1 == a2
+    assert set(a1) == set(plain) == set(b)
+    assert a1 != plain and a1 != b
+    # per-shard totals invariant under permutation
+    from collections import Counter
+
+    def shard_tokens(m):
+        c = Counter()
+        for r in m:
+            c[r["shard"]] += r["n_tokens"]
+        return dict(c)
+
+    sh_plain = shard_tokens(pack_blocks(corpus_df, 64, 100).collect())
+    sh_shuf = shard_tokens(
+        pack_blocks(corpus_df, 64, 100, shuffle_salt="epoch1").collect()
+    )
+    assert sh_plain == sh_shuf

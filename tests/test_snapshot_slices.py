@@ -151,3 +151,34 @@ def test_snapshot_rejects_non_index(tmp_path):
     src.mkdir()
     with pytest.raises(ValueError, match="stats.json"):
         snapshot_index(str(src), str(tmp_path / "s"))
+
+
+def test_search_scan_slices_tile_matching_set(spark, index_dir):
+    """search_scan slices are disjoint and union to the full matching
+    set (doc_id AND score preserved)."""
+    from tlhop_library_spark.index import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    q = "bace cada"
+    full = {
+        (x["doc_id"], x["score"])
+        for x in r.search_scan(q).collect()
+    }
+    assert full
+    assert full == {
+        (x["doc_id"], x["score"])
+        for x in r._matching_scores(q).collect()
+    }
+    parts = [
+        {
+            (x["doc_id"], x["score"])
+            for x in r.search_scan(q, i, 4).collect()
+        }
+        for i in range(4)
+    ]
+    assert set().union(*parts) == full
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not (parts[i] & parts[j])
+    with pytest.raises(ValueError):
+        r.search_scan(q, 2, 1)

@@ -3711,6 +3711,27 @@ class IndexReader:
         hits = self._matching_scores(query_text).select("doc_id")
         return composite_agg_hits(hits, docs, field, size, after=after)
 
+    def search_scan(
+        self, query_text: str, slice_id: int = 0, n_slices: int = 1,
+    ) -> DataFrame:
+        """Scroll/scan retrieval (ES sliced scroll over a QUERY, not
+        just a table): EVERY matching doc with its BM25 score —
+        (doc_id, score), unranked and unlimited — optionally cut to
+        deterministic slice ``slice_id`` of ``n_slices`` with the
+        same md5 rule as :func:`operators.corpus_stats.slice_scan`
+        (disjoint, exactly tiling, layout-independent). The shape a
+        parallel reindex/export of a query's result set uses: each
+        worker pulls its slice with no coordination, no global sort,
+        no top-k heap — the hit stream stays distributed end to end."""
+        from tlhop_library_spark.operators.corpus_stats import slice_scan
+
+        hits = self._matching_scores(query_text)
+        if n_slices <= 1:
+            if n_slices != 1 or slice_id != 0:
+                raise ValueError("need 0 <= slice_id < n_slices")
+            return hits
+        return slice_scan(hits, slice_id, n_slices)
+
     def facet_date_histogram(
         self, query_text: str, docs: DataFrame, ts_col: str,
         interval: str = "day",

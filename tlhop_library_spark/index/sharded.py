@@ -932,6 +932,26 @@ class ShardedIndexReader:
             )
         return stats_agg_hits(hits, docs, field, extended=extended)
 
+    def search_scan(
+        self, query_text: str, slice_id: int = 0, n_slices: int = 1,
+    ) -> DataFrame:
+        """Federated scroll/scan ≡ the union index's: shard-disjoint
+        hit streams union into the global matching set, and the md5
+        slice rule is a pure function of doc_id, so slices agree with
+        any sharding."""
+        from tlhop_library_spark.operators.corpus_stats import slice_scan
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        if n_slices <= 1:
+            if n_slices != 1 or slice_id != 0:
+                raise ValueError("need 0 <= slice_id < n_slices")
+            return hits
+        return slice_scan(hits, slice_id, n_slices)
+
     def facet_date_histogram(
         self, query_text: str, docs: DataFrame, ts_col: str,
         interval: str = "day",

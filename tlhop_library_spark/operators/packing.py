@@ -55,9 +55,15 @@ def pack_blocks(
     shard_docs: int = SHARD_DOCS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Per-document block map: (doc_id, shard, n_tokens, start_off,
-    first_block, last_block), doc_id ascending within shard."""
+    first_block, last_block), doc_id ascending within shard — or, with
+    ``shuffle_salt`` set, a DETERMINISTIC pseudo-random order within
+    each shard (docs sorted by ``md5(salt|doc_id)``): the
+    shuffle-before-pack step a pretraining loader runs, reproducible
+    across runs/clusters/partitionings and re-derivable per salt
+    (epoch seed) without materializing a permutation."""
     if block_len < 1 or shard_docs < 1:
         raise ValueError("block_len and shard_docs must be >= 1")
     base = (
@@ -71,9 +77,24 @@ def pack_blocks(
             "shard", F.floor(F.col("doc_id") / shard_docs).cast("long")
         )
     )
+    if shuffle_salt is None:
+        order = [F.asc("doc_id")]
+    else:
+        order = [
+            F.asc(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(shuffle_salt),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            ),
+            F.asc("doc_id"),
+        ]
     w = (
         Window.partitionBy("shard")
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
