@@ -91,6 +91,16 @@ class TlhopExtension:
         return similarity.semantic_dedup(self._df, threshold, **kw)
 
     # training-data prep funnel
+    def learn_bpe(self, n_merges: int = 100, **kw):
+        from tlhop_library_spark.operators.bpe import learn_bpe
+
+        return learn_bpe(self._df, n_merges, **kw)
+
+    def bpe_token_count(self, merges, **kw):
+        from tlhop_library_spark.operators.bpe import bpe_token_count
+
+        return bpe_token_count(self._df, merges, **kw)
+
     def pack_blocks(self, block_len: int = 2048, **kw):
         from tlhop_library_spark.operators.packing import pack_blocks
 
