@@ -477,6 +477,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, slice_id=1, n_slices=3
     )
 
+    # int8 scalar quantization of the embedding store (the 4x ANN IO
+    # lever): per-vector symmetric scale; the gate explodes the
+    # tinyint array to scalar rows so every byte is value-hashed
+    def _q_quantize(s, d):
+        from tlhop_library_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        qz = quantize_embeddings(_t(s, d, "embeddings"))
+        return qz.select(
+            "vec_id",
+            F.round("scale", 8).alias("scale"),
+            F.posexplode("q").alias("pos", "qv"),
+        ).select("vec_id", "scale", "pos", F.col("qv").cast("int").alias("qv"))
+
+    q["embedding_quantize"] = _q_quantize
+
     # sequence packing (concat-and-chunk): per-shard block/padding
     # stats of the GPT-style fixed-length chunking of the corpus —
     # pure windowed arithmetic over v1 token counts, shard-partitioned
@@ -2065,6 +2082,17 @@ FROM tok GROUP BY doc_id, term
         + "\nSELECT doc_id, score FROM scored WHERE "
         + sql_slice_pred("doc_id", 1, 3)
     )
+    from tlhop_library_spark.operators.similarity import (
+        oracle_sql_quantize,
+    )
+
+    o["embedding_quantize"] = f"""
+WITH qz AS ({oracle_sql_quantize()})
+SELECT vec_id, round(scale, 8) AS scale,
+       CAST(generate_subscripts(q, 1) - 1 AS INT) AS pos,
+       CAST(unnest(q) AS INT) AS qv
+FROM qz
+"""
     from tlhop_library_spark.operators.packing import (
         oracle_sql_packing_summary,
     )

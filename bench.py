@@ -96,6 +96,7 @@ HEADLINE = [
     "bm25_combined_fields",
     "rank_eval_bm25",
     "bm25_scan_slice",
+    "embedding_quantize",
 ]
 
 BENCH_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))

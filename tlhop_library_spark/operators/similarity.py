@@ -531,3 +531,106 @@ def rrf_fuse(
     return ranked_topk(
         fused, [F.desc("rrf"), F.asc("__id")], k
     ).select("rank", F.col("__id").alias(id_col), "rrf")
+
+
+# ---------------------------------------------------------------------
+# int8 scalar quantization (round 3)
+# ---------------------------------------------------------------------
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)`` (zero
+    vectors quantize to zeros with scale 0) — (vec_id, scale float,
+    q array<tinyint>).
+
+    The 100-TB ANN lever: float32→int8 cuts embedding bytes 4× (the
+    IO that dominates brute-force and per-cell rescoring), and the
+    per-vector scale bounds the relative error per coordinate at
+    1/254. Pure JVM HOF arithmetic — no Python, no shuffle (a
+    projection over the scan); the spec (round half away from zero)
+    is identical in Spark and DuckDB so the oracle checks bytes
+    exactly."""
+    x = F.col(vec_col)
+    mx = F.aggregate(
+        F.transform(x, lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    scale = (mx / F.lit(127.0)).alias("scale")
+    q = F.when(
+        mx == 0.0,
+        F.transform(x, lambda v: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            x,
+            lambda v: F.round(
+                v.cast("double") * F.lit(127.0) / mx
+            ).cast("tinyint"),
+        )
+    )
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        scale,
+        q.alias("q"),
+    )
+
+
+def dequantize_col(scale, q):
+    """array<double> reconstruction ``q_i · scale`` (JVM expression)."""
+    return F.transform(q, lambda v: v.cast("double") * scale)
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-arithmetic cosine top-k over the QUANTIZED vectors —
+    what a first-pass scan reads at scale (4× fewer bytes), usually
+    followed by a float rescore of the shortlist. Same plan shape as
+    :func:`cosine_topk` (projection + TakeOrderedAndProject)."""
+    qz = quantize_embeddings(embeddings, id_col, vec_col)
+    dq = dequantize_col(F.col("scale"), F.col("q"))
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    scored = qz.select(
+        "vec_id",
+        F.round(
+            _dot(dq, qv) / (_norm(dq) * F.lit(qn)), 4
+        ).alias("cosine"),
+    ).where(F.col("cosine").isNotNull())
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("rank", "vec_id", "cosine")
+
+
+def oracle_sql_quantize(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`quantize_embeddings` (identical
+    round-half-away-from-zero; TINYINT bytes compared exactly)."""
+    return f"""
+WITH base AS (
+  SELECT CAST({id_col} AS BIGINT) AS vec_id, {vec_col} AS x,
+         list_max(list_transform({vec_col},
+                                 v -> abs(CAST(v AS DOUBLE)))) AS mx
+  FROM {table}
+)
+SELECT vec_id, mx / 127.0 AS scale,
+       CASE WHEN mx = 0
+            THEN list_transform(x, v -> CAST(0 AS TINYINT))
+            ELSE list_transform(
+              x, v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / mx)
+                           AS TINYINT))
+       END AS q
+FROM base
+"""
