@@ -116,3 +116,31 @@ def test_guards(index_dir, tmp_path):
     m = update_aliases(reg, [{"remove": {"alias": "a", "index": "*"}}])
     assert m == {}
     assert json.load(open(reg)) == {}
+
+
+def test_concurrent_updaters_lose_no_batch(index_dir, tmp_path):
+    # round-3 ADVICE: update_aliases was an unlocked read-modify-write
+    # — two concurrent updaters could silently drop a batch. The
+    # writer lock serializes them: every alias lands.
+    import threading
+
+    from tlhop_library_spark.index import read_aliases, update_aliases
+
+    reg = str(tmp_path / "aliases.json")
+    n, errs = 24, []
+
+    def add(i: int) -> None:
+        try:
+            update_aliases(
+                reg, [{"add": {"alias": f"a{i}", "index": index_dir}}]
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(read_aliases(reg)) == sorted(f"a{i}" for i in range(n))

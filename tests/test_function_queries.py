@@ -93,7 +93,7 @@ def test_random_score_matches_python_lcg(reader):
     assert match
 
     def sc(d, seed):
-        h1 = (d * _RND_A + seed) % _RND_M
+        h1 = ((d % _RND_M) * _RND_A + seed) % _RND_M
         h2 = (h1 * _RND_A + _RND_C) % _RND_M
         return round(h2 / _RND_M, 6)
 
@@ -101,6 +101,38 @@ def test_random_score_matches_python_lcg(reader):
                   key=lambda t: (-t[0], t[1]))[:10]
     got = rows(reader.search_random(Q, k=10, seed=7))
     assert [(d, s) for s, d in want] == [(d, s) for _, d, s in got]
+
+
+def test_random_score_no_int64_overflow_at_huge_doc_ids(spark):
+    # round-3 ADVICE: doc_id * _RND_A overflows int64 for doc_id >
+    # ~8.36e9 (non-ANSI Spark wraps silently, the DuckDB oracle
+    # errors). doc_id is now reduced mod 2^31 first — verify the
+    # Spark kernel matches exact Python integer arithmetic at
+    # 10^12-scale doc_ids.
+    from tlhop_library_spark.index.query import (
+        _RND_A,
+        _RND_C,
+        _RND_M,
+        random_rank_hits,
+    )
+
+    ids = [3, 8_400_000_000, 10**12, 10**12 + 7, 2**62 // _RND_A + 99]
+    hits = spark.createDataFrame(
+        [(d, 1.0) for d in ids], "doc_id long, score double"
+    )
+
+    def sc(d, seed):
+        h1 = ((d % _RND_M) * _RND_A + seed) % _RND_M
+        h2 = (h1 * _RND_A + _RND_C) % _RND_M
+        return round(h2 / _RND_M, 6)
+
+    want = sorted(((sc(d, 7), d) for d in ids),
+                  key=lambda t: (-t[0], t[1]))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in random_rank_hits(hits, k=5, seed=7).collect()
+    ]
+    assert got == [(d, s) for s, d in want]
 
 
 # ------------------------------------------------------------------

@@ -182,3 +182,38 @@ def test_search_scan_slices_tile_matching_set(spark, index_dir):
             assert not (parts[i] & parts[j])
     with pytest.raises(ValueError):
         r.search_scan(q, 2, 1)
+
+
+def test_incremental_skip_rehashes_destination(index_dir, tmp_path):
+    # round-3 ADVICE: a same-size corrupted dst file must NOT be
+    # skipped on the next incremental run (size-only skip let it
+    # survive while the manifest asserted the source md5)
+    from tlhop_library_spark.index import snapshot_index, verify_snapshot
+
+    snap = str(tmp_path / "snap")
+    snapshot_index(index_dir, snap)
+    victim = None
+    for root, _d, files in os.walk(snap):
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(root, f)
+                break
+        if victim:
+            break
+    assert victim
+    with open(victim, "r+b") as f:  # same-size corruption
+        b = f.read(1)
+        f.seek(0)
+        f.write(bytes([b[0] ^ 0xFF]))
+    s2 = snapshot_index(index_dir, snap)
+    assert s2["bytes_copied"] > 0  # victim re-copied, not skipped
+    assert verify_snapshot(snap)["ok"]
+
+
+def test_snapshot_refuses_nested_snap_dir(index_dir):
+    from tlhop_library_spark.index import snapshot_index
+
+    with pytest.raises(ValueError, match="inside index_dir"):
+        snapshot_index(index_dir, os.path.join(index_dir, "snap"))
+    with pytest.raises(ValueError, match="inside index_dir"):
+        snapshot_index(index_dir, index_dir)

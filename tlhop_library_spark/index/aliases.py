@@ -18,9 +18,39 @@ PUT)."""
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
+
+try:  # POSIX-only; the registry contract needs it for writers
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX host
+    fcntl = None  # type: ignore[assignment]
+
+
+@contextlib.contextmanager
+def _writer_lock(registry_path: str):
+    """Exclusive advisory lock for read-modify-write updaters.
+
+    ``os.replace`` already makes the swap atomic for READERS, but two
+    concurrent ``update_aliases`` calls are a lost-update race: both
+    read, the second replace silently discards the first batch
+    (round-3 ADVICE). An fcntl lock on a ``.lock`` sibling serializes
+    writers (blocking — alias batches are tiny). On hosts without
+    fcntl the single-writer requirement falls back to the caller."""
+    if fcntl is None:  # pragma: no cover - non-POSIX host
+        yield
+        return
+    d = os.path.dirname(os.path.abspath(registry_path)) or "."
+    os.makedirs(d, exist_ok=True)
+    lock_path = registry_path + ".lock"
+    with open(lock_path, "a+") as lk:
+        fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
 
 
 def read_aliases(registry_path: str) -> dict[str, list[str]]:
@@ -38,7 +68,17 @@ def update_aliases(
     mapping. Each action is ``{"add": {"alias": a, "index": dir}}``
     or ``{"remove": {"alias": a, "index": dir}}`` (``"index": "*"``
     removes the whole alias). The whole batch lands in one atomic
-    rename; a failing action aborts the batch with no change."""
+    rename; a failing action aborts the batch with no change.
+    Concurrent updaters are serialized by an exclusive lock on a
+    ``.lock`` sibling, so no batch is lost to a read-modify-write
+    race."""
+    with _writer_lock(registry_path):
+        return _update_aliases_locked(registry_path, actions)
+
+
+def _update_aliases_locked(
+    registry_path: str, actions: list[dict],
+) -> dict[str, list[str]]:
     aliases = read_aliases(registry_path)
     for act in actions:
         if len(act) != 1 or next(iter(act)) not in ("add", "remove"):

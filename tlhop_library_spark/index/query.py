@@ -831,9 +831,16 @@ def random_rank_hits(hits: DataFrame, k: int, seed: int) -> DataFrame:
     matching doc gets a seeded deterministic uniform score in [0, 1)
     (two LCG mixing rounds over (doc_id, seed), BIGINT-exact in both
     engines), top-k by (score DESC, doc_id ASC). Pure JVM column
-    arithmetic — no shuffle beyond the ranked_topk reduce."""
+    arithmetic — no shuffle beyond the ranked_topk reduce.
+
+    doc_id is reduced mod 2^31 BEFORE the first multiply so every
+    intermediate stays < 2^62: a raw ``doc_id * _RND_A`` overflows
+    int64 for doc_id > ~8.36e9, where non-ANSI Spark wraps silently
+    while the DuckDB oracle errors — at the advertised 10^12-doc
+    scale the engines would diverge (round-3 ADVICE)."""
+    h0 = F.pmod(F.col("doc_id"), F.lit(_RND_M))
     h1 = F.pmod(
-        F.col("doc_id") * F.lit(_RND_A) + F.lit(int(seed)),
+        h0 * F.lit(_RND_A) + F.lit(int(seed)),
         F.lit(_RND_M),
     )
     h2 = F.pmod(h1 * F.lit(_RND_A) + F.lit(_RND_C), F.lit(_RND_M))
@@ -910,12 +917,13 @@ def oracle_sql_bm25_random(
     table: str = "documents", doc_col: str = "doc_id",
 ) -> str:
     """Oracle for seeded random_score — identical LCG arithmetic
-    (BIGINT-exact in both engines)."""
+    (BIGINT-exact in both engines; doc_id pre-reduced mod 2^31 to
+    keep every intermediate < 2^62, mirroring random_rank_hits)."""
     cte = _bm25_scored_cte(query_text, table, doc_col)
     return f"""{cte}, rnd AS (
   SELECT doc_id,
          round(
-           CAST((((doc_id * {_RND_A} + {seed}) % {_RND_M})
+           CAST(((((doc_id % {_RND_M}) * {_RND_A} + {seed}) % {_RND_M})
                   * {_RND_A} + {_RND_C}) % {_RND_M} AS DOUBLE)
            / {_RND_M}.0, 6) AS score
   FROM scored

@@ -66,6 +66,20 @@ def snapshot_index(
     Returns a summary dict: n_files, bytes_copied, bytes_skipped."""
     if not os.path.isfile(os.path.join(index_dir, "stats.json")):
         raise ValueError(f"{index_dir} is not an index (no stats.json)")
+    # a snap_dir nested inside index_dir would make _walk_files pick
+    # up the previous snapshot (manifest + copies) on the next run,
+    # growing the snapshot recursively (round-3 ADVICE) — refuse
+    abs_idx = os.path.abspath(index_dir)
+    abs_snap = os.path.abspath(snap_dir)
+    if (
+        abs_snap == abs_idx
+        or os.path.commonpath([abs_idx, abs_snap]) == abs_idx
+    ):
+        raise ValueError(
+            f"snap_dir ({abs_snap}) must not be inside index_dir "
+            f"({abs_idx}) — the snapshot would recursively include "
+            "itself on the next incremental run"
+        )
     prev: dict = {}
     if incremental and os.path.isfile(os.path.join(snap_dir, SNAPSHOT_META)):
         with open(os.path.join(snap_dir, SNAPSHOT_META)) as f:
@@ -80,10 +94,16 @@ def snapshot_index(
         digest = _md5(src)
         meta = {"size": size, "md5": digest}
         old = prev.get(rel)
+        # skip only when the DESTINATION copy re-hashes to the source
+        # md5 — a size-only check lets a same-size corrupted snapshot
+        # file survive every incremental run while the refreshed
+        # manifest asserts the source md5 (round-3 ADVICE); the extra
+        # dst hash is the price of a trustworthy skip
         if (
             old == meta
             and os.path.isfile(dst)
             and os.path.getsize(dst) == size
+            and _md5(dst) == digest
         ):
             skipped += size
         else:
