@@ -9,6 +9,14 @@ synthetic corpus, and prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ...,
      "index": {"build_docs_per_sec": ..., "query_p50_sec": ...}}
 
+The driver captures only the LAST ~2000 chars of stdout, so the final
+JSON line is kept under a hard byte budget: per-run samples and the
+full per-query map go to BENCH_DETAIL.json (and stderr), and if the
+compact line still exceeds the budget the cheapest queries are
+dropped from the stdout copy (never from the detail file). Round 3
+lost its entire bench signal to this window — the line grew past the
+tail and the driver recorded "parsed": null.
+
 The N-vs-4N scaling study (local[8] vs local[32]) is a separate,
 longer run: tools/bench_scaling.py → BENCH.md.
 """
@@ -177,6 +185,26 @@ def main() -> None:
     from tlhop_library_spark.corpus import write_corpus_parquet
     from tlhop_library_spark.index import IndexReader, build_index
 
+    def timed_median(name: str, fn, repeats: int = 3) -> float:
+        """Median-of-N timing for an index query mode (round-3
+        verdict "what's wrong #2": single-sampled index modes made
+        serve_p50 read 2x its quiet-window cost while headline
+        queries got the median harness)."""
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        med = sorted(runs)[len(runs) // 2]
+        per_query[name] = round(med, 3)
+        samples[name] = [round(x, 3) for x in runs]
+        print(
+            f"# {name}: {med:.2f}s median of "
+            f"{[round(x, 2) for x in runs]}",
+            file=sys.stderr,
+        )
+        return med
+
     workdir = tempfile.mkdtemp(prefix="tlhop_bench_")
     try:
         corpus_path = os.path.join(workdir, "docs.parquet")
@@ -197,113 +225,115 @@ def main() -> None:
         )
 
         reader = IndexReader(spark, os.path.join(workdir, "idx")).cache()
-        lat = []
         # warm with a REAL indexed term: an absent term short-circuits
         # before applyInPandas, leaving the Python scorer workers cold
         reader.search("bace", 10).collect()
-        for q, k in BENCH_QUERIES:
-            t0 = time.time()
-            reader.search(q, k).collect()
-            lat.append(time.time() - t0)
-        lat.sort()
-        p50 = lat[len(lat) // 2]
+        # distributed p50: per-query median over 3 passes, then the
+        # p50 across the query set
+        dlat: list[list[float]] = [[] for _ in BENCH_QUERIES]
+        for _ in range(3):
+            for i, (q, k) in enumerate(BENCH_QUERIES):
+                t0 = time.time()
+                reader.search(q, k).collect()
+                dlat[i].append(time.time() - t0)
+        dmed = sorted(sorted(r)[len(r) // 2] for r in dlat)
+        p50 = dmed[len(dmed) // 2]
         per_query["index_query_p50"] = round(p50, 3)
-        total += sum(lat)
-        print(f"# index_query latencies: {[round(x,2) for x in lat]}", file=sys.stderr)
-
-        # round-2.1 query modes over the same warm index
-        t0 = time.time()
-        reader.search_and("bace cada", 10).collect()
-        per_query["index_query_and"] = round(time.time() - t0, 3)
-        total += per_query["index_query_and"]
-        t0 = time.time()
-        reader.search_snippets("bace cada", docs, 10).collect()
-        per_query["index_query_snippets"] = round(time.time() - t0, 3)
-        total += per_query["index_query_snippets"]
-        t0 = time.time()
-        reader.search_boolean("(bace OR cada) AND NOT tesa", 10).collect()
-        per_query["index_query_boolean"] = round(time.time() - t0, 3)
-        total += per_query["index_query_boolean"]
-        t0 = time.time()
-        reader.search_filtered(
-            "bace cada", docs.where(F.col("doc_id") % 2 == 0), 10
-        ).collect()
-        per_query["index_query_filtered"] = round(time.time() - t0, 3)
-        total += per_query["index_query_filtered"]
-        # serving path: driver-side pyarrow scan of just the query's
-        # chunks + the same numpy kernel — no Spark job per query
-        reader.search_local("bace", 10).collect()  # warm dataset handle
-        slat = []
-        for q, kk in BENCH_QUERIES:
-            t0 = time.time()
-            reader.search_serve(q, kk).collect()
-            slat.append(time.time() - t0)
-        slat.sort()
-        per_query["index_query_serve_p50"] = round(
-            slat[len(slat) // 2], 3
-        )
-        total += sum(slat)
+        samples["index_query_p50"] = [round(x, 3) for x in dmed]
+        total += sum(dmed)
         print(
-            f"# serving-path latencies: {[round(x, 3) for x in slat]}",
+            f"# index_query per-query medians: "
+            f"{[round(x, 3) for x in dmed]}",
             file=sys.stderr,
         )
-        t0 = time.time()
-        reader.search_fuzzy("bce cda", 10).collect()
-        per_query["index_query_fuzzy"] = round(time.time() - t0, 3)
-        total += per_query["index_query_fuzzy"]
-        t0 = time.time()
-        reader.facet_counts("bace cada", docs, "lang").collect()
-        per_query["index_facets"] = round(time.time() - t0, 3)
-        total += per_query["index_facets"]
-        # round-2.3 modes over the same warm index
-        t0 = time.time()
-        reader.search_expanded("bace cada", 10).collect()
-        per_query["index_query_expanded"] = round(time.time() - t0, 3)
-        total += per_query["index_query_expanded"]
-        t0 = time.time()
-        reader.search_synonyms(
-            "informação", {"informação": ["segurança"]}, 10
-        ).collect()
-        per_query["index_query_synonyms"] = round(time.time() - t0, 3)
-        total += per_query["index_query_synonyms"]
-        t0 = time.time()
-        reader.explain("bace cada", 10).collect()
-        per_query["index_query_explain"] = round(time.time() - t0, 3)
-        total += per_query["index_query_explain"]
-        t0 = time.time()
-        reader.count_matches("bace cada", "any").collect()
-        per_query["index_count_any"] = round(time.time() - t0, 3)
-        total += per_query["index_count_any"]
-        t0 = time.time()
-        reader.search_wildcard("bac* cada", 10).collect()
-        per_query["index_query_wildcard"] = round(time.time() - t0, 3)
-        total += per_query["index_query_wildcard"]
-        # round-2.4 modes: collector-style operators + rescoring models
-        t0 = time.time()
-        reader.search_dismax("bace cada", 10, tie_breaker=0.3).collect()
-        per_query["index_query_dismax"] = round(time.time() - t0, 3)
-        total += per_query["index_query_dismax"]
-        t0 = time.time()
-        reader.search_sim("bace cada", 10, "lmdirichlet").collect()
-        per_query["index_query_lmdirichlet"] = round(time.time() - t0, 3)
-        total += per_query["index_query_lmdirichlet"]
-        t0 = time.time()
-        reader.search_collapse("bace cada", docs, "lang", 10).collect()
-        per_query["index_query_collapse"] = round(time.time() - t0, 3)
-        total += per_query["index_query_collapse"]
+
+        # round-2.1 query modes over the same warm index
+        for nm, fn in (
+            ("index_query_and",
+             lambda: reader.search_and("bace cada", 10).collect()),
+            ("index_query_snippets",
+             lambda: reader.search_snippets("bace cada", docs, 10)
+             .collect()),
+            ("index_query_boolean",
+             lambda: reader.search_boolean(
+                 "(bace OR cada) AND NOT tesa", 10).collect()),
+            ("index_query_filtered",
+             lambda: reader.search_filtered(
+                 "bace cada", docs.where(F.col("doc_id") % 2 == 0), 10
+             ).collect()),
+        ):
+            total += timed_median(nm, fn)
+
+        # serving path: driver-side pyarrow scan of just the query's
+        # chunks + the same numpy kernel — no Spark job per query.
+        # Warm BOTH the dataset handle and the serve code path itself
+        # before timing (round-3 verdict: cold-reader artifact made
+        # the recorded serve_p50 slower than the distributed path).
+        reader.search_local("bace", 10).collect()
+        reader.search_serve("bace cada", 10).collect()
+        reader.search_serve("informação segurança", 10).collect()
+        slat: list[list[float]] = [[] for _ in BENCH_QUERIES]
+        for _ in range(3):
+            for i, (q, kk) in enumerate(BENCH_QUERIES):
+                t0 = time.time()
+                reader.search_serve(q, kk).collect()
+                slat[i].append(time.time() - t0)
+        smed = sorted(sorted(r)[len(r) // 2] for r in slat)
+        per_query["index_query_serve_p50"] = round(
+            smed[len(smed) // 2], 3
+        )
+        samples["index_query_serve_p50"] = [round(x, 3) for x in smed]
+        total += sum(smed)
+        print(
+            f"# serving-path per-query medians: "
+            f"{[round(x, 3) for x in smed]}",
+            file=sys.stderr,
+        )
+
+        for nm, fn in (
+            ("index_query_fuzzy",
+             lambda: reader.search_fuzzy("bce cda", 10).collect()),
+            ("index_facets",
+             lambda: reader.facet_counts("bace cada", docs, "lang")
+             .collect()),
+            # round-2.3 modes over the same warm index
+            ("index_query_expanded",
+             lambda: reader.search_expanded("bace cada", 10).collect()),
+            ("index_query_synonyms",
+             lambda: reader.search_synonyms(
+                 "informação", {"informação": ["segurança"]}, 10
+             ).collect()),
+            ("index_query_explain",
+             lambda: reader.explain("bace cada", 10).collect()),
+            ("index_count_any",
+             lambda: reader.count_matches("bace cada", "any").collect()),
+            ("index_query_wildcard",
+             lambda: reader.search_wildcard("bac* cada", 10).collect()),
+            # round-2.4 modes: collector-style operators + rescoring
+            ("index_query_dismax",
+             lambda: reader.search_dismax(
+                 "bace cada", 10, tie_breaker=0.3).collect()),
+            ("index_query_lmdirichlet",
+             lambda: reader.search_sim(
+                 "bace cada", 10, "lmdirichlet").collect()),
+            ("index_query_collapse",
+             lambda: reader.search_collapse(
+                 "bace cada", docs, "lang", 10).collect()),
+        ):
+            total += timed_median(nm, fn)
 
         batch_in = [(i, q, k) for i, (q, k) in enumerate(BENCH_QUERIES)]
-        t0 = time.time()
-        reader.search_many(batch_in).collect()
-        batch_sec = time.time() - t0
-        per_query["index_query_batch"] = round(batch_sec, 3)
+        batch_sec = timed_median(
+            "index_query_batch",
+            lambda: reader.search_many(batch_in).collect(),
+        )
         total += batch_sec
         qps = len(BENCH_QUERIES) / batch_sec
         print(f"# batch mode: {qps:.1f} queries/sec", file=sys.stderr)
-        t0 = time.time()
-        reader.search_many_local(batch_in).collect()
-        sbatch = time.time() - t0
-        per_query["index_query_batch_serve"] = round(sbatch, 3)
+        sbatch = timed_median(
+            "index_query_batch_serve",
+            lambda: reader.search_many_local(batch_in).collect(),
+        )
         total += sbatch
         print(
             f"# batch serving mode: {len(BENCH_QUERIES) / sbatch:.1f} "
@@ -313,26 +343,63 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_index_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "samples": samples,
-                "timing": "median of <=3 runs per headline query "
-                "(1 run if first exceeds 5s); index modes 1 run",
-                "sf": sf_dir.rstrip("/").split("sf")[-1],
-                "index": {
-                    "corpus_docs": stats["n_docs"],
-                    "build_docs_per_sec": round(docs_per_sec, 1),
-                    "query_p50_sec": round(p50, 3),
-                    "serve_p50_sec": per_query["index_query_serve_p50"],
-                },
-            }
-        )
+    timing_note = (
+        "median of <=3 runs per headline query (1 run if first "
+        "exceeds 10s); index modes median of 3"
     )
+    index_block = {
+        "corpus_docs": stats["n_docs"],
+        "build_docs_per_sec": round(docs_per_sec, 1),
+        "query_p50_sec": round(p50, 3),
+        "serve_p50_sec": per_query["index_query_serve_p50"],
+    }
+    detail = {
+        "metric": "headline_queries_plus_index_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "samples": samples,
+        "timing": timing_note,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "index": index_block,
+    }
+    detail_path = str(Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# full detail (medians + samples): {detail_path}",
+          file=sys.stderr)
+
+    # Final stdout line: the driver tails ~2000 chars of stdout, so
+    # the line must fit a hard budget. Samples live only in the
+    # detail file; if the compact per-query map still overflows, drop
+    # the CHEAPEST queries from the stdout copy (their medians remain
+    # in BENCH_DETAIL.json) and say how many were elided.
+    STDOUT_BUDGET = 1900
+    out = {
+        "metric": "headline_queries_plus_index_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        # 2-decimal stdout copy (3-decimal medians in the detail file)
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "detail": "BENCH_DETAIL.json",
+        "index": index_block,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > STDOUT_BUDGET:
+        by_cost = sorted(per_query, key=lambda k: per_query[k])
+        dropped = 0
+        while len(line) > STDOUT_BUDGET and by_cost:
+            out["queries"].pop(by_cost.pop(0), None)
+            dropped += 1
+            out["queries_elided"] = dropped
+            line = json.dumps(out, separators=(",", ":"))
+        print(
+            f"# stdout line elided the {dropped} cheapest queries "
+            "(full map in BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":
