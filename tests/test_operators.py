@@ -493,3 +493,27 @@ def test_filter_valid_html_page_and_lang(spark):
         for r in df.tlhop.get_html_lang().collect()
     }
     assert langs[1] == "Portuguese" and langs[2] is None
+
+
+def test_fingerprints_grouped_equals_per_pattern(spark, docs):
+    """The per-confidence-class combined-alternation prefilter must be
+    a pure optimization: grouped and per-pattern paths return
+    IDENTICAL output (including per-row pattern-DB hit order), and a
+    non-composable pattern (global inline flag) falls back cleanly."""
+    pats = fingerprints.DEFAULT_PATTERNS + [
+        ("upper-or-lower", r"(?i)THE\b", 0.5),  # global flag: may not
+        # compose into (?:...)|(?:...) — exercises the fallback
+        ("digits", r"\d{2,}", 0.9),
+    ]
+    a = fingerprints.match_arrow(docs, "text", pats, grouped=True)
+    b = fingerprints.match_arrow(docs, "text", pats, grouped=False)
+    ka = {
+        r["doc_id"]: [(x["name"], x["confidence"]) for x in r["fingerprints"]]
+        for r in a.collect()
+    }
+    kb = {
+        r["doc_id"]: [(x["name"], x["confidence"]) for x in r["fingerprints"]]
+        for r in b.collect()
+    }
+    assert ka == kb
+    assert any(ka.values())
