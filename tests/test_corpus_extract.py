@@ -90,3 +90,64 @@ def test_corpus_edge_rows():
     assert c["text"][2] == ""  # empty body
     assert "broken page unclosed" in c["text"][3]
     assert "página" in c["text"][4]
+
+
+def test_vocab_extension_deterministic_and_disjoint():
+    """Sizes > 5000 extend the frozen head without perturbing it;
+    extension words are unique and collision-free by construction."""
+    from tlhop_library_spark.corpus import build_vocab, heaps_vocab_size
+
+    big = build_vocab(20_000)
+    assert big[:5000] == build_vocab(5000)
+    assert len(set(big)) == len(big) == 20_000
+    assert all(w.startswith("z") for w in big[5000:])
+    assert not any("z" in w or "q" in w for w in big[:5000])
+    assert big == build_vocab(20_000)  # deterministic
+    assert heaps_vocab_size(1_000_000) > 100_000  # the realistic regime
+    assert heaps_vocab_size(100) == 5000  # floor for tiny corpora
+
+
+def test_fast_corpus_writer(tmp_path):
+    """Vectorized stress generator: schema-identical to the loop path,
+    deterministic, extraction invariant holds, hapax tail present."""
+    import pyarrow.parquet as pq
+
+    from tlhop_library_spark.analyzer import py_tokens
+    from tlhop_library_spark.corpus import (
+        CORPUS_ARROW_SCHEMA,
+        write_corpus_parquet_fast,
+    )
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    info = write_corpus_parquet_fast(p1, 3000, vocab_size=30_000)
+    write_corpus_parquet_fast(p2, 3000, vocab_size=30_000)
+    t = pq.read_table(p1)
+    assert t.schema.equals(CORPUS_ARROW_SCHEMA)
+    assert t.num_rows == 3000
+    assert t.equals(pq.read_table(p2))  # byte-deterministic
+    texts = t.column("text").to_pylist()
+    htmls = t.column("html").to_pylist()
+    # hapax tail: df=1 except where the 1% duplicate-body injection
+    # cloned a doc (then the extra occurrences are identical texts)
+    by_term: dict[str, list[str]] = {}
+    for s in texts:
+        for w in s.split():
+            if w.startswith("q"):
+                by_term.setdefault(w, []).append(s)
+    assert len(by_term) > 300
+    assert all(len(set(v)) == 1 for v in by_term.values())
+    assert sum(len(v) == 1 for v in by_term.values()) > 300  # true df=1
+    # extraction invariant on a sample (html carries the same text)
+    for h, s in list(zip(htmls, texts))[:50]:
+        assert extract_body_text(h.decode("utf-8")) == s
+    # analyzer keeps every generated token (all ≥ 3 word chars)
+    assert py_tokens(texts[0]) == texts[0].split()
+    # include_html=False writes NULL html; text stream is unchanged
+    # for the same (n_docs, batch_rows) since html consumes no rng
+    p3 = str(tmp_path / "c.parquet")
+    write_corpus_parquet_fast(p3, 3000, vocab_size=30_000,
+                              include_html=False)
+    t3 = pq.read_table(p3)
+    assert t3.column("html").null_count == 3000
+    assert t3.column("text").to_pylist() == texts
+    assert info["vocab_size"] == 30_000

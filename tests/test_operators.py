@@ -332,48 +332,88 @@ def test_multimodal_resize_plumbing(spark):
         assert len(bytes(r["payload"])) > 0
 
 
-@pytest.mark.skipif(
-    not multimodal.REAL_DECODE,
-    reason="PIL not installed in this container (REAL_DECODE probe)",
-)
+def _solid_payload(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """A solid-color image every decode tier reads: PNG when PIL is
+    installed (exercises the fast path), P6 PPM otherwise (exercises
+    the vendored pure codec)."""
+    import numpy as np
+
+    from tlhop_library_spark.operators import imagecodec
+
+    arr = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+    if multimodal.REAL_DECODE:
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+    return imagecodec.encode_ppm(arr)
+
+
 def test_multimodal_real_resize(spark):
-    import io
-
-    import PIL.Image
-
-    buf = io.BytesIO()
-    PIL.Image.new("RGB", (640, 320), (0, 255, 0)).save(buf, format="PNG")
+    """Real pixel path, decoder-agnostic: PIL thumbnail+PNG when PIL
+    exists, pure-Python PPM decode → nearest resize → PPM otherwise."""
     media = spark.createDataFrame(
-        [(0, "image", buf.getvalue(), "image/png", 640, 320, None)],
+        [(0, "image", _solid_payload(640, 320, (0, 255, 0)), "image/png",
+          640, 320, None)],
         multimodal.MEDIA_SCHEMA,
     )
     r = multimodal.resize_images(media, max_side=128).collect()[0]
     assert (r["width"], r["height"]) == (128, 64)
-    img = PIL.Image.open(io.BytesIO(bytes(r["payload"])))
-    assert img.size == (128, 64)
+    arr = multimodal.decode_image(bytes(r["payload"]))
+    assert arr.shape == (64, 128, 3)
+    assert (arr == [0, 255, 0]).all()
 
 
-@pytest.mark.skipif(
-    not multimodal.REAL_DECODE,
-    reason="PIL not installed in this container (REAL_DECODE probe)",
-)
 def test_multimodal_real_decode_path(spark):
-    """Runs only where PIL exists: real decode feeds the featurizer
-    through the identical mapInPandas plumbing."""
-    import io
-
-    import PIL.Image
-
-    buf = io.BytesIO()
-    PIL.Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+    """Real decode feeds the featurizer through the identical
+    mapInPandas plumbing (no skip: the pure codec covers no-PIL)."""
     media = spark.createDataFrame(
-        [(0, "image", buf.getvalue(), "image/png", 8, 8, None)],
+        [(0, "image", _solid_payload(8, 8, (255, 0, 0)), "image/png",
+          8, 8, None)],
         multimodal.MEDIA_SCHEMA,
     )
     rows = multimodal.extract_features(
         media, use_real_decode=True
     ).collect()
     assert rows and len(rows[0]["feature"]) == 16
+    # solid red: channel means are exactly (1, 0, 0)
+    feat = rows[0]["feature"]
+    assert feat[2:8] == [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_imagecodec_roundtrips():
+    """Vendored codec: PPM and BMP round-trip bit-exactly, including
+    BMP row padding (odd width), top-down BMP, and nearest resize."""
+    import numpy as np
+
+    from tlhop_library_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # odd W → pad
+    assert (ic.decode_ppm(ic.encode_ppm(arr)) == arr).all()
+    assert (ic.decode_bmp(ic.encode_bmp(arr)) == arr).all()
+    # PPM with comments + non-255 maxval
+    ppm = b"P6\n# a comment\n2 1\n# another\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert ic.decode_ppm(ppm).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+    # top-down BMP (negative height) decodes to the same pixels
+    import struct
+
+    bmp = bytearray(ic.encode_bmp(arr))
+    h = struct.unpack_from("<i", bmp, 22)[0]
+    struct.pack_into("<i", bmp, 22, -h)
+    rows = np.frombuffer(bytes(bmp[54:]), dtype=np.uint8).reshape(5, -1)
+    flipped = bytes(bmp[:54]) + rows[::-1].tobytes()
+    assert (ic.decode_bmp(flipped) == arr).all()
+    # nearest resize: aspect preserved, never upscales
+    big = rng.integers(0, 256, size=(320, 640, 3), dtype=np.uint8)
+    small = ic.resize_nearest(big, 128)
+    assert small.shape == (64, 128, 3)
+    assert ic.resize_nearest(small, 4096).shape == small.shape
+    with pytest.raises(ValueError):
+        ic.decode_any(b"\x89PNG not a supported pure format")
 
 
 def test_extension_accessor(spark, docs):

@@ -45,17 +45,54 @@ _ACCENTED = ["ação", "coração", "informação", "segurança", "análise",
 
 
 def build_vocab(size: int = VOCAB_SIZE) -> list[str]:
-    """Deterministic pronounceable vocabulary; a few accented pt words."""
+    """Deterministic pronounceable vocabulary; a few accented pt words.
+
+    Sizes ≤ VOCAB_SIZE reproduce the round-1 vocabulary byte-for-byte
+    (indexes/benches built against it stay comparable). Larger sizes
+    extend it with vectorized ``z``-prefixed base-60 syllable encodings
+    of the index — no base syllable contains ``z``, so the extension is
+    collision-free by construction and O(size) to build (the rejection
+    loop would thrash near syllable-space saturation at 10^5-10^6)."""
     rng = np.random.default_rng(SEED + 1)
     words: list[str] = list(_ACCENTED)
     seen = set(words)
-    while len(words) < size:
+    base = min(size, VOCAB_SIZE)
+    while len(words) < base:
         n_syl = int(rng.integers(2, 5))
         w = "".join(rng.choice(_SYLLABLES) for _ in range(n_syl))
         if len(w) >= 3 and w not in seen:
             seen.add(w)
             words.append(w)
-    return words[:size]
+    if size <= VOCAB_SIZE:
+        return words[:size]
+    n_extra = size - VOCAB_SIZE
+    syl = np.array(_SYLLABLES)
+    n_dig = max(2, int(np.ceil(np.log(max(n_extra, 2)) / np.log(60))))
+    rem = np.arange(n_extra, dtype=np.int64)
+    parts = []
+    for _ in range(n_dig):
+        parts.append(syl[rem % 60])
+        rem //= 60
+    ext = np.full(n_extra, "z", dtype=f"U{1 + 2 * n_dig}")
+    for p in reversed(parts):
+        ext = np.char.add(ext, p)
+    return words + ext.tolist()
+
+
+#: Heaps-law constants for web text: V ≈ k·(total tokens)^β with
+#: k≈30, β≈0.5 (Baeza-Yates & Ribeiro-Neto, Modern Information
+#: Retrieval §6; mean v1 doc length ≈ 148 tokens at the generator's
+#: log-normal(4.5, 1.0) clipped to [10, 2000]).
+HEAPS_K = 30.0
+HEAPS_BETA = 0.5
+MEAN_DL = 148
+VOCAB_CAP = 1_000_000
+
+
+def heaps_vocab_size(n_docs: int) -> int:
+    """Realistic Zipf-universe size for an n_docs web corpus."""
+    est = int(HEAPS_K * (n_docs * MEAN_DL) ** HEAPS_BETA)
+    return max(VOCAB_SIZE, min(VOCAB_CAP, est))
 
 
 def _zipf_probs(size: int, s: float = ZIPF_S) -> np.ndarray:
@@ -170,6 +207,133 @@ CORPUS_ARROW_SCHEMA = pa.schema(
         ("lang", pa.string()),
     ]
 )
+
+
+def _fast_batch(
+    rng: np.random.Generator,
+    vocab: np.ndarray,
+    cdf: np.ndarray,
+    start_id: int,
+    n: int,
+    hapax_frac: float,
+    include_html: bool,
+) -> dict[str, list]:
+    """One vectorized batch of the stress-scale generator.
+
+    The per-token work (Zipf draw via one searchsorted, string lookup,
+    length accounting) is all numpy; the per-DOC loop only slices a
+    single pre-joined string — O(docs) cheap ops, not O(tokens)."""
+    dl = np.clip(rng.lognormal(mean=4.5, sigma=1.0, size=n), 10, 2000).astype(
+        np.int64
+    )
+    idx = np.searchsorted(cdf, rng.random(int(dl.sum())), side="right")
+    toks = vocab[idx]
+    tok_lens = np.char.str_len(toks)
+    joined = " ".join(toks.tolist())
+    # char offset where token j starts inside `joined`
+    pos = np.zeros(len(toks) + 1, dtype=np.int64)
+    np.cumsum(tok_lens + 1, out=pos[1:])
+    doc_tok = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dl, out=doc_tok[1:])
+    # hapax tail: a fraction of docs carry one globally-unique term
+    # ('q' + base-60 doc_id — disjoint from every vocab word), the
+    # ids/typos/serials tail that dominates real web dictionaries
+    hapax_mask = rng.random(n) < hapax_frac
+    syl = np.array(_SYLLABLES)
+    texts: list[str | None] = []
+    htmls: list[bytes | None] = []
+    for i in range(n):
+        s, e = doc_tok[i], doc_tok[i + 1]
+        cs, ce = pos[s], pos[e] - 1
+        body = joined[cs:ce]
+        title = joined[cs : pos[min(s + 5, e)] - 1]
+        if hapax_mask[i]:
+            did, hap = start_id + i, "q"
+            while True:
+                hap += syl[did % 60]
+                did //= 60
+                if did == 0:
+                    break
+            body = body + " " + hap
+        texts.append(_expected_text(title, [[body]]))
+        if include_html:
+            htmls.append(
+                _make_html(title, joined[cs : pos[min(s + 12, e)] - 1],
+                           title, [[body]]).encode("utf-8")
+            )
+        else:
+            htmls.append(None)
+    # ~1% duplicate bodies under distinct urls (within-batch pool)
+    dup = np.flatnonzero(rng.random(n) < 0.01)
+    for i in dup:
+        if i > 0:
+            j = int(rng.integers(0, i))
+            texts[i] = texts[j]
+            htmls[i] = htmls[j]
+    return {"dl": dl, "texts": texts, "htmls": htmls,
+            "langs": rng.integers(0, len(LANGS), size=n)}
+
+
+def write_corpus_parquet_fast(
+    path: str,
+    n_docs: int,
+    seed: int = SEED,
+    vocab_size: int | None = None,
+    hapax_frac: float = 0.3,
+    include_html: bool = True,
+    batch_rows: int = 16384,
+) -> dict:
+    """Stress-scale corpus writer: vectorized, streaming, realistic
+    vocabulary. Returns {"path", "vocab_size", "n_docs"}.
+
+    Differences from :func:`write_corpus_parquet` (the loop generator,
+    kept byte-stable for the per-round bench corpus): the Zipf universe
+    defaults to :func:`heaps_vocab_size` (10^5-10^6 at stress scale,
+    not 5k), ~``hapax_frac`` of docs append one globally-unique term
+    (the df=1 dictionary tail), docs are single-paragraph, duplicates
+    pool within a batch, and batches stream through a ParquetWriter so
+    10M docs never materialize in memory. ``include_html=False`` writes
+    NULL html (the index build reads only doc_id+text — column-pruned —
+    so html at 10M is synthesis cost, not engine work)."""
+    rng = np.random.default_rng(seed)
+    v = heaps_vocab_size(n_docs) if vocab_size is None else vocab_size
+    vocab = np.array(build_vocab(v))
+    cdf = np.cumsum(_zipf_probs(len(vocab)))
+    cdf[-1] = 1.0  # guard float round-off at the tail
+    base_us = int(
+        dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    span_us = int(dt.timedelta(days=30).total_seconds() * 1e6)
+    writer = pq.ParquetWriter(path, CORPUS_ARROW_SCHEMA)
+    try:
+        for start in range(0, n_docs, batch_rows):
+            n = min(batch_rows, n_docs - start)
+            b = _fast_batch(rng, vocab, cdf, start, n, hapax_frac,
+                            include_html)
+            ids = np.arange(start, start + n, dtype=np.int64)
+            ts = base_us + (ids * span_us) // max(n_docs - 1, 1)
+            table = pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "url": pa.array(
+                        [f"https://site{i % 97}.example/page/{i}"
+                         for i in ids]
+                    ),
+                    "warc_ts": pa.array(ts).cast(
+                        pa.timestamp("us", tz="UTC")
+                    ),
+                    "html": pa.array(b["htmls"], type=pa.binary()),
+                    "text": pa.array(b["texts"], type=pa.string()),
+                    "lang": pa.array(
+                        [LANGS[int(x)] for x in b["langs"]]
+                    ),
+                },
+                schema=CORPUS_ARROW_SCHEMA,
+            )
+            writer.write_table(table, row_group_size=4096)
+    finally:
+        writer.close()
+    return {"path": path, "vocab_size": int(v), "n_docs": int(n_docs)}
 
 
 def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:

@@ -3,11 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction run as Arrow-batched kernels over
 ``mapInPandas`` so one batch holds many payloads and heavy decoders
-amortize per batch. The decode itself is STUBBED in this container
-(no image/audio libs): ``decode_image_stub`` produces a deterministic
-fake (seeded by payload hash) with the real schema, partitioning and
-batch shape, and ``NotImplementedError`` marks where a real decoder
-(PIL/ffmpeg) plugs in.
+amortize per batch. Decode has three tiers: PIL when importable (fast
+path, compressed formats), the vendored pure-Python codec for
+uncompressed PPM/BMP (``operators/imagecodec.py`` — always available,
+so the real pixel path executes even in this no-PIL container), and a
+typed ``NotImplementedError`` for compressed payloads without PIL.
+``decode_image_stub``'s deterministic fake remains for payloads that
+are opaque by design (audio/video, synthetic blobs).
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from tlhop_library_spark.operators import imagecodec
 
 MEDIA_SCHEMA = StructType(
     [
@@ -75,21 +79,27 @@ def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to an HxWxC uint8 array via PIL.
+    """Decode an image payload to an HxWx3 uint8 array.
 
-    Raises NotImplementedError when no decoder is installed (this
-    container ships neither PIL nor ffmpeg) — the caller-visible
-    contract stays identical whenever the dependency appears."""
-    if not REAL_DECODE:
-        raise NotImplementedError(
-            "image decoding requires PIL/ffmpeg — not available in this "
-            "container; use extract_features (deterministic fake) instead"
-        )
-    import io
+    PIL when importable (any format it knows); otherwise the vendored
+    pure-Python codec decodes uncompressed PPM (P6) and 24-bit BMP.
+    Compressed formats without PIL raise NotImplementedError — the
+    caller-visible contract stays identical whenever the dependency
+    appears."""
+    payload = bytes(payload)
+    if REAL_DECODE:
+        import io
 
-    import PIL.Image
+        import PIL.Image
 
-    return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+        return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+    if imagecodec.sniff_format(payload) is not None:
+        return imagecodec.decode_any(payload)
+    raise NotImplementedError(
+        "decoding this format requires PIL/ffmpeg — not available in "
+        "this container (pure-Python fallback covers PPM/BMP only); "
+        "use extract_features (deterministic fake) instead"
+    )
 
 
 #: kept under the round-1 name for API compatibility
@@ -158,22 +168,31 @@ def resize_images(
     """Resize image payloads so the longer side is ≤ max_side,
     preserving aspect ratio. (media_id, payload, width, height).
 
-    Real path (PIL importable): decode → thumbnail → re-encode PNG,
-    vectorized across each Arrow batch. Without a decoder the payload
-    passes through untouched and the declared metadata dims are
-    clamped proportionally — the Spark-side plumbing (schema, batch
-    shape, partitioning) is identical either way, so the pipeline is
-    fully testable in this container and becomes lossless-real the
-    moment PIL appears."""
-    real = REAL_DECODE if use_real_decode is None else use_real_decode
-
+    Real path: decode → downscale → re-encode, vectorized across each
+    Arrow batch. With PIL that is thumbnail + PNG re-encode for any
+    format PIL reads; without PIL the vendored pure codec decodes
+    PPM/BMP, resizes nearest-neighbor in numpy, and re-encodes PPM —
+    real pixels either way. With ``use_real_decode=False`` (or for
+    payloads neither tier can decode when unset) the payload passes
+    through untouched and the declared metadata dims are clamped
+    proportionally — the Spark-side plumbing (schema, batch shape,
+    partitioning) is identical in every tier."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_w, out_h = [], [], []
             for _, r in pdf.iterrows():
                 w, h = r["width"], r["height"]
                 payload = bytes(r["payload"])
-                if real:
+                # unset → real pixels whenever some tier can decode this
+                # payload; True forces decode (raises on failure); False
+                # forces the metadata-clamp passthrough
+                decodable = REAL_DECODE or (
+                    imagecodec.sniff_format(payload) is not None
+                )
+                real = (
+                    decodable if use_real_decode is None else use_real_decode
+                )
+                if real and REAL_DECODE:
                     import io
 
                     import PIL.Image
@@ -183,6 +202,12 @@ def resize_images(
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     payload, (w, h) = buf.getvalue(), img.size
+                elif real:
+                    arr = imagecodec.resize_nearest(
+                        imagecodec.decode_any(payload), max_side
+                    )
+                    payload = imagecodec.encode_ppm(arr)
+                    h, w = arr.shape[:2]
                 else:
                     w = int(w) if w is not None else max_side
                     h = int(h) if h is not None else max_side

@@ -1,0 +1,234 @@
+"""Stress point at a REALISTIC web vocabulary (round-4 VERDICT ask #2).
+
+Round 3's 1M-doc stress ran against a 5,006-term dictionary — every
+term a head term, dictionary scans trivial, BMW mostly idle. This tool
+re-runs the stress at a Heaps-law vocabulary (10^5-10^6 Zipf universe
++ a df=1 hapax tail on ~30% of docs, the ids/typos/serials tail real
+web dictionaries carry) and reports the signals that regime actually
+exercises:
+
+- build throughput + phase breakdown (same build path, bigger shuffle
+  keys + a term_names/dictionary stage that now does real work)
+- manifest: terms, chunks, postings, bytes/posting, chunk-depth
+  distribution (max / p99 / blocks-per-chunk) and skew ratio
+- BMW engagement: per-query blocks decoded / total via the pruning
+  accumulators (head-term queries MUST show decode_fraction << 1)
+- dictionary scans at scale: exact lookup, fuzzy (levenshtein≤1),
+  prefix, and regexp expansion timings over the big dictionary
+- query p50 across head / mid / tail / hapax / mixed queries
+
+Usage:
+  python tools/bench_stress.py --docs 1000000 --workdir /tmp/stress1m
+  python tools/bench_stress.py --docs 10000000 --no-html \
+      --workdir /tmp/stress10m
+
+Writes <workdir>/stress_result.json and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _median_time(fn, runs: int = 3) -> tuple[float, object]:
+    """Median wall-clock of `runs` calls (first result returned)."""
+    out, times = None, []
+    for i in range(runs):
+        t0 = time.time()
+        r = fn()
+        times.append(time.time() - t0)
+        if i == 0:
+            out = r
+    return statistics.median(times), out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--vocab", type=int, default=None,
+                    help="Zipf universe size (default: heaps_vocab_size)")
+    ap.add_argument("--hapax-frac", type=float, default=0.3)
+    ap.add_argument("--no-html", action="store_true",
+                    help="NULL html column (build reads only doc_id+text)")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--keep-corpus", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    corpus = os.path.join(args.workdir, "corpus.parquet")
+
+    from tlhop_library_spark.corpus import (
+        build_vocab,
+        heaps_vocab_size,
+        write_corpus_parquet_fast,
+    )
+
+    vocab_size = args.vocab or heaps_vocab_size(args.docs)
+    result: dict = {"n_docs": args.docs, "zipf_universe": vocab_size,
+                    "hapax_frac": args.hapax_frac,
+                    "include_html": not args.no_html,
+                    "cores": args.cores}
+
+    if not (args.keep_corpus and os.path.exists(corpus)):
+        t0 = time.time()
+        write_corpus_parquet_fast(
+            corpus, args.docs, vocab_size=vocab_size,
+            hapax_frac=args.hapax_frac, include_html=not args.no_html,
+        )
+        result["gen_sec"] = round(time.time() - t0, 1)
+    result["corpus_bytes"] = os.path.getsize(corpus)
+
+    from tlhop_library_spark.index import IndexReader, build_index
+    from tlhop_library_spark.session import get_spark
+
+    spark = get_spark("stress", master=f"local[{args.cores}]",
+                      shuffle_partitions=2 * args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(corpus)
+    docs.count()  # warm FS cache before timing
+
+    idx = os.path.join(args.workdir, "idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    stats = build_index(spark, docs, idx)
+    build_sec = time.time() - t0
+    result["build_sec"] = round(build_sec, 1)
+    result["docs_per_sec"] = round(args.docs / build_sec, 1)
+    result["phases"] = {k: round(v, 1) for k, v in stats["phases"].items()}
+
+    # ---- manifest / segment statistics --------------------------------
+    seg = spark.read.parquet(os.path.join(idx, "segments"))
+    agg = seg.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("tid").alias("n_terms_postings"),
+        F.sum("n_postings").alias("postings"),
+        F.sum(F.octet_length("doc_bytes") + F.octet_length("tf_bytes")
+              + F.octet_length("dl_bytes")).alias("bytes"),
+        F.max("n_postings").alias("max_chunk_postings"),
+        F.expr("percentile_approx(n_postings, 0.99)").alias("p99_chunk"),
+        F.expr("percentile_approx(n_postings, 0.5)").alias("p50_chunk"),
+        (F.max("n_postings") / F.avg("n_postings")).alias("skew_ratio"),
+        F.sum(F.size("block_counts")).alias("n_blocks"),
+    ).collect()[0]
+    d = agg.asDict()
+    result["segments"] = {
+        "n_chunks": d["n_chunks"],
+        "n_terms": d["n_terms_postings"],
+        "postings": d["postings"],
+        "encoded_mb": round(d["bytes"] / 1e6, 1),
+        "bytes_per_posting": round(d["bytes"] / d["postings"], 2),
+        "chunk_postings_p50": int(d["p50_chunk"]),
+        "chunk_postings_p99": int(d["p99_chunk"]),
+        "chunk_postings_max": d["max_chunk_postings"],
+        "skew_ratio": round(d["skew_ratio"], 1),
+        "n_blocks": d["n_blocks"],
+    }
+
+    # ---- dictionary statistics ----------------------------------------
+    dic = spark.read.parquet(os.path.join(idx, "dictionary"))
+    dagg = dic.agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("hapax"),
+        F.max("df").alias("max_df"),
+    ).collect()[0]
+    result["dictionary"] = {
+        "n_terms": dagg["n_terms"],
+        "hapax_terms": dagg["hapax"],
+        "hapax_frac": round(dagg["hapax"] / dagg["n_terms"], 3),
+        "max_df": dagg["max_df"],
+        "preloaded": None,  # filled below from the reader
+    }
+
+    reader = IndexReader(spark, idx).cache()
+    result["dictionary"]["preloaded"] = reader._dict_mem is not None
+
+    # ---- query set: head / mid / tail / hapax / mixed ------------------
+    vocab = build_vocab(vocab_size)
+    v = len(vocab)
+    # a real df=1 hapax term straight from the dictionary
+    hap_row = (
+        dic.where((F.col("df") == 1) & F.col("term").startswith("q"))
+        .select("term").first()
+    )
+    hap = hap_row["term"] if hap_row else vocab[v - 1]
+    queries = {
+        "head1": vocab[0],
+        "head2": f"{vocab[0]} {vocab[3]}",
+        "mid2": f"{vocab[v // 1000]} {vocab[v // 100]}",
+        "tail2": f"{vocab[v // 10]} {vocab[v - 100]}",
+        "hapax": hap,
+        "mixed3": f"{vocab[1]} {vocab[v // 500]} {vocab[v - 500]}",
+    }
+    reader.search(vocab[0], 10).collect()  # spin up scorer workers
+    qstats = {}
+    for name, q in queries.items():
+        def run():
+            df = reader.search(q, 10, with_pruning_stats=True)
+            return df.collect()
+        med, rows = _median_time(run, 3)
+        pr = reader.last_pruning_stats()
+        info = reader.lookup_terms(
+            sorted(set(q.split()))
+        )
+        qstats[name] = {
+            "query": q,
+            "df": {t: v[0] for t, v in info.items()},
+            "sec": round(med, 3),
+            "hits": len(rows),
+            "blocks_decoded": pr["blocks_decoded"],
+            "blocks_total": pr["blocks_total"],
+            "decode_fraction": (
+                round(pr["decode_fraction"], 4)
+                if pr["decode_fraction"] is not None else None
+            ),
+        }
+    result["queries"] = qstats
+    lat = sorted(s["sec"] for s in qstats.values())
+    result["query_p50_sec"] = lat[len(lat) // 2]
+
+    # ---- dictionary scans at the big dictionary ------------------------
+    scans = {}
+    typo = vocab[v // 2][:-1] + "x"  # 1-edit miss of a mid term
+    med, hitsf = _median_time(
+        lambda: reader.lookup_terms_fuzzy([typo], max_edits=1), 3)
+    scans["fuzzy_1edit"] = {"probe": typo, "sec": round(med, 3),
+                            "matches": len(hitsf)}
+    med, hitsp = _median_time(
+        lambda: reader.lookup_terms_prefix(["zbana"],
+                                           max_expansions=5000), 3)
+    scans["prefix"] = {"probe": "zbana*", "sec": round(med, 3),
+                       "matches": len(hitsp)}
+    med, hitsr = _median_time(
+        lambda: reader.lookup_terms_regexp("zban[ao].*",
+                                           max_expansions=5000), 3)
+    scans["regexp"] = {"probe": "zban[ao].*", "sec": round(med, 3),
+                       "matches": len(hitsr)}
+    med, hitse = _median_time(
+        lambda: reader.lookup_terms([vocab[123], vocab[v - 123]]), 3)
+    scans["exact"] = {"sec": round(med, 4), "matches": len(hitse)}
+    result["dict_scans"] = scans
+
+    spark.stop()
+    out = os.path.join(args.workdir, "stress_result.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    if not args.keep_corpus:
+        os.remove(corpus)
+
+
+if __name__ == "__main__":
+    main()
