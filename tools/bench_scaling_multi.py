@@ -40,7 +40,41 @@ from bench_scaling import run_once  # noqa: E402
 OUT = REPO / "tools" / "scaling_studies.jsonl"
 
 
-def run_study(docs: int, runs: int, lo: int = 2) -> dict:
+def wait_quiet(
+    max_load: float = 0.5,
+    interval: int = 60,
+    timeout: int = 7200,
+    settle: int = 2,
+) -> float | None:
+    """Block until the host is measurably quiet: 1-min loadavg ≤
+    ``max_load`` on ``settle`` consecutive probes ``interval`` s apart
+    (one low reading right after a heavy job ends is not yet quiet —
+    round-3 forensics showed build-CPU inflation decaying over several
+    minutes as the memory subsystem drains). Returns the final load, or
+    None on timeout. This is the round-4 campaign gate: studies carry
+    their measured pre-study load in the record, and contended windows
+    are never entered instead of being explained after the fact."""
+    import os
+
+    deadline = time.time() + timeout
+    streak = 0
+    load = None
+    while time.time() < deadline:
+        load = os.getloadavg()[0]
+        if load <= max_load:
+            streak += 1
+            if streak >= settle:
+                return load
+        else:
+            streak = 0
+        print(f"quiet-gate: load1={load:.2f} (need ≤{max_load} "
+              f"x{settle}); waiting {interval}s", file=sys.stderr)
+        time.sleep(interval)
+    return None
+
+
+def run_study(docs: int, runs: int, lo: int = 2,
+              pre_load: float | None = None) -> dict:
     """One N-vs-4N study at parallelism pair (lo, 4*lo). The default
     2→8 pair is the primary criterion cell; 1→4 runs entirely below
     the host's bandwidth ceiling (extra headroom evidence) and 8→32
@@ -88,6 +122,7 @@ def run_study(docs: int, runs: int, lo: int = 2) -> dict:
         "t_wall": int(time.time()),
         "docs": docs,
         "runs": runs,
+        "pre_load": pre_load,
         "pair": [lo, hi],
         "local2": _lvl(res[lo]),
         "local8": _lvl(res[hi]),
@@ -178,11 +213,30 @@ def main() -> None:
         "8 crosses it)",
     )
     ap.add_argument("--report", action="store_true")
+    ap.add_argument(
+        "--quiet-gate", type=float, default=None, metavar="MAX_LOAD",
+        help="block until 1-min loadavg ≤ MAX_LOAD on consecutive "
+        "probes before starting; abort (exit 3) on gate timeout",
+    )
+    ap.add_argument("--gate-timeout", type=int, default=7200)
+    ap.add_argument(
+        "--studies", type=int, default=1,
+        help="number of gated studies to run back-to-back (each "
+        "re-waits for the gate)",
+    )
     args = ap.parse_args()
     if args.report:
         report()
-    else:
-        run_study(args.docs, args.runs, lo=args.lo)
+        return
+    for _ in range(args.studies):
+        load = None
+        if args.quiet_gate is not None:
+            load = wait_quiet(args.quiet_gate, timeout=args.gate_timeout)
+            if load is None:
+                print("quiet-gate: timeout — not running in a contended "
+                      "window", file=sys.stderr)
+                sys.exit(3)
+        run_study(args.docs, args.runs, lo=args.lo, pre_load=load)
 
 
 if __name__ == "__main__":
