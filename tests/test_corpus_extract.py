@@ -151,3 +151,45 @@ def test_fast_corpus_writer(tmp_path):
     assert t3.column("html").null_count == 3000
     assert t3.column("text").to_pylist() == texts
     assert info["vocab_size"] == 30_000
+
+
+def test_fast_corpus_burstiness(tmp_path):
+    """Burst events give torso terms a rare heavy-tailed within-doc tf
+    (the Church–Gale burstiness real webtext carries): a few docs are
+    ABOUT a term and repeat it many times, while its other postings
+    stay tf≈1. This is the distribution block-max pruning exists for —
+    iid Zipf draws make every block max flat and unprunable."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from tlhop_library_spark.corpus import (
+        build_vocab,
+        write_corpus_parquet_fast,
+    )
+
+    vocab = build_vocab(30_000)
+    head = set(vocab[:50])  # burst pool starts past the stopword head
+
+    def max_nonhead_tf(path):
+        texts = pq.read_table(path).column("text").to_pylist()
+        per_term: dict[str, int] = {}
+        for s in texts:
+            for t, m in collections.Counter(s.split()).items():
+                if t not in head and not t.startswith("q"):
+                    per_term[t] = max(per_term.get(t, 0), m)
+        return per_term
+
+    p = str(tmp_path / "bursty.parquet")
+    write_corpus_parquet_fast(p, 2000, vocab_size=30_000)
+    bursty = max_nonhead_tf(p)
+    big = {t for t, m in bursty.items() if m >= 15}
+    assert max(bursty.values()) >= 30  # P(m>=k)=1/k tail reaches deep
+    assert len(big) >= 10              # ...across many distinct terms
+    pool = set(vocab[50:])
+    assert big <= pool                 # bursts respect the pool band
+    # bursts off → pure iid Zipf: non-head tf stays Binomial-small
+    p0 = str(tmp_path / "iid.parquet")
+    write_corpus_parquet_fast(p0, 2000, vocab_size=30_000,
+                              bursts_per_doc=0)
+    assert max(max_nonhead_tf(p0).values()) < 15

@@ -228,3 +228,49 @@ def test_random_seed_corpora_rank_identity(spark, tmp_path, seed):
         got = _rows(reader.search(q, 10))
         want = numpy_oracle(corpus, q, 10)
         assert got == pytest.approx(want), f"seed={seed} q={q!r}"
+
+
+def test_default_range_sizing(spark, corpus_df, tmp_path):
+    """n_ranges defaults from CORPUS SIZE (~RANGE_DOCS docs per range),
+    not from shuffle partitions. Round-4 stress finding at a realistic
+    364k-term vocabulary: 64 fixed ranges at 1M docs shredded the
+    postings into 11.4M chunks (p50 = 1 posting/chunk — every tail
+    term split across every range) and kept torso chunks too shallow
+    for block-max pruning to engage. Sizing by docs-per-range bounds
+    both: tail terms get ≤ df chunks, torso chunks cross the BMW
+    depth, and the encoder group (one stopword × one range) stays a
+    few MB at any corpus size."""
+    from tlhop_library_spark.index import build_index
+    from tlhop_library_spark.index.build import RANGE_DOCS, default_n_ranges
+
+    assert default_n_ranges(800) == 1
+    assert default_n_ranges(RANGE_DOCS) == 1
+    assert default_n_ranges(RANGE_DOCS + 1) == 2
+    assert default_n_ranges(1_000_000) == math.ceil(1_000_000 / RANGE_DOCS)
+    assert default_n_ranges(10**12) == math.ceil(10**12 / RANGE_DOCS)
+    assert default_n_ranges(10**13) == 1 << 22  # range_id stays bounded
+    d = str(tmp_path / "idx_default")
+    build_index(spark, corpus_df, d)
+    reader = IndexReader(spark, d)
+    assert int(reader.stats["n_ranges"]) == 1
+    got = _rows(reader.search("coração tesa", 5, mode="bmw"))
+    assert got == _rows(reader.search("coração tesa", 5, mode="exhaustive"))
+
+
+def test_bursty_corpus_bmw_identity(spark, tmp_path):
+    """On a burst-heavy corpus (within-doc tf up to ~100 concentrated
+    in single blocks) the stored block-max bounds must remain true
+    upper bounds: bmw pruning stays exactly rank- and score-identical
+    to the exhaustive scan, for bursty pool terms and stopwords."""
+    from tlhop_library_spark.corpus import write_corpus_parquet_fast
+
+    p = str(tmp_path / "bursty.parquet")
+    write_corpus_parquet_fast(p, 4000, vocab_size=20_000)
+    docs = spark.read.parquet(p)
+    d = str(tmp_path / "bidx")
+    IndexBuilder(spark, d, n_buckets=8, n_ranges=1).build(docs)
+    reader = IndexReader(spark, d)
+    vocab = build_vocab(20_000)
+    for q in (vocab[60], f"coração {vocab[60]}", f"{vocab[55]} {vocab[90]}"):
+        got = _rows(reader.search(q, 10, mode="bmw"))
+        assert got == _rows(reader.search(q, 10, mode="exhaustive")), q

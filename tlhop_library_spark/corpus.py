@@ -81,11 +81,13 @@ def build_vocab(size: int = VOCAB_SIZE) -> list[str]:
 
 #: Heaps-law constants for web text: V ≈ k·(total tokens)^β with
 #: k≈30, β≈0.5 (Baeza-Yates & Ribeiro-Neto, Modern Information
-#: Retrieval §6; mean v1 doc length ≈ 148 tokens at the generator's
-#: log-normal(4.5, 1.0) clipped to [10, 2000]).
+#: Retrieval §6; mean doc length ≈ 150-170 tokens at the fast
+#: generator's log-normal(4.5, 1.0) clipped to [50, 2000] plus burst
+#: events — an order-of-magnitude input to the vocabulary estimate,
+#: not a calibration constant).
 HEAPS_K = 30.0
 HEAPS_BETA = 0.5
-MEAN_DL = 148
+MEAN_DL = 160
 VOCAB_CAP = 1_000_000
 
 
@@ -209,6 +211,23 @@ CORPUS_ARROW_SCHEMA = pa.schema(
 )
 
 
+#: burst-event model (Church & Gale burstiness): each doc picks
+#: ``BURSTS_PER_DOC`` terms UNIFORMLY from the torso pool
+#: [BURST_LO, BURST_HI) and repeats each m extra times with the
+#: heavy-tailed m = min(floor(1/U), BURST_CAP)  (P(m ≥ k) = 1/k).
+#: Uniform — not Zipf — pool picks are deliberate: every pool term
+#: gets ~n_docs·BURSTS_PER_DOC/|pool| rare high-tf "about" docs
+#: REGARDLESS of its incidental Zipf df, which is the real-webtext
+#: shape (a few pages are about a term and mention it many times;
+#: its other postings stay tf≈1). iid Zipf draws alone give tf ∝
+#: rate·dl — flat block maxima that NO exact max-score algorithm
+#: (BMW/WAND) can prune; the rare-burst tail is the regime
+#: block-max pruning exists for.
+BURST_LO = 50
+BURST_HI = 100_000
+BURST_CAP = 100
+
+
 def _fast_batch(
     rng: np.random.Generator,
     vocab: np.ndarray,
@@ -217,13 +236,22 @@ def _fast_batch(
     n: int,
     hapax_frac: float,
     include_html: bool,
+    bursts_per_doc: int = 3,
 ) -> dict[str, list]:
     """One vectorized batch of the stress-scale generator.
 
     The per-token work (Zipf draw via one searchsorted, string lookup,
     length accounting) is all numpy; the per-DOC loop only slices a
-    single pre-joined string — O(docs) cheap ops, not O(tokens)."""
-    dl = np.clip(rng.lognormal(mean=4.5, sigma=1.0, size=n), 10, 2000).astype(
+    single pre-joined string — O(docs) cheap ops, not O(tokens).
+
+    The doc-length floor is 50 tokens — post-filter webtext (Gopher
+    rule 1 drops <50-word pages, and CC-style corpora are consumed
+    after that filter). Realism aside, a floor of 10 makes BM25's
+    tf=1 ceiling weight(tf=1, dl=10) ≈ 0.74 ≈ the burst-doc score,
+    and since ~2% of docs sit near it, every 128-posting block
+    carries one — flattening block maxima into the unprunable regime
+    for reasons that have nothing to do with real text."""
+    dl = np.clip(rng.lognormal(mean=4.5, sigma=1.0, size=n), 50, 2000).astype(
         np.int64
     )
     idx = np.searchsorted(cdf, rng.random(int(dl.sum())), side="right")
@@ -239,6 +267,17 @@ def _fast_batch(
     # ('q' + base-60 doc_id — disjoint from every vocab word), the
     # ids/typos/serials tail that dominates real web dictionaries
     hapax_mask = rng.random(n) < hapax_frac
+    # burst events (see BURST_* note above); all draws are taken
+    # unconditionally and independently of include_html so the token
+    # stream is reproducible across html on/off runs
+    burst_hi = min(BURST_HI, len(vocab))
+    do_burst = bursts_per_doc > 0 and burst_hi > BURST_LO
+    if do_burst:
+        bterm = rng.integers(BURST_LO, burst_hi, size=(n, bursts_per_doc))
+        bcnt = np.minimum(
+            (1.0 / rng.random((n, bursts_per_doc))).astype(np.int64),
+            BURST_CAP,
+        )
     syl = np.array(_SYLLABLES)
     texts: list[str | None] = []
     htmls: list[bytes | None] = []
@@ -247,6 +286,10 @@ def _fast_batch(
         cs, ce = pos[s], pos[e] - 1
         body = joined[cs:ce]
         title = joined[cs : pos[min(s + 5, e)] - 1]
+        if do_burst:
+            body = body + " " + " ".join(
+                np.repeat(vocab[bterm[i]], bcnt[i]).tolist()
+            )
         if hapax_mask[i]:
             did, hap = start_id + i, "q"
             while True:
@@ -282,6 +325,7 @@ def write_corpus_parquet_fast(
     hapax_frac: float = 0.3,
     include_html: bool = True,
     batch_rows: int = 16384,
+    bursts_per_doc: int = 3,
 ) -> dict:
     """Stress-scale corpus writer: vectorized, streaming, realistic
     vocabulary. Returns {"path", "vocab_size", "n_docs"}.
@@ -290,11 +334,14 @@ def write_corpus_parquet_fast(
     kept byte-stable for the per-round bench corpus): the Zipf universe
     defaults to :func:`heaps_vocab_size` (10^5-10^6 at stress scale,
     not 5k), ~``hapax_frac`` of docs append one globally-unique term
-    (the df=1 dictionary tail), docs are single-paragraph, duplicates
-    pool within a batch, and batches stream through a ParquetWriter so
-    10M docs never materialize in memory. ``include_html=False`` writes
-    NULL html (the index build reads only doc_id+text — column-pruned —
-    so html at 10M is synthesis cost, not engine work)."""
+    (the df=1 dictionary tail), ``bursts_per_doc`` burst events per doc
+    give torso terms the rare heavy-tailed within-doc tf real webtext
+    carries (see the BURST_* note — 0 disables), docs are
+    single-paragraph, duplicates pool within a batch, and batches
+    stream through a ParquetWriter so 10M docs never materialize in
+    memory. ``include_html=False`` writes NULL html (the index build
+    reads only doc_id+text — column-pruned — so html at 10M is
+    synthesis cost, not engine work)."""
     rng = np.random.default_rng(seed)
     v = heaps_vocab_size(n_docs) if vocab_size is None else vocab_size
     vocab = np.array(build_vocab(v))
@@ -309,7 +356,7 @@ def write_corpus_parquet_fast(
         for start in range(0, n_docs, batch_rows):
             n = min(batch_rows, n_docs - start)
             b = _fast_batch(rng, vocab, cdf, start, n, hapax_frac,
-                            include_html)
+                            include_html, bursts_per_doc=bursts_per_doc)
             ids = np.arange(start, start + n, dtype=np.int64)
             ts = base_us + (ids * span_us) // max(n_docs - 1, 1)
             table = pa.table(

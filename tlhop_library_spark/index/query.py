@@ -2116,7 +2116,12 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
             return empty
 
         ub_remaining = sum(rem_best.values())
-        if ub_remaining > 0.0:
+        # Single-term ranges skip phase B outright: a doc appears in
+        # ≤ 1 block per term, so every SEEN doc's score is already
+        # exact, and the phase-A stop rule guarantees every unseen doc
+        # is ≤ ub_remaining ≤ θ — decoding skipped blocks could only
+        # rediscover docs provably outside the top-k.
+        if ub_remaining > 0.0 and len(remaining) > 1:
             theta = (
                 float(
                     np.partition(acc_scores, len(acc_scores) - k)[
@@ -2130,12 +2135,26 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
             cand_arr = acc_docs[keep]           # sorted (slice of sorted)
             cand_scores = acc_scores[keep].copy()
             if len(cand_arr):
-                lo, hi = int(cand_arr[0]), int(cand_arr[-1])
                 for ub, ri, bi in blocks:
                     if (ri, bi) in processed:
                         continue
                     row = pdf.iloc[ri]
-                    if row["block_last_docs"][bi] < lo or row["block_first_docs"][bi] > hi:
+                    # exact span test against the SORTED candidate set
+                    # (not a [min,max] envelope: when a rare term's
+                    # docs set θ, candidates are spread over the whole
+                    # doc space and an envelope excludes nothing — the
+                    # round-4 stress showed phase B decoding every
+                    # skipped stopword block just to find isin empty):
+                    # some candidate lies in [first_doc, last_doc] iff
+                    # the first candidate ≥ first_doc is ≤ last_doc
+                    j = int(
+                        np.searchsorted(
+                            cand_arr, int(row["block_first_docs"][bi])
+                        )
+                    )
+                    if j >= len(cand_arr) or int(cand_arr[j]) > int(
+                        row["block_last_docs"][bi]
+                    ):
                         continue
                     docs, tfs, dls = _decode_block(row, bi)
                     sel = np.isin(docs, cand_arr)

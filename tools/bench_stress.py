@@ -154,10 +154,32 @@ def main() -> None:
 
     reader = IndexReader(spark, idx).cache()
     result["dictionary"]["preloaded"] = reader._dict_mem is not None
+    result["layout"] = {
+        "n_ranges": int(reader.stats["n_ranges"]),
+        "range_size": int(reader.stats["range_size"]),
+    }
 
-    # ---- query set: head / mid / tail / hapax / mixed ------------------
+    # ---- query set: picked by MEASURED df band, not vocab rank ---------
+    # (rank→df is generator-dependent; df bands pin the regime each
+    # query exercises: stopwords are unprunable by nature — idf≈0 and
+    # flat block maxima, same in Lucene; the torso band is where
+    # block-max pruning must engage; mid-df routes to the auto
+    # exhaustive scan; tail/hapax are the dictionary-lookup regime)
     vocab = build_vocab(vocab_size)
     v = len(vocab)
+
+    def band(lo_df: float, hi_df: float, k: int = 1) -> list[str]:
+        rows = (
+            dic.where((F.col("df") >= int(lo_df)) & (F.col("df") <= int(hi_df)))
+            .orderBy(F.desc("df"), "term").limit(k).collect()
+        )
+        return [r["term"] for r in rows]
+
+    nd = args.docs
+    stop = band(0.3 * nd, nd, 2)
+    torso = band(0.02 * nd, 0.1 * nd, 2)
+    mid = band(0.001 * nd, 0.004 * nd, 2)
+    tail = band(10, 200, 2)
     # a real df=1 hapax term straight from the dictionary
     hap_row = (
         dic.where((F.col("df") == 1) & F.col("term").startswith("q"))
@@ -165,12 +187,15 @@ def main() -> None:
     )
     hap = hap_row["term"] if hap_row else vocab[v - 1]
     queries = {
-        "head1": vocab[0],
-        "head2": f"{vocab[0]} {vocab[3]}",
-        "mid2": f"{vocab[v // 1000]} {vocab[v // 100]}",
-        "tail2": f"{vocab[v // 10]} {vocab[v - 100]}",
+        "stop1": stop[0],
+        "stop2": " ".join(stop[:2]),
+        "torso1": torso[0] if torso else vocab[100],
+        "torso2": " ".join(torso[:2]) if len(torso) > 1 else vocab[120],
+        "mid2": " ".join(mid[:2]),
+        "tail2": " ".join(tail[:2]),
         "hapax": hap,
-        "mixed3": f"{vocab[1]} {vocab[v // 500]} {vocab[v - 500]}",
+        "mixed3": f"{stop[0]} {torso[0] if torso else vocab[100]} "
+                  f"{tail[0]}",
     }
     reader.search(vocab[0], 10).collect()  # spin up scorer workers
     qstats = {}
