@@ -2077,10 +2077,34 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
 
         acc_docs = np.empty(0, dtype=np.int64)   # sorted doc ids
         acc_scores = np.empty(0, dtype=np.float64)
+        # pending decoded-but-unmerged postings: merging into the
+        # sorted accumulator after EVERY 16-block chunk is O(chunks ×
+        # |acc|) — quadratic-ish for unprunable stopword queries where
+        # |acc| grows toward the range's doc count. Buffer pending
+        # parts and merge geometrically (when pending ≥ max(one
+        # chunk's postings, |acc|/2)) → amortized O(N log N) total,
+        # while prunable queries (small |acc|) still merge every chunk
+        # and keep today's ≤ PRUNE_CHUNK-1 extra-decode bound. The
+        # stop rule is only checked at merge points (pending empty) —
+        # checking less often can only decode extra blocks, never
+        # change the result.
+        pend_d: list[np.ndarray] = []
+        pend_s: list[np.ndarray] = []
+        pend_n = 0
         processed = set()
         pos = 0
+
+        def _merge_pending():
+            nonlocal acc_docs, acc_scores, pend_d, pend_s, pend_n
+            new_docs = np.concatenate([acc_docs] + pend_d)
+            new_scores = np.concatenate([acc_scores] + pend_s)
+            acc_docs, inv = np.unique(new_docs, return_inverse=True)
+            acc_scores = np.zeros(len(acc_docs), dtype=np.float64)
+            np.add.at(acc_scores, inv, new_scores)
+            pend_d, pend_s, pend_n = [], [], 0
+
         while pos < len(blocks):
-            if len(acc_docs) >= k:
+            if pend_n == 0 and len(acc_docs) >= k:
                 theta = float(
                     np.partition(acc_scores, len(acc_scores) - k)[
                         len(acc_scores) - k
@@ -2092,25 +2116,24 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
                 if theta >= sum(rem_best.values()) + _EPS:
                     break
             chunk = blocks[pos : pos + PRUNE_CHUNK]
-            parts_d, parts_s = [], []
             for ub, ri, bi in chunk:
                 row = pdf.iloc[ri]
                 term = terms_in_range[ri]
                 docs, tfs, dls = _decode_block(row, bi)
-                parts_d.append(docs)
-                parts_s.append(bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[term])
+                pend_d.append(docs)
+                pend_s.append(bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[term])
+                pend_n += len(docs)
                 processed.add((ri, bi))
                 consumed[term] += 1
                 tb = remaining[term]
                 rem_best[term] = (
                     tb[consumed[term]] if consumed[term] < len(tb) else 0.0
                 )
-            new_docs = np.concatenate([acc_docs] + parts_d)
-            new_scores = np.concatenate([acc_scores] + parts_s)
-            acc_docs, inv = np.unique(new_docs, return_inverse=True)
-            acc_scores = np.zeros(len(acc_docs), dtype=np.float64)
-            np.add.at(acc_scores, inv, new_scores)
             pos += len(chunk)
+            if pend_n >= max(PRUNE_CHUNK * 128, len(acc_docs) // 2):
+                _merge_pending()
+        if pend_n:
+            _merge_pending()
 
         if len(acc_docs) == 0:
             return empty

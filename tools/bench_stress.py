@@ -63,6 +63,8 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--keep-corpus", action="store_true")
+    ap.add_argument("--keep-index", action="store_true",
+                    help="reuse <workdir>/idx (query-side re-measure)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -101,13 +103,28 @@ def main() -> None:
     docs.count()  # warm FS cache before timing
 
     idx = os.path.join(args.workdir, "idx")
-    shutil.rmtree(idx, ignore_errors=True)
-    t0 = time.time()
-    stats = build_index(spark, docs, idx)
-    build_sec = time.time() - t0
-    result["build_sec"] = round(build_sec, 1)
-    result["docs_per_sec"] = round(args.docs / build_sec, 1)
-    result["phases"] = {k: round(v, 1) for k, v in stats["phases"].items()}
+    if args.keep_index and os.path.exists(os.path.join(idx, "stats.json")):
+        # query-only re-measurement over the previously built index
+        # (valid whenever the change under test is query-side only);
+        # carry the prior run's build numbers forward, marked reused
+        prev = os.path.join(args.workdir, "stress_result.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                p = json.load(f)
+            result["build_sec"] = p.get("build_sec")
+            result["docs_per_sec"] = p.get("docs_per_sec")
+            result["phases"] = p.get("phases")
+        result["build_reused"] = True
+    else:
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        stats = build_index(spark, docs, idx)
+        build_sec = time.time() - t0
+        result["build_sec"] = round(build_sec, 1)
+        result["docs_per_sec"] = round(args.docs / build_sec, 1)
+        result["phases"] = {
+            k: round(v, 1) for k, v in stats["phases"].items()
+        }
 
     # ---- manifest / segment statistics --------------------------------
     seg = spark.read.parquet(os.path.join(idx, "segments"))
