@@ -48,6 +48,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -359,7 +360,17 @@ class IndexBuilder:
             "doc_id", tokens_col(F.col("text")).alias("tokens")
         ).withColumn("dl", F.size("tokens"))
 
-        with_tokens = with_tokens.persist()
+        # DISK_ONLY, not the MEMORY_AND_DISK default: the token cache is
+        # the largest intermediate of the whole build (every token of
+        # every doc), and the default level unrolls each block through
+        # the heap memory store WHILE the same 32 task threads hold
+        # tokenizer + parquet-writer buffers — at 10M docs that unroll
+        # OOMs a 16g heap. DISK_ONLY streams blocks straight to
+        # spark.local.dir (tmpfs here, executor-local SSD on a real
+        # cluster), keeping heap flat regardless of corpus size; the
+        # cache is read back sequentially exactly twice (term_names,
+        # segment encode), where decode cost is dwarfed by the shuffle.
+        with_tokens = with_tokens.persist(StorageLevel.DISK_ONLY)
         completed = self._completed_groups() if resume else set()
 
         # The doc_lengths write is the FIRST action: it materializes
