@@ -125,6 +125,11 @@ def main() -> None:
         result["phases"] = {
             k: round(v, 1) for k, v in stats["phases"].items()
         }
+        # Drop every cache the build pinned before the query phase: at
+        # the 10M point the same-JVM warm-up search otherwise competes
+        # with leftover build blocks for heap (observed OOM on a 16g
+        # heap; a fresh-JVM query run over the same index is fine).
+        spark.catalog.clearCache()
 
     # ---- manifest / segment statistics --------------------------------
     seg = spark.read.parquet(os.path.join(idx, "segments"))
