@@ -26,7 +26,9 @@ Two paths, asserted rank-identical by tests:
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 
 import numpy as np
@@ -2674,11 +2676,15 @@ class IndexReader:
 
         Scale shape: step 2 scans ONLY the segment chunks of the
         feedback docs' ranges (range_id pushdown — a handful of doc-
-        space slices regardless of corpus size), masks the decoded
-        postings to the ≤ fb_docs ids riding in the kernel closure,
-        and ships one (tid, weight) row per distinct feedback-doc term;
-        expansion selection is a distributed (weight, term) top-m via
-        the dictionary join — no driver-side vocabulary scan."""
+        space slices regardless of corpus size) whose
+        [first_doc, last_doc] window covers some feedback id (a
+        parquet-pushable OR over ≤ fb_docs point predicates), decodes
+        them MAP-SIDE at scan parallelism (mapInPandas — no shuffle,
+        no per-range task cap), masks the decoded postings to the
+        ≤ fb_docs ids riding in the kernel closure, and ships one
+        (tid, weight) row per distinct feedback-doc term; expansion
+        selection is a distributed (weight, term) top-m via the
+        dictionary join — no driver-side vocabulary scan."""
         empty = self.spark.createDataFrame(
             [], "rank int, doc_id long, score double"
         )
@@ -2699,34 +2705,128 @@ class IndexReader:
         )
         range_size = int(self.stats["range_size"])
         ranges = sorted({int(d) // range_size for d in fb_ids})
+        # chunk-window pruning: a chunk can only contribute if its
+        # [first_doc, last_doc] span covers SOME feedback id — one
+        # parquet-pushable OR over the ≤ fb_docs ids (row-group stats
+        # on first_doc/last_doc skip non-covering chunks at scan time)
+        window = functools.reduce(
+            operator.or_,
+            [
+                (F.col("first_doc") <= int(d))
+                & (F.col("last_doc") >= int(d))
+                for d in fb_ids
+            ],
+        )
         seg = self._segments.where(
-            F.col("range_id").isin(ranges)
+            F.col("range_id").isin(ranges) & window
         ).select(*[f.name for f in SEGMENT_SCHEMA.fields])
-        from tlhop_library_spark.index.phrase import decode_chunk
 
-        def fb_weights(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            tids_out, w_out = [], []
-            for ri in range(len(pdf)):
-                row = pdf.iloc[ri]
-                docs_, tfs_, dls_ = decode_chunk(row)
-                m = np.isin(docs_, fb_ids, assume_unique=True)
-                if not m.any():
-                    continue
-                tids_out.append(int(row["tid"]))
-                w_out.append(
-                    float(
-                        (tfs_[m].astype(np.float64)
-                         / dls_[m].astype(np.float64)).sum()
-                    )
-                )
+        def fb_weights(it) -> "pd.DataFrame":
+            for pdf in it:
+                yield _fb_weights_one(pdf)
+
+        def _fb_weights_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            # BLOCK-level, fully vectorized decode. The chunk-window
+            # filter above cannot prune wide-window (head-term)
+            # chunks, and of the chunks that DO span a feedback id
+            # only ~|fb| × types-per-doc actually contain one — so the
+            # kernel must spend O(1) python per batch, not per chunk:
+            #   1. flatten every chunk's block directory and mask the
+            #      blocks covering some feedback id (|fb| vectorized
+            #      passes over the flat directory);
+            #   2. gather the selected blocks' doc-gap slices, decode
+            #      them in ONE varint_decode call (LEB128 streams
+            #      concatenate losslessly), cumsum-reset per block;
+            #   3. isin against the feedback ids; tf/dl streams are
+            #      decoded only for the blocks with actual hits.
+            empty_out = pd.DataFrame(
+                {"tid": pd.Series([], dtype="int64"),
+                 "w": pd.Series([], dtype="float64")}
+            )
+            nrows = len(pdf)
+            if nrows == 0:
+                return empty_out
+            from tlhop_library_spark.index.phrase import _cum_reset
+
+            bf_l = pdf["block_first_docs"].tolist()
+            bl_l = pdf["block_last_docs"].tolist()
+            nb = np.fromiter((len(x) for x in bf_l), dtype=np.int64,
+                             count=nrows)
+            flat_bf = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in bf_l]
+            )
+            flat_bl = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in bl_l]
+            )
+            cover = np.zeros(flat_bf.shape, dtype=bool)
+            for d in fb_ids:
+                cover |= (flat_bf <= d) & (flat_bl >= d)
+            sel = np.nonzero(cover)[0]
+            if sel.size == 0:
+                return empty_out
+            row_of_blk = np.repeat(np.arange(nrows), nb)
+            blk_starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+            sel_row = row_of_blk[sel]
+            sel_bi = sel - blk_starts[sel_row]
+
+            cnt_l = pdf["block_counts"].tolist()
+            od_l = pdf["block_doc_offsets"].tolist()
+            db_l = pdf["doc_bytes"].tolist()
+            doc_parts, cnts_sel = [], np.empty(sel.size, dtype=np.int64)
+            for i in range(sel.size):
+                ri, bi = int(sel_row[i]), int(sel_bi[i])
+                od, db = od_l[ri], db_l[ri]
+                end = od[bi + 1] if bi + 1 < len(od) else len(db)
+                doc_parts.append(bytes(db[od[bi]:end]))
+                cnts_sel[i] = cnt_l[ri][bi]
+            gaps = varint_decode(b"".join(doc_parts),
+                                 int(cnts_sel.sum())).astype(np.int64)
+            docs_flat = _cum_reset(gaps, cnts_sel)
+            hits = np.isin(docs_flat, fb_ids, assume_unique=True)
+            if not hits.any():
+                return empty_out
+            pstart = np.concatenate(([0], np.cumsum(cnts_sel)))
+            blk_of_post = np.repeat(np.arange(sel.size), cnts_sel)
+            hit_blocks = np.unique(blk_of_post[hits])
+
+            ot_l = pdf["block_tf_offsets"].tolist()
+            ol_l = pdf["block_dl_offsets"].tolist()
+            tb_l = pdf["tf_bytes"].tolist()
+            lb_l = pdf["dl_bytes"].tolist()
+            tf_parts, dl_parts, m_parts = [], [], []
+            for b in hit_blocks:
+                ri, bi = int(sel_row[b]), int(sel_bi[b])
+                ot, ol = ot_l[ri], ol_l[ri]
+                tb, lb = tb_l[ri], lb_l[ri]
+                t_end = ot[bi + 1] if bi + 1 < len(ot) else len(tb)
+                l_end = ol[bi + 1] if bi + 1 < len(ol) else len(lb)
+                tf_parts.append(bytes(tb[ot[bi]:t_end]))
+                dl_parts.append(bytes(lb[ol[bi]:l_end]))
+                m_parts.append(hits[pstart[b]:pstart[b + 1]])
+            n2 = int(cnts_sel[hit_blocks].sum())
+            tfs2 = varint_decode(b"".join(tf_parts), n2)
+            dls2 = varint_decode(b"".join(dl_parts), n2)
+            m2 = np.concatenate(m_parts)
+            contrib = (tfs2[m2].astype(np.float64)
+                       / dls2[m2].astype(np.float64))
+            row_per_hit = np.repeat(sel_row[hit_blocks],
+                                    cnts_sel[hit_blocks])[m2]
+            w_rows = np.zeros(nrows, dtype=np.float64)
+            np.add.at(w_rows, row_per_hit, contrib)
+            nz = np.nonzero(w_rows)[0]
             return pd.DataFrame(
-                {"tid": pd.Series(tids_out, dtype="int64"),
-                 "w": pd.Series(w_out, dtype="float64")}
+                {"tid": pdf["tid"].to_numpy()[nz].astype("int64"),
+                 "w": w_rows[nz]}
             )
 
+        # mapInPandas, NOT groupBy(range_id).applyInPandas: the kernel
+        # is per-chunk (the group key was never used), grouping forced
+        # a shuffle AND capped parallelism at len(ranges) — a handful
+        # of tasks regardless of cluster size, and at sf0.1 exactly
+        # ONE task decoding every chunk. Map-side it runs at scan
+        # parallelism with no shuffle before the tiny (tid, w) agg.
         cand = (
-            seg.groupBy("range_id")
-            .applyInPandas(fb_weights, schema="tid long, w double")
+            seg.mapInPandas(fb_weights, schema="tid long, w double")
             .groupBy("tid")
             .agg(F.sum("w").alias("w"))
         )
