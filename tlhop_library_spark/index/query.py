@@ -1995,10 +1995,13 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
         avgdl = float(pdf["avgdl"].iloc[0])
+        # one row-Series per CHUNK, fetched once — the kernel touches
+        # rows per BLOCK (up to thousands per stopword chunk) and
+        # pdf.iloc per block was ~30% of kernel time in profiles
+        rows = [pdf.iloc[ri] for ri in range(len(pdf))]
         # gather per-block tasks: (ub, chunk_row_idx, block_idx)
         blocks = []
-        for ri in range(len(pdf)):
-            row = pdf.iloc[ri]
+        for ri, row in enumerate(rows):
             idf = idf_map[row["tid"]]
             bmax = row["block_max_w"]
             for bi in range(len(bmax)):
@@ -2027,12 +2030,30 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
             )
 
         if local_mode == "exhaustive":
+            # exhaustive decodes EVERY block, so decode whole chunks —
+            # one varint call per stream per CHUNK instead of three
+            # per 128-posting block (the per-call fixed overhead was
+            # the kernel's hottest line in profiles)
+            from tlhop_library_spark.index.phrase import decode_chunk
+
             parts_d, parts_s = [], []
-            for ub, ri, bi in blocks:
-                row = pdf.iloc[ri]
-                docs, tfs, dls = _decode_block(row, bi)
+            for ri, row in enumerate(rows):
+                n_blk = len(row["block_max_w"])
+                if n_blk == 0:
+                    continue
+                if acc_decoded is not None:
+                    acc_decoded.add(n_blk)
+                docs, tfs, dls = decode_chunk(row)
+                if deleted is not None and deleted.size:
+                    from tlhop_library_spark.index.delete import (
+                        mask_deleted,
+                    )
+
+                    docs, tfs, dls, _ = mask_deleted(
+                        docs, tfs, dls, deleted
+                    )
                 w = bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[row["tid"]]
-                parts_d.append(docs)
+                parts_d.append(docs.astype(np.int64, copy=False))
                 parts_s.append(w)
             if not parts_d:
                 return empty
@@ -2118,19 +2139,59 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
                 if theta >= sum(rem_best.values()) + _EPS:
                     break
             chunk = blocks[pos : pos + PRUNE_CHUNK]
-            for ub, ri, bi in chunk:
-                row = pdf.iloc[ri]
+            # batched decode: one varint call per stream for the whole
+            # 16-block chunk (LEB128 streams concatenate losslessly;
+            # doc gaps restart per block → _cum_reset on the counts).
+            # Identical arrays to per-block _decode_block, ~16× fewer
+            # fixed-overhead numpy decode calls.
+            d_parts, t_parts, l_parts = [], [], []
+            cnts = np.empty(len(chunk), dtype=np.int64)
+            idfs = np.empty(len(chunk), dtype=np.float64)
+            for ci, (ub, ri, bi) in enumerate(chunk):
+                row = rows[ri]
                 term = terms_in_range[ri]
-                docs, tfs, dls = _decode_block(row, bi)
-                pend_d.append(docs)
-                pend_s.append(bm25.tf_weight_np(tfs, dls, avgdl) * idf_map[term])
-                pend_n += len(docs)
+                off_d = row["block_doc_offsets"]
+                off_t = row["block_tf_offsets"]
+                off_l = row["block_dl_offsets"]
+                db, tb_b, lb = (row["doc_bytes"], row["tf_bytes"],
+                                row["dl_bytes"])
+                nb_r = len(off_d)
+                d_end = off_d[bi + 1] if bi + 1 < nb_r else len(db)
+                t_end = off_t[bi + 1] if bi + 1 < nb_r else len(tb_b)
+                l_end = off_l[bi + 1] if bi + 1 < nb_r else len(lb)
+                d_parts.append(db[off_d[bi]:d_end])
+                t_parts.append(tb_b[off_t[bi]:t_end])
+                l_parts.append(lb[off_l[bi]:l_end])
+                cnts[ci] = row["block_counts"][bi]
+                idfs[ci] = idf_map[row["tid"]]
                 processed.add((ri, bi))
                 consumed[term] += 1
                 tb = remaining[term]
                 rem_best[term] = (
                     tb[consumed[term]] if consumed[term] < len(tb) else 0.0
                 )
+            if acc_decoded is not None:
+                acc_decoded.add(len(chunk))
+            n_flat = int(cnts.sum())
+            gaps = varint_decode(b"".join(d_parts), n_flat)
+            from tlhop_library_spark.index.phrase import _cum_reset
+
+            docs_f = _cum_reset(gaps.astype(np.int64), cnts)
+            tfs_f = varint_decode(b"".join(t_parts), n_flat)
+            dls_f = varint_decode(b"".join(l_parts), n_flat)
+            idf_f = np.repeat(idfs, cnts)
+            if deleted is not None and deleted.size:
+                keep = ~np.isin(docs_f, deleted)
+                if not keep.all():
+                    docs_f, tfs_f, dls_f, idf_f = (
+                        docs_f[keep], tfs_f[keep], dls_f[keep],
+                        idf_f[keep],
+                    )
+            pend_d.append(docs_f)
+            pend_s.append(
+                bm25.tf_weight_np(tfs_f, dls_f, avgdl) * idf_f
+            )
+            pend_n += len(docs_f)
             pos += len(chunk)
             if pend_n >= max(PRUNE_CHUNK * 128, len(acc_docs) // 2):
                 _merge_pending()
@@ -2163,7 +2224,7 @@ def _range_scorer(idf_map: dict[str, float], k: int, mode: str,
                 for ub, ri, bi in blocks:
                     if (ri, bi) in processed:
                         continue
-                    row = pdf.iloc[ri]
+                    row = rows[ri]
                     # exact span test against the SORTED candidate set
                     # (not a [min,max] envelope: when a rare term's
                     # docs set θ, candidates are spread over the whole
