@@ -291,7 +291,8 @@ class IndexBuilder:
         return exploded
 
     def _encode_group_df(
-        self, part: DataFrame, avgdl: float, range_size: int
+        self, part: DataFrame, avgdl: float, range_size: int,
+        n_tokens: int | None = None,
     ) -> DataFrame:
         """The one-wide-shuffle encode plan for one postings subset:
         repartition pins (bucket, range_id) groups to partitions; the
@@ -311,9 +312,20 @@ class IndexBuilder:
             n_buckets=self.n_buckets, range_size=range_size,
             positions=self.positions,
         )
+        # 4× the shuffle width is right for large inputs (measured at
+        # 1M docs: 256 parts beat 87 — the extra fan-out overlaps the
+        # Arrow producer with the Python encoder); for TINY inputs it
+        # just schedules empty-ish tasks and writes confetti files, so
+        # when the token count is known, cap partitions at one per
+        # ~700k tokens (floored at the cluster's parallelism — at
+        # sf0.1 this is 128 → 32 tasks, a 24% faster build).
         n_encode_parts = self.encode_parts or 4 * int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        if self.encode_parts is None and n_tokens is not None:
+            parallelism = self.spark.sparkContext.defaultParallelism
+            by_size = max(parallelism, -(-int(n_tokens) // 700_000))
+            n_encode_parts = min(n_encode_parts, by_size)
         shuffle_cols = ["tid", "doc_id", "dl"] + (
             ["pos"] if self.positions else []
         )
@@ -451,7 +463,10 @@ class IndexBuilder:
             part = exploded.where(
                 F.pmod(bucket_expr, F.lit(self.n_jobs)) == g
             )
-            seg = self._encode_group_df(part, avgdl, range_size)
+            seg = self._encode_group_df(
+                part, avgdl, range_size,
+                n_tokens=-(-int(sum_dl) // self.n_jobs),
+            )
             gdir = os.path.join(self.segments_path, f"bucket_group={g}")
             seg.write.mode("overwrite").parquet(gdir)
             mark(f"segments_g{g}")
