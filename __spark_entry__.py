@@ -120,6 +120,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (asserted in tests/test_entry_order.py against the recorded
 #: CORRECTNESS files). Previously-gated entries stay oracle-checked
 #: locally via tools/check_oracle.py over the full 149-entry surface.
+#: Gates added AFTER the r4 prefix was frozen (the prefix already
+#: carries exactly 50 entries, every one needed so the r01–r04 union
+#: covers the pre-existing surface). These are oracle-checked locally
+#: (tools/check_oracle.py) and queue for the r5 driver rotation.
+R5_ROTATION_CANDIDATES = frozenset({
+    "bm25_diversified", "bm25_rank_feature", "bm25_pinned",
+    "facet_multi_terms", "facet_adjacency",
+})
+
 _FAMILY_PRIORITY: dict[str, list[str]] = {
     # rollup_events/asof_signup were driver-gated in r01 — they yield
     # their two prefix slots to the only remaining never-gated entries
@@ -494,6 +503,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top-k heap, no global sort — the hit stream stays distributed)
     q["bm25_scan_slice"] = lambda s, d: _indexed_reader(s, d).search_scan(
         BM25_QUERY_1, slice_id=1, n_slices=3
+    )
+
+    # ---- round-4.5 function-score / bucket additions (r5 rotation
+    # candidates — past the 50-entry prefix this round, oracle-checked
+    # locally via tools/check_oracle.py) ----
+
+    # ES diversified_sampler: BM25 top-k with ≤2 hits per lang —
+    # global, deterministic per-key cap (unlike ES's per-shard one)
+    q["bm25_diversified"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_diversified(
+        BM25_QUERY_1, _t(s, d, "documents"), "lang",
+        max_per_key=2, k=10,
+    )
+
+    # ES rank_feature ⊕ BM25: static doc-quality boost
+    # (saturation(n_chars, pivot=500), boost 2) added to the text score
+    q["bm25_rank_feature"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_rank_feature(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars",
+        k=10, function="saturation", pivot=500.0, boost=2.0,
+    )
+
+    # ES pinned query: curated ids first in list order (one id
+    # intentionally absent from the corpus — skipped, ES contract),
+    # organic BM25 ranking after
+    q["bm25_pinned"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_pinned(
+        BM25_QUERY_1, _t(s, d, "documents"),
+        [7, 3, 10**9, 11], k=10,
+    )
+
+    # ES multi_terms aggregation: composite (lang, source) buckets
+    # over the matching set, (doc_count DESC, key ASC) cut
+    q["facet_multi_terms"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_multi_terms(
+        BM25_QUERY_1, _t(s, d, "documents"), ["lang", "source"],
+        size=8,
+    )
+
+    # ES adjacency_matrix: singleton + pairwise-intersection doc
+    # counts of three named filters' matching sets
+    q["facet_adjacency"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_adjacency_matrix(
+        {"a": "spark", "b": "join filter", "c": "hash scan"}
     )
 
     # int8 scalar quantization of the embedding store (the 4x ANN IO
@@ -2052,6 +2110,30 @@ FROM tok GROUP BY doc_id, term
     )
     o["facet_composite_page2"] = oracle_sql_facet_composite(
         BM25_QUERY_1, "source", size=3, after="src12"
+    )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_adjacency_matrix,
+        oracle_sql_bm25_diversified,
+        oracle_sql_bm25_pinned,
+        oracle_sql_bm25_rank_feature,
+        oracle_sql_multi_terms,
+    )
+
+    o["bm25_diversified"] = oracle_sql_bm25_diversified(
+        BM25_QUERY_1, "lang", 2, k=10
+    )
+    o["bm25_rank_feature"] = oracle_sql_bm25_rank_feature(
+        BM25_QUERY_1, "n_chars", k=10, function="saturation",
+        pivot=500.0, boost=2.0,
+    )
+    o["bm25_pinned"] = oracle_sql_bm25_pinned(
+        BM25_QUERY_1, [7, 3, 10**9, 11], k=10
+    )
+    o["facet_multi_terms"] = oracle_sql_multi_terms(
+        BM25_QUERY_1, ["lang", "source"], 8
+    )
+    o["facet_adjacency"] = oracle_sql_adjacency_matrix(
+        {"a": "spark", "b": "join filter", "c": "hash scan"}
     )
     from tlhop_library_spark.index.query import oracle_sql_date_histogram
 

@@ -963,6 +963,375 @@ ORDER BY rank
 """
 
 
+def diversified_rank_hits(
+    hits: DataFrame, docs: DataFrame, field: str, max_per_key: int,
+    k: int,
+) -> DataFrame:
+    """Shared ES ``diversified_sampler`` retrieval over a hit stream:
+    top-k by BM25 with AT MOST ``max_per_key`` docs per distinct
+    ``field`` value (result diversity — e.g. ≤2 hits per domain).
+    Docs whose field is NULL are never capped (ES contract: docs
+    without the de-duplication value are not de-duplicated).
+
+    Unlike ES — whose sampler is per-shard and therefore
+    layout-dependent — the cap here is GLOBAL and deterministic:
+    the per-key window ranks by (score DESC, doc_id ASC), so results
+    are reproducible under any partitioning. Scale shape: one window
+    shuffle partitioned BY THE KEY over the matching set only (never
+    the corpus), then the usual ``ranked_topk``
+    (TakeOrderedAndProject) k-cut."""
+    if max_per_key < 1:
+        raise ValueError("max_per_key must be >= 1")
+    keyed = hits.join(
+        docs.select("doc_id", F.col(field).alias("__key")),
+        "doc_id", "left",
+    )
+    w = Window.partitionBy("__key").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    kept = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(
+            F.col("__key").isNull()
+            | (F.col("__rn") <= F.lit(int(max_per_key)))
+        )
+        .select("doc_id", "score")
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        kept, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
+
+
+def rank_feature_rank_hits(
+    hits: DataFrame, docs: DataFrame, field: str, k: int,
+    function: str = "saturation", pivot: float = 1.0,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Shared ES ``rank_feature`` query combined with the BM25 text
+    score (the standard ES ``bool: [match, rank_feature]`` shape):
+    ``final = round(bm25 + boost · f(feature), 4)`` where ``f`` is
+
+    - ``saturation``: ``feature / (feature + pivot)`` (ES default;
+      pivot must be given explicitly — ES's implicit geometric-mean
+      pivot is index-statistics-dependent and would not be
+      engine-reproducible), or
+    - ``log``: ``ln(1 + feature)`` (ES ``log`` with
+      ``scaling_factor=1``).
+
+    Docs whose feature is NULL or negative contribute 0 for the
+    feature clause (ES: missing feature → clause does not match).
+    Pure JVM column arithmetic over the matching set; the k-cut is
+    ``ranked_topk``."""
+    if function not in ("saturation", "log"):
+        raise ValueError("function must be 'saturation' or 'log'")
+    if function == "saturation" and not pivot > 0:
+        raise ValueError("saturation needs pivot > 0")
+    feat = docs.select(
+        "doc_id", F.col(field).cast("double").alias("__f")
+    )
+    j = hits.join(feat, "doc_id", "left")
+    f = F.when(
+        F.col("__f").isNotNull() & (F.col("__f") >= 0), F.col("__f")
+    )
+    if function == "saturation":
+        clause = f / (f + F.lit(float(pivot)))
+    else:
+        clause = F.log(F.lit(1.0) + f)
+    scored = j.select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            + F.coalesce(
+                F.lit(float(boost)) * clause, F.lit(0.0)
+            ),
+            bm25.ROUND_DIGITS,
+        ).alias("score"),
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "score")
+
+
+#: Sentinel base for pinned-hit scores — mirrors ES's
+#: ``PinnedQueryBuilder`` giving promoted docs scores far above any
+#: organic BM25 score, decreasing along the pinned list so the list
+#: order IS the score order.
+_PINNED_BASE = 1.0e9
+
+
+def pinned_rank_hits(
+    hits: DataFrame, docs: DataFrame, pinned_ids: list[int], k: int,
+) -> DataFrame:
+    """Shared ES ``pinned`` query: the docs in ``pinned_ids`` rank
+    first IN LIST ORDER (provided they exist in ``docs`` — missing
+    ids are skipped silently, ES contract), followed by the organic
+    BM25 ranking with the pinned docs removed. Pinned docs score
+    ``1e9 − position`` (the ES huge-sentinel shape, engine-exact in
+    doubles); organic scores are untouched.
+
+    The pinned list is a query parameter (human-curated, tens of
+    ids) — it ships as a broadcast literal frame; the organic stream
+    is never collected. One anti-join + union + ``ranked_topk``."""
+    if not pinned_ids:
+        from tlhop_library_spark.operators.relational import ranked_topk
+
+        return ranked_topk(
+            hits.select("doc_id", "score"),
+            [F.desc("score"), F.asc("doc_id")], k,
+        ).select("rank", "doc_id", "score")
+    if len(set(pinned_ids)) != len(pinned_ids):
+        raise ValueError("pinned_ids must be distinct")
+    spark = hits.sparkSession
+    pin = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(pinned_ids)],
+        "doc_id long, __pos int",
+    )
+    live_pins = (
+        pin.join(docs.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(_PINNED_BASE) - F.col("__pos").cast("double"),
+                bm25.ROUND_DIGITS,
+            ).alias("score"),
+        )
+    )
+    organic = hits.join(
+        F.broadcast(pin.select("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", "score")
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        live_pins.unionByName(organic),
+        [F.desc("score"), F.asc("doc_id")], k,
+    ).select("rank", "doc_id", "score")
+
+
+def multi_terms_agg_hits(
+    hits: DataFrame, docs: DataFrame, fields: list[str], size: int,
+) -> DataFrame:
+    """Shared ES ``multi_terms`` aggregation: top-``size`` buckets of
+    the COMPOSITE key ``fields`` (two or more metadata columns) over
+    the matching set, ordered by (doc_count DESC, key ASC) — the ES
+    default ordering. Docs missing ANY key field form no bucket (ES
+    contract).
+
+    One semi-join (matching set only) + one hash agg on the composite
+    key + a ``ranked_topk`` bucket cut — never materializes more than
+    the bucket list."""
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs >= 2 fields")
+    j = docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+    for f_ in fields:
+        j = j.where(F.col(f_).isNotNull())
+    agg = j.groupBy(*fields).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        agg,
+        [F.desc("doc_count")] + [F.asc(f_) for f_ in fields],
+        size,
+    ).select("rank", *fields, "doc_count")
+
+
+def adjacency_matrix_hits(
+    streams: dict[str, DataFrame],
+) -> DataFrame:
+    """Shared ES ``adjacency_matrix`` aggregation: given named
+    matching sets (filter name → (doc_id, …) hit stream), one row per
+    non-empty bucket — the singleton buckets (``key1 = key2``: docs
+    matching that filter) and every pairwise intersection
+    (``key1 < key2``: docs matching both), with ES's
+    lexicographically-ordered pair keys. Empty intersections emit no
+    row (ES contract).
+
+    Scale shape: the labeled streams union (each already corpus-
+    pruned), one self-equi-join ON doc_id (never a cross product —
+    the join key is the doc), one hash agg on the pair key. With
+    ``n`` filters a doc matching ``m`` of them contributes
+    ``m·(m+1)/2`` pair rows — bounded by the filter count, not the
+    corpus."""
+    if not streams:
+        raise ValueError("adjacency_matrix needs >= 1 named filter")
+    labeled = None
+    for name in sorted(streams):
+        s = streams[name].select(
+            F.lit(name).alias("key"), "doc_id"
+        ).distinct()
+        labeled = s if labeled is None else labeled.unionByName(s)
+    left = labeled.select(
+        F.col("key").alias("key1"), "doc_id"
+    )
+    right = labeled.select(
+        F.col("key").alias("key2"), "doc_id"
+    )
+    pairs = left.join(right, "doc_id").where(
+        F.col("key1") <= F.col("key2")
+    )
+    return (
+        pairs.groupBy("key1", "key2")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+
+
+def oracle_sql_bm25_diversified(
+    query_text: str, field: str, max_per_key: int, k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for diversified_sampler: per-key row_number cap over
+    the scored matching set, NULL keys uncapped."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, keyed AS (
+  SELECT s.doc_id, s.score, d.{field} AS key
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+), capped AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY score DESC, doc_id ASC) AS rn,
+         key
+  FROM keyed
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank, doc_id, score
+FROM capped
+WHERE key IS NULL OR rn <= {max_per_key}
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_rank_feature(
+    query_text: str, field: str, k: int = 10,
+    function: str = "saturation", pivot: float = 1.0,
+    boost: float = 1.0, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for rank_feature ⊕ BM25 — identical clause arithmetic
+    (saturation or ln(1+f)), NULL/negative feature → 0."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    if function == "saturation":
+        clause = f"CAST(d.{field} AS DOUBLE) / (CAST(d.{field} AS DOUBLE) + {float(pivot)!r})"
+    else:
+        clause = f"ln(1.0 + CAST(d.{field} AS DOUBLE))"
+    return f"""{cte}, feat AS (
+  SELECT s.doc_id,
+         round(s.score + coalesce(
+             CASE WHEN d.{field} IS NOT NULL AND d.{field} >= 0
+                  THEN {float(boost)!r} * ({clause}) END, 0.0),
+           {bm25.ROUND_DIGITS}) AS score
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank, doc_id, score
+FROM feat
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_bm25_pinned(
+    query_text: str, pinned_ids: list[int], k: int = 10,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the pinned query: VALUES-list pins scored
+    ``1e9 − position`` (existing docs only), organic scores with the
+    pins anti-joined out, one ranking."""
+    if pinned_ids:
+        vals = ", ".join(
+            f"({int(d)}, {i})" for i, d in enumerate(pinned_ids)
+        )
+        pin_cte = f"""pins(doc_id, pos) AS (VALUES {vals}),
+live_pins AS (
+  SELECT p.doc_id,
+         round({_PINNED_BASE!r} - CAST(p.pos AS DOUBLE),
+               {bm25.ROUND_DIGITS}) AS score
+  FROM pins p WHERE EXISTS (
+    SELECT 1 FROM {table} d WHERE d.{doc_col} = p.doc_id)
+), unioned AS (
+  SELECT doc_id, score FROM live_pins
+  UNION ALL
+  SELECT s.doc_id, s.score FROM scored s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM pins)
+)"""
+    else:
+        pin_cte = "unioned AS (SELECT doc_id, score FROM scored)"
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, {pin_cte}
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank, doc_id, score
+FROM unioned
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def oracle_sql_multi_terms(
+    query_text: str, fields: list[str], size: int,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for multi_terms: composite-key buckets over the
+    matching set, (doc_count DESC, key ASC) bucket cut."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    cols = ", ".join(f"d.{f_}" for f_ in fields)
+    notnull = " AND ".join(f"d.{f_} IS NOT NULL" for f_ in fields)
+    order = ", ".join(f"d.{f_} ASC" for f_ in fields)
+    return f"""{cte}, buckets AS (
+  SELECT {cols}, CAST(count(*) AS BIGINT) AS doc_count
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE {notnull}
+  GROUP BY {cols}
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_count DESC,
+                               {", ".join(f"{f_} ASC" for f_ in fields)})
+        AS INT) AS rank, {", ".join(fields)}, doc_count
+FROM buckets
+QUALIFY rank <= {size}
+ORDER BY rank
+"""
+
+
+def oracle_sql_adjacency_matrix(
+    named_queries: dict[str, str], table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for adjacency_matrix: per-name matching sets from the
+    shared token CTE (OR semantics — any analyzed term), self-join on
+    doc_id, pair-key agg. Names are embedded sorted so the labeled
+    union is deterministic."""
+    all_terms = sorted(
+        {t for q in named_queries.values() for t in py_tokens(q)}
+    )
+    cte = _bm25_scored_cte(" ".join(all_terms), table, doc_col)
+    selects = []
+    for name in sorted(named_queries):
+        terms = sorted(set(py_tokens(named_queries[name])))
+        tl = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in terms
+        )
+        nm = name.replace("'", "''")
+        selects.append(
+            f"SELECT '{nm}' AS key, doc_id FROM tf "
+            f"WHERE term IN ({tl}) GROUP BY doc_id"
+        )
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""{cte}, labeled AS (
+  {union}
+)
+SELECT l.key AS key1, r.key AS key2,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM labeled l JOIN labeled r ON l.doc_id = r.doc_id
+WHERE l.key <= r.key
+GROUP BY l.key, r.key
+ORDER BY key1, key2
+"""
+
+
 def stats_agg_hits(
     hits: DataFrame, docs: DataFrame, field: str, extended: bool = False,
 ) -> DataFrame:
@@ -3921,6 +4290,75 @@ class IndexReader:
         :func:`composite_agg_hits`."""
         hits = self._matching_scores(query_text).select("doc_id")
         return composite_agg_hits(hits, docs, field, size, after=after)
+
+    def search_diversified(
+        self, query_text: str, docs: DataFrame, field: str,
+        max_per_key: int = 1, k: int = 10,
+    ) -> DataFrame:
+        """ES ``diversified_sampler``-style retrieval: BM25 top-k
+        with at most ``max_per_key`` hits per distinct ``field``
+        value (e.g. ≤1 hit per domain). Semantics + the global-
+        determinism difference from ES's per-shard sampler in
+        :func:`diversified_rank_hits`."""
+        return diversified_rank_hits(
+            self._matching_scores(query_text), docs, field,
+            max_per_key, k,
+        )
+
+    def search_rank_feature(
+        self, query_text: str, docs: DataFrame, field: str,
+        k: int = 10, function: str = "saturation",
+        pivot: float = 1.0, boost: float = 1.0,
+    ) -> DataFrame:
+        """ES ``rank_feature`` clause combined with the BM25 text
+        score (static doc-quality boosting — pagerank, freshness,
+        length priors). Semantics in :func:`rank_feature_rank_hits`."""
+        return rank_feature_rank_hits(
+            self._matching_scores(query_text), docs, field, k,
+            function=function, pivot=pivot, boost=boost,
+        )
+
+    def search_pinned(
+        self, query_text: str, docs: DataFrame,
+        pinned_ids: list[int], k: int = 10,
+    ) -> DataFrame:
+        """ES ``pinned`` query: curated docs first in list order,
+        then the organic BM25 ranking with pins removed. Semantics in
+        :func:`pinned_rank_hits`."""
+        return pinned_rank_hits(
+            self._matching_scores(query_text), docs, pinned_ids, k,
+        )
+
+    def facet_multi_terms(
+        self, query_text: str, docs: DataFrame, fields: list[str],
+        size: int = 10,
+    ) -> DataFrame:
+        """ES ``multi_terms`` aggregation: top-``size`` composite-key
+        buckets over the matching set, (doc_count DESC, key ASC).
+        Semantics in :func:`multi_terms_agg_hits`."""
+        return multi_terms_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, fields, size,
+        )
+
+    def facet_adjacency_matrix(
+        self, named_queries: dict[str, str],
+    ) -> DataFrame:
+        """ES ``adjacency_matrix`` aggregation: singleton and
+        pairwise-intersection doc counts of the named filters'
+        matching sets. Semantics + scale shape in
+        :func:`adjacency_matrix_hits`; filters whose terms are all
+        absent from the dictionary contribute no rows."""
+        streams = {}
+        for name, q in named_queries.items():
+            terms = sorted(set(py_tokens(q)))
+            if self.lookup_terms(terms):
+                streams[name] = self._matching_scores(q)
+        if not streams:
+            return self.spark.createDataFrame(
+                [], "key1 string, key2 string, doc_count long"
+            )
+        return adjacency_matrix_hits(streams)
 
     def search_scan(
         self, query_text: str, slice_id: int = 0, n_slices: int = 1,

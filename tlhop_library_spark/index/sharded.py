@@ -871,6 +871,101 @@ class ShardedIndexReader:
             return self._empty()
         return random_rank_hits(hits, k, seed)
 
+    def search_diversified(
+        self, query_text: str, docs: DataFrame, field: str,
+        max_per_key: int = 1, k: int = 10,
+    ) -> DataFrame:
+        """Federated diversified_sampler — the per-key cap is GLOBAL
+        (window over the unioned shard-disjoint matching set), so
+        unlike ES's per-shard sampler the result is shard-layout-
+        independent."""
+        from tlhop_library_spark.index.query import (
+            diversified_rank_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self._empty()
+        return diversified_rank_hits(hits, docs, field, max_per_key, k)
+
+    def search_rank_feature(
+        self, query_text: str, docs: DataFrame, field: str,
+        k: int = 10, function: str = "saturation",
+        pivot: float = 1.0, boost: float = 1.0,
+    ) -> DataFrame:
+        """Federated rank_feature ⊕ BM25 — the feature clause is a
+        pure per-doc function, shard-agnostic once the hit stream
+        carries global-stats scores."""
+        from tlhop_library_spark.index.query import (
+            rank_feature_rank_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self._empty()
+        return rank_feature_rank_hits(
+            hits, docs, field, k,
+            function=function, pivot=pivot, boost=boost,
+        )
+
+    def search_pinned(
+        self, query_text: str, docs: DataFrame,
+        pinned_ids: list[int], k: int = 10,
+    ) -> DataFrame:
+        """Federated pinned query — pins are existence-checked
+        against the shared docs table; the organic stream federates
+        as usual."""
+        from tlhop_library_spark.index.query import pinned_rank_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id", "score")
+        return pinned_rank_hits(hits, docs, pinned_ids, k)
+
+    def facet_multi_terms(
+        self, query_text: str, docs: DataFrame, fields: list[str],
+        size: int = 10,
+    ) -> DataFrame:
+        """Federated multi_terms — shard-disjoint hit streams union
+        into the global matching set; the composite-key agg is a
+        plain hash agg over it."""
+        from tlhop_library_spark.index.query import (
+            multi_terms_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [],
+                "rank int, "
+                + ", ".join(f"{f_} string" for f_ in fields)
+                + ", doc_count long",
+            )
+        return multi_terms_agg_hits(
+            hits.select("doc_id"), docs, fields, size
+        )
+
+    def facet_adjacency_matrix(
+        self, named_queries: dict[str, str],
+    ) -> DataFrame:
+        """Federated adjacency_matrix — each named filter's matching
+        set federates independently; the pair self-join is on doc_id,
+        which is globally unique across shards."""
+        from tlhop_library_spark.index.query import (
+            adjacency_matrix_hits,
+        )
+
+        streams = {}
+        for name, q in named_queries.items():
+            h = self._fed_hits(q)
+            if h is not None:
+                streams[name] = h
+        if not streams:
+            return self.spark.createDataFrame(
+                [], "key1 string, key2 string, doc_count long"
+            )
+        return adjacency_matrix_hits(streams)
+
     def search_terms_set(
         self, query_text: str, docs: DataFrame, msm_field: str,
         k: int = 10,
