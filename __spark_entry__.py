@@ -126,7 +126,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (tools/check_oracle.py) and queue for the r5 driver rotation.
 R5_ROTATION_CANDIDATES = frozenset({
     "bm25_diversified", "bm25_rank_feature", "bm25_pinned",
-    "facet_multi_terms", "facet_adjacency",
+    "facet_multi_terms", "facet_adjacency", "bm25_bool_prefix",
+    "facet_histogram", "facet_terms_stats", "facet_weighted_avg",
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
@@ -552,6 +553,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d
     ).facet_adjacency_matrix(
         {"a": "spark", "b": "join filter", "c": "hash scan"}
+    )
+
+    # ES match_bool_prefix (unordered type-ahead): "spark" as a plain
+    # term, trailing "jo" expanded against the dictionary and scored
+    # as ONE SynonymQuery-style completion group
+    q["bm25_bool_prefix"] = lambda s, d: _indexed_reader(
+        s, d
+    ).search_bool_prefix("spark jo", k=10)
+
+    # ES histogram aggregation: fixed-interval numeric buckets of the
+    # matching docs' n_chars (BIGINT floor-quotient keys, engine-exact)
+    q["facet_histogram"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_histogram(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars", 200.0
+    )
+
+    # ES terms aggregation with a stats sub-agg: top lang buckets,
+    # each with its n_chars cnt/min/max/sum/avg — the sub-agg tree
+    # collapsed into one distributed hash agg
+    q["facet_terms_stats"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_terms_stats(
+        BM25_QUERY_1, _t(s, d, "documents"), "lang", "n_chars", size=5
+    )
+
+    # ES weighted_avg aggregation: Σ(v·w)/Σw over the matching set
+    # (deterministic derived weight so the weighting is non-trivial)
+    q["facet_weighted_avg"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_weighted_avg(
+        BM25_QUERY_1,
+        _t(s, d, "documents").withColumn(
+            "w", (F.col("doc_id") % 10 + 1).cast("double")
+        ),
+        "n_chars", "w",
     )
 
     # int8 scalar quantization of the embedding store (the 4x ANN IO
@@ -2134,6 +2171,27 @@ FROM tok GROUP BY doc_id, term
     )
     o["facet_adjacency"] = oracle_sql_adjacency_matrix(
         {"a": "spark", "b": "join filter", "c": "hash scan"}
+    )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_bm25_bool_prefix,
+        oracle_sql_facet_histogram,
+        oracle_sql_facet_terms_stats,
+        oracle_sql_facet_weighted_avg,
+    )
+
+    o["bm25_bool_prefix"] = oracle_sql_bm25_bool_prefix(
+        "spark jo", k=10
+    )
+    o["facet_histogram"] = oracle_sql_facet_histogram(
+        BM25_QUERY_1, "n_chars", 200.0
+    )
+    o["facet_terms_stats"] = oracle_sql_facet_terms_stats(
+        BM25_QUERY_1, "lang", "n_chars", 5
+    )
+    o["facet_weighted_avg"] = oracle_sql_facet_weighted_avg(
+        BM25_QUERY_1, "n_chars", "w",
+        table="(SELECT *, CAST(doc_id % 10 + 1 AS DOUBLE) AS w "
+        "FROM documents)",
     )
     from tlhop_library_spark.index.query import oracle_sql_date_histogram
 

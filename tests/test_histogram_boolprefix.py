@@ -1,0 +1,260 @@
+"""ES ``match_bool_prefix`` retrieval and the ``histogram`` /
+``terms``+``stats`` / ``weighted_avg`` aggregations — matching-set
+reconstruction, synonym-group scoring identity, brute-force agg
+checks, guards, and sharded federation identity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.analyzer import py_tokens
+
+Q = "informação segurança"
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    from tlhop_library_spark.index.query import IndexReader
+
+    return IndexReader(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def docs(corpus_df):
+    return corpus_df.withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+
+
+@pytest.fixture(scope="module")
+def hits_map(reader):
+    m = {
+        r["doc_id"]: r["score"]
+        for r in reader._matching_scores(Q).collect()
+    }
+    assert len(m) > 30, "weak fixture: too few matches"
+    return m
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(corpus_df):
+    rows = corpus_df.where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    ).collect()
+    return {r["doc_id"]: py_tokens(r["text"]) for r in rows}
+
+
+# ---------------------------------------------------------------------
+# match_bool_prefix
+# ---------------------------------------------------------------------
+def test_bool_prefix_matching_set_is_or_union(reader, doc_tokens):
+    got = {
+        r["doc_id"]
+        for r in reader.search_bool_prefix(
+            "bace ca", k=10**6, max_expansions=1000
+        ).collect()
+    }
+    want = {
+        d
+        for d, toks in doc_tokens.items()
+        if "bace" in toks or any(t.startswith("ca") for t in toks)
+    }
+    assert got == want
+
+
+def test_bool_prefix_scores_like_synonym_groups(reader):
+    """The completion group must score EXACTLY like an explicit
+    SynonymQuery over the same candidate set."""
+    cand = sorted(
+        reader.lookup_terms_prefix(["ca"], max_expansions=1000)
+    )
+    assert len(cand) > 1, "weak fixture: prefix expands to one term"
+    anchor, rest = cand[0], cand[1:]
+    bp = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search_bool_prefix(
+            "bace ca", k=10, max_expansions=1000
+        ).collect()
+    ]
+    syn = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search_synonyms(
+            f"bace {anchor}", {anchor: rest}, k=10
+        ).collect()
+    ]
+    assert bp == syn
+
+
+def test_bool_prefix_single_candidate_is_plain_search(reader):
+    # find an accented corpus term that is its own unique expansion
+    term = None
+    for t in ("informação", "segurança", "tecnologia"):
+        if set(reader.lookup_terms_prefix([t], 50)) == {t}:
+            term = t
+            break
+    assert term, "weak fixture: no unique-expansion term found"
+    bp = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search_bool_prefix(term, k=10).collect()
+    ]
+    plain = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in reader.search(term, k=10).collect()
+    ]
+    assert bp == plain
+
+
+def test_bool_prefix_guards_and_empty(reader):
+    with pytest.raises(ValueError):
+        reader.search_bool_prefix("ab cade", k=5)  # short exact term
+    assert reader.search_bool_prefix("", k=5).count() == 0
+    assert (
+        reader.search_bool_prefix("zzzznope", k=5).count() == 0
+    )  # prefix expands to nothing, no heads
+
+
+# ---------------------------------------------------------------------
+# histogram
+# ---------------------------------------------------------------------
+def _nchars(docs, ids):
+    return [
+        r["n_chars"]
+        for r in docs.where(F.col("doc_id").isin(list(ids))).collect()
+        if r["n_chars"] is not None
+    ]
+
+
+def test_histogram_matches_bruteforce(reader, docs, hits_map):
+    iv = 150.0
+    got = [
+        (r["bucket_key"], r["doc_count"])
+        for r in reader.facet_histogram(
+            Q, docs, "n_chars", iv
+        ).collect()
+    ]
+    counts: dict = {}
+    for v in _nchars(docs, hits_map):
+        key = math.floor(float(v) / iv) * iv
+        counts[key] = counts.get(key, 0) + 1
+    assert got == sorted(counts.items())
+    assert sum(c for _, c in got) == len(_nchars(docs, hits_map))
+
+
+def test_histogram_ignores_nulls_and_guards(reader, docs, hits_map):
+    nulled = docs.withColumn(
+        "n_chars", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))
+    )
+    got = reader.facet_histogram(Q, nulled, "n_chars", 150.0).collect()
+    n_even = len([d for d in hits_map if d % 2 == 0])
+    assert sum(r["doc_count"] for r in got) == n_even
+    with pytest.raises(ValueError):
+        reader.facet_histogram(Q, docs, "n_chars", 0.0)
+
+
+# ---------------------------------------------------------------------
+# terms + stats sub-agg
+# ---------------------------------------------------------------------
+def test_terms_stats_matches_bruteforce(reader, docs, hits_map):
+    got = [
+        tuple(r)
+        for r in reader.facet_terms_stats(
+            Q, docs, "lang", "n_chars", size=4
+        ).collect()
+    ]
+    meta = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in docs.collect()
+    }
+    buckets: dict = {}
+    for d in hits_map:
+        lang, v = meta[d]
+        if lang is None:
+            continue
+        b = buckets.setdefault(lang, [0, []])
+        b[0] += 1
+        if v is not None:
+            b[1].append(float(v))
+    want = []
+    for lang, (dc, vals) in sorted(
+        buckets.items(), key=lambda t: (-t[1][0], t[0])
+    )[:4]:
+        want.append((
+            len(want) + 1, lang, dc, len(vals), min(vals), max(vals),
+            float(sum(vals)), round(sum(vals) / len(vals), 4),
+        ))
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# weighted_avg
+# ---------------------------------------------------------------------
+def test_weighted_avg_matches_bruteforce(reader, docs, hits_map):
+    w = docs.withColumn(
+        "w", (F.col("doc_id") % 5 + 1).cast("double")
+    )
+    row = reader.facet_weighted_avg(Q, w, "n_chars", "w").collect()[0]
+    meta = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.collect()
+        if r["n_chars"] is not None
+    }
+    num = den = cnt = 0.0
+    for d in hits_map:
+        if d in meta:
+            wt = float(d % 5 + 1)
+            num += float(meta[d]) * wt
+            den += wt
+            cnt += 1
+    assert row["n_used"] == cnt
+    assert row["weighted_avg"] == round(num / den, 4)
+    # weighting must differ from the plain mean for the fixture to bite
+    plain = round(
+        sum(float(meta[d]) for d in hits_map if d in meta) / cnt, 4
+    )
+    assert row["weighted_avg"] != plain
+
+
+# ---------------------------------------------------------------------
+# sharded federation identity
+# ---------------------------------------------------------------------
+def test_sharded_aggs_identical_to_single(
+    spark, corpus_df, docs, reader, tmp_path_factory
+):
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("hist_shards")
+    dirs = []
+    for i, (nb, nr) in enumerate([(4, 4), (8, 2)]):
+        d = str(base / f"shard{i}")
+        part = corpus_df.where(F.col("doc_id") % 2 == i)
+        IndexBuilder(
+            spark, d, n_buckets=nb, n_ranges=nr, n_jobs=2
+        ).build(part)
+        dirs.append(d)
+    sharded = ShardedIndexReader(spark, dirs)
+
+    wdocs = docs.withColumn(
+        "w", (F.col("doc_id") % 5 + 1).cast("double")
+    )
+    pairs = [
+        (
+            reader.facet_histogram(Q, docs, "n_chars", 150.0),
+            sharded.facet_histogram(Q, docs, "n_chars", 150.0),
+        ),
+        (
+            reader.facet_terms_stats(Q, docs, "lang", "n_chars", 4),
+            sharded.facet_terms_stats(Q, docs, "lang", "n_chars", 4),
+        ),
+        (
+            reader.facet_weighted_avg(Q, wdocs, "n_chars", "w"),
+            sharded.facet_weighted_avg(Q, wdocs, "n_chars", "w"),
+        ),
+    ]
+    for single, fed in pairs:
+        assert [tuple(r) for r in fed.collect()] == [
+            tuple(r) for r in single.collect()
+        ]

@@ -1180,6 +1180,169 @@ def adjacency_matrix_hits(
     )
 
 
+def histogram_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str, interval: float,
+) -> DataFrame:
+    """Shared ES ``histogram`` aggregation over a hit stream:
+    fixed-``interval`` numeric buckets of the matching docs' field,
+    key = ``floor(v / interval) * interval`` (ES's bucket rule,
+    offset 0), emitted key-ascending. Only NON-EMPTY buckets are
+    emitted (ES ``min_doc_count: 1`` — the empty-bucket fill of
+    ``min_doc_count: 0`` is presentation, not aggregation, and is
+    left to the caller). NULL fields are ignored (ES missing-value
+    semantics).
+
+    One semi-join + one hash agg on the derived key; bucket
+    cardinality is bounded by the value range / interval, never the
+    corpus. ``floor`` is computed identically in Spark and the
+    oracle (BIGINT quotient × interval) so keys are engine-exact."""
+    if not interval > 0:
+        raise ValueError("interval must be > 0")
+    v = F.col(field).cast("double")
+    keyed = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(v.isNotNull())
+        .select(
+            (F.floor(v / F.lit(float(interval)))
+             * F.lit(float(interval))).alias("bucket_key")
+        )
+    )
+    return (
+        keyed.groupBy("bucket_key")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("bucket_key")
+    )
+
+
+def terms_stats_agg_hits(
+    hits: DataFrame, docs: DataFrame, key_field: str,
+    metric_field: str, size: int,
+) -> DataFrame:
+    """Shared ES ``terms`` aggregation with a ``stats`` sub-agg: the
+    top-``size`` buckets of ``key_field`` over the matching set
+    ((doc_count DESC, key ASC) — the ES default bucket order), each
+    row carrying the bucket's metric stats (cnt/min/max/sum/avg over
+    NON-NULL metric values; ES stats sub-agg ignores docs missing
+    the metric, but they still count in doc_count). NULL keys form
+    no bucket (ES contract).
+
+    One semi-join + ONE hash agg computing buckets and sub-agg
+    partials together (no second pass), then the ``ranked_topk``
+    bucket cut — the ES sub-agg tree collapses into a single
+    distributed aggregation."""
+    m = F.col(metric_field).cast("double")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col(key_field).isNotNull())
+    )
+    agg = j.groupBy(key_field).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.count(m).cast("long").alias("cnt"),
+        F.min(m).alias("min_v"),
+        F.max(m).alias("max_v"),
+        F.sum(m).alias("sum_v"),
+        F.round(F.sum(m) / F.count(m), 4).alias("avg_v"),
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        agg, [F.desc("doc_count"), F.asc(key_field)], size
+    ).select(
+        "rank", key_field, "doc_count", "cnt", "min_v", "max_v",
+        "sum_v", "avg_v",
+    )
+
+
+def weighted_avg_agg_hits(
+    hits: DataFrame, docs: DataFrame, value_field: str,
+    weight_field: str,
+) -> DataFrame:
+    """Shared ES ``weighted_avg`` aggregation over the matching set:
+    ``Σ(value·weight) / Σ(weight)`` over docs where BOTH fields are
+    non-NULL (ES skips docs missing either), rounded to 4 digits,
+    plus the contributing-doc count. One row; exact double partials
+    reduce order-independently for integer-valued fields. All-NULL
+    or zero-total-weight matching sets yield a NULL average (SQL
+    division semantics in both engines — no sentinel invented)."""
+    v = F.col(value_field).cast("double")
+    w = F.col(weight_field).cast("double")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(v.isNotNull() & w.isNotNull())
+    )
+    return j.agg(
+        F.round(F.sum(v * w) / F.sum(w), 4).alias("weighted_avg"),
+        F.count("*").cast("long").alias("n_used"),
+    )
+
+
+def oracle_sql_facet_histogram(
+    query_text: str, field: str, interval: float,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the histogram aggregation — identical BIGINT
+    floor-quotient bucket keys."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    iv = float(interval)
+    return f"""{cte}
+SELECT CAST(floor(CAST(d.{field} AS DOUBLE)
+                  / CAST({iv!r} AS DOUBLE)) AS BIGINT)
+         * CAST({iv!r} AS DOUBLE) AS bucket_key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+WHERE d.{field} IS NOT NULL
+GROUP BY bucket_key
+ORDER BY bucket_key
+"""
+
+
+def oracle_sql_facet_terms_stats(
+    query_text: str, key_field: str, metric_field: str, size: int,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for terms+stats — sub-agg partials recomputed per
+    bucket with the identical NULL rules."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, buckets AS (
+  SELECT d.{key_field},
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(CAST(d.{metric_field} AS DOUBLE)) AS BIGINT) AS cnt,
+         min(CAST(d.{metric_field} AS DOUBLE)) AS min_v,
+         max(CAST(d.{metric_field} AS DOUBLE)) AS max_v,
+         sum(CAST(d.{metric_field} AS DOUBLE)) AS sum_v,
+         round(sum(CAST(d.{metric_field} AS DOUBLE))
+               / count(CAST(d.{metric_field} AS DOUBLE)), 4) AS avg_v
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{key_field} IS NOT NULL
+  GROUP BY d.{key_field}
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_count DESC,
+                               {key_field} ASC) AS INT) AS rank,
+       {key_field}, doc_count, cnt, min_v, max_v, sum_v, avg_v
+FROM buckets
+QUALIFY rank <= {size}
+ORDER BY rank
+"""
+
+
+def oracle_sql_facet_weighted_avg(
+    query_text: str, value_field: str, weight_field: str,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for weighted_avg — identical both-non-NULL filter and
+    rounding."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}
+SELECT round(sum(CAST(d.{value_field} AS DOUBLE)
+                 * CAST(d.{weight_field} AS DOUBLE))
+             / sum(CAST(d.{weight_field} AS DOUBLE)), 4)
+         AS weighted_avg,
+       CAST(count(*) AS BIGINT) AS n_used
+FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+WHERE d.{value_field} IS NOT NULL AND d.{weight_field} IS NOT NULL
+"""
+
+
 def oracle_sql_bm25_diversified(
     query_text: str, field: str, max_per_key: int, k: int = 10,
     table: str = "documents", doc_col: str = "doc_id",
@@ -2055,6 +2218,96 @@ ORDER BY rank
 """
 
 
+def oracle_sql_bm25_bool_prefix(
+    query_text: str, k: int = 10, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :meth:`IndexReader.search_bool_prefix` —
+    match_bool_prefix replayed from raw text: the trailing prefix's
+    completion set is derived with ``LIKE 'prefix%'`` over the
+    corpus token stream (≡ the engine's dictionary expansion — the
+    dictionary IS the distinct token set), completions score as ONE
+    group (summed tf, max-df idf), exact terms as their own groups;
+    an exact term matching the prefix lands in the completion group
+    (the engine's last-group assignment rule)."""
+    from tlhop_library_spark.analyzer import _PY_NON_WORD_RE
+
+    raw = [
+        t
+        for t in _PY_NON_WORD_RE.split(
+            query_text.lower().replace("_", " ")
+        )
+        if t
+    ]
+    prefix, exact = raw[-1], sorted(set(raw[:-1]))
+    pfx = prefix.replace("'", "''")
+    g_exp = len(exact)
+    if exact:
+        head_vals = ", ".join(
+            f"('{t.replace(chr(39), chr(39) * 2)}', {gi})"
+            for gi, t in enumerate(exact)
+        )
+        head_list = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in exact
+        )
+        tf_where = f"term IN ({head_list}) OR term LIKE '{pfx}%'"
+        mapping = f"""(
+  SELECT term, gid FROM (VALUES {head_vals}) AS h(term, gid)
+  WHERE term NOT LIKE '{pfx}%'
+  UNION ALL
+  SELECT DISTINCT term, {g_exp} AS gid FROM tok
+  WHERE term LIKE '{pfx}%'
+)"""
+    else:
+        tf_where = f"term LIKE '{pfx}%'"
+        mapping = f"""(
+  SELECT DISTINCT term, {g_exp} AS gid FROM tok
+  WHERE term LIKE '{pfx}%'
+)"""
+    rd = bm25.ROUND_DIGITS
+    return f"""
+WITH base AS (
+  SELECT {doc_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> length(t) >= 3) AS tokens
+  FROM {table} WHERE text IS NOT NULL
+), base_dl AS (
+  SELECT doc_id, len(tokens) AS dl, tokens FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM base_dl
+), tok AS (
+  SELECT doc_id, dl, unnest(tokens) AS term FROM base_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE {tf_where} GROUP BY doc_id, term
+), mapping AS {mapping}, dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), gdf AS (
+  SELECT mapping.gid, max(dfreq.df) AS df
+  FROM dfreq JOIN mapping ON dfreq.term = mapping.term
+  GROUP BY mapping.gid
+), gtf AS (
+  SELECT tf.doc_id, mapping.gid, sum(tf.tf) AS tf, max(tf.dl) AS dl
+  FROM tf JOIN mapping ON tf.term = mapping.term
+  GROUP BY tf.doc_id, mapping.gid
+), scored AS (
+  SELECT gtf.doc_id,
+         round(sum(
+            {bm25.idf_sql("stats.n", "gdf.df")}
+            * (gtf.tf * ({bm25.K1} + 1)) /
+              (gtf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * (gtf.dl / stats.avgdl)))
+         ), {rd}) AS score
+  FROM gtf JOIN gdf ON gtf.gid = gdf.gid CROSS JOIN stats
+  GROUP BY gtf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
 def oracle_sql_bm25_expanded(
     query_text: str, k: int = 10, fb_docs: int = 5, fb_terms: int = 3,
     expansion_weight: float = 0.5, table: str = "documents",
@@ -2901,6 +3154,20 @@ class IndexReader:
             for s in synonyms.get(t, []):
                 member_tokens.update(py_tokens(s))
             groups.append(sorted(member_tokens))
+        return self._search_term_groups(groups, k)
+
+    def _search_term_groups(
+        self, groups: list[list[str]], k: int
+    ) -> DataFrame:
+        """Shared SynonymQuery-group scoring kernel: each group of
+        member terms scores as ONE pseudo-term (tf summed across the
+        group's members per doc, idf from the max ASSIGNED-member df);
+        a term named in several groups lands in the LAST one. Used by
+        :meth:`search_synonyms` (explicit synonym groups) and
+        :meth:`search_bool_prefix` (prefix-expansion group)."""
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
         all_terms = sorted({m for g in groups for m in g})
         info = self.lookup_terms(all_terms)
         if not info:
@@ -4360,6 +4627,41 @@ class IndexReader:
             )
         return adjacency_matrix_hits(streams)
 
+    def facet_histogram(
+        self, query_text: str, docs: DataFrame, field: str,
+        interval: float,
+    ) -> DataFrame:
+        """ES ``histogram`` aggregation: fixed-interval numeric
+        buckets of the matching docs' field. Semantics in
+        :func:`histogram_agg_hits`."""
+        return histogram_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field, interval,
+        )
+
+    def facet_terms_stats(
+        self, query_text: str, docs: DataFrame, key_field: str,
+        metric_field: str, size: int = 10,
+    ) -> DataFrame:
+        """ES ``terms`` aggregation with a ``stats`` sub-agg: top
+        buckets by doc_count, each with the bucket's metric stats.
+        Semantics in :func:`terms_stats_agg_hits`."""
+        return terms_stats_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, key_field, metric_field, size,
+        )
+
+    def facet_weighted_avg(
+        self, query_text: str, docs: DataFrame, value_field: str,
+        weight_field: str,
+    ) -> DataFrame:
+        """ES ``weighted_avg`` aggregation over the matching set.
+        Semantics in :func:`weighted_avg_agg_hits`."""
+        return weighted_avg_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, value_field, weight_field,
+        )
+
     def search_scan(
         self, query_text: str, slice_id: int = 0, n_slices: int = 1,
     ) -> DataFrame:
@@ -5305,6 +5607,61 @@ class IndexReader:
         return ranked_topk(
             local, [F.desc("score"), F.asc("doc_id")], k
         ).select("rank", "doc_id", "score")
+
+    def search_bool_prefix(
+        self, query_text: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
+        """ES ``match_bool_prefix`` (type-ahead over unordered
+        terms): every token but the last matches as a plain OR term;
+        the TRAILING token is a prefix (may be shorter than the
+        analyzer's minimum token length) expanded against the
+        dictionary with one sargable ``startsWith`` scan, guarded by
+        ``max_expansions``. Unlike :meth:`search_phrase_prefix` there
+        is no positional constraint — tokens may appear anywhere, in
+        any order (ES contract: a bool SHOULD of term queries plus a
+        prefix query).
+
+        Scoring: frozen BM25 with each exact term its own group and
+        ALL prefix completions as ONE SynonymQuery-style group (tf
+        summed across candidates, idf from the max candidate df) —
+        the same completion-scoring rule as ``search_phrase_prefix``
+        (Lucene's blended docFreq; a plain OR would double-count
+        idf across completions of the same typed prefix). An exact
+        term that itself matches the prefix lands in the completion
+        group (the group kernel's last-group rule — mirrored by the
+        oracle). Works on plain AND positional indexes; scale shape
+        = plain indexed search over the union term set."""
+        from tlhop_library_spark.analyzer import (
+            MIN_TOKEN_LEN,
+            _PY_NON_WORD_RE,
+        )
+
+        raw = [
+            t
+            for t in _PY_NON_WORD_RE.split(
+                query_text.lower().replace("_", " ")
+            )
+            if t
+        ]
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+        if not raw:
+            return empty
+        prefix, exact = raw[-1], raw[:-1]
+        if any(len(t) < MIN_TOKEN_LEN for t in exact):
+            raise ValueError(
+                "every token before the trailing prefix must be an "
+                f"analyzable term (≥ {MIN_TOKEN_LEN} chars); got "
+                f"{exact!r}"
+            )
+        cand_info = self.lookup_terms_prefix([prefix], max_expansions)
+        groups = [[t] for t in sorted(set(exact))]
+        if cand_info:
+            groups.append(sorted(cand_info))
+        if not groups:
+            return empty
+        return self._search_term_groups(groups, k)
 
     def search_span_first(
         self, term_text: str, end: int, k: int = 10

@@ -966,6 +966,63 @@ class ShardedIndexReader:
             )
         return adjacency_matrix_hits(streams)
 
+    def facet_histogram(
+        self, query_text: str, docs: DataFrame, field: str,
+        interval: float,
+    ) -> DataFrame:
+        """Federated histogram — shard-disjoint hit streams union
+        into the global matching set; bucket keys are a pure per-doc
+        function."""
+        from tlhop_library_spark.index.query import histogram_agg_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [], "bucket_key double, doc_count long"
+            )
+        return histogram_agg_hits(
+            hits.select("doc_id"), docs, field, interval
+        )
+
+    def facet_terms_stats(
+        self, query_text: str, docs: DataFrame, key_field: str,
+        metric_field: str, size: int = 10,
+    ) -> DataFrame:
+        """Federated terms+stats — one hash agg over the unioned
+        matching set; sub-agg partials are plain Σs."""
+        from tlhop_library_spark.index.query import (
+            terms_stats_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [],
+                f"rank int, {key_field} string, doc_count long, "
+                "cnt long, min_v double, max_v double, "
+                "sum_v double, avg_v double",
+            )
+        return terms_stats_agg_hits(
+            hits.select("doc_id"), docs, key_field, metric_field, size
+        )
+
+    def facet_weighted_avg(
+        self, query_text: str, docs: DataFrame, value_field: str,
+        weight_field: str,
+    ) -> DataFrame:
+        """Federated weighted_avg — Σ(v·w) and Σw reduce over the
+        unioned matching set exactly as over one index."""
+        from tlhop_library_spark.index.query import (
+            weighted_avg_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return weighted_avg_agg_hits(
+            hits.select("doc_id"), docs, value_field, weight_field
+        )
+
     def search_terms_set(
         self, query_text: str, docs: DataFrame, msm_field: str,
         k: int = 10,
