@@ -128,6 +128,7 @@ R5_ROTATION_CANDIDATES = frozenset({
     "bm25_diversified", "bm25_rank_feature", "bm25_pinned",
     "facet_multi_terms", "facet_adjacency", "bm25_bool_prefix",
     "facet_histogram", "facet_terms_stats", "facet_weighted_avg",
+    "media_decode_stats",
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
@@ -163,7 +164,8 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
 
 def _family(key: str) -> str:
     """Operator family of a gate, by key-name convention."""
-    if key in ("extract_html_info", "webpage_stats"):
+    if key in ("extract_html_info", "webpage_stats",
+               "media_decode_stats"):
         return "extraction"
     if key in ("tfidf_keywords", "pmi_collocations", "contamination",
                "stratified_sample", "lm_perplexity"):
@@ -578,6 +580,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).facet_terms_stats(
         BM25_QUERY_1, _t(s, d, "documents"), "lang", "n_chars", size=5
     )
+
+    # Multimodal round-trip under the oracle: deterministic BMPs
+    # encoded executor-side (vendored codec), decoded through the
+    # REAL pixel path, integer-exact stats recomputed by SQL from
+    # doc_id alone (top_px pins BMP's bottom-up row order)
+    def _q_media_decode(s, d):
+        from tlhop_library_spark.operators.multimodal import (
+            media_decode_stats,
+            synth_bmp_media,
+        )
+
+        return media_decode_stats(
+            synth_bmp_media(_t(s, d, "documents"), limit=200)
+        )
+
+    q["media_decode_stats"] = _q_media_decode
 
     # ES weighted_avg aggregation: Σ(v·w)/Σw over the matching set
     # (deterministic derived weight so the weighting is non-trivial)
@@ -2193,6 +2211,11 @@ FROM tok GROUP BY doc_id, term
         table="(SELECT *, CAST(doc_id % 10 + 1 AS DOUBLE) AS w "
         "FROM documents)",
     )
+    from tlhop_library_spark.operators.multimodal import (
+        oracle_sql_media_decode,
+    )
+
+    o["media_decode_stats"] = oracle_sql_media_decode(limit=200)
     from tlhop_library_spark.index.query import oracle_sql_date_histogram
 
     o["facet_date_histogram"] = oracle_sql_date_histogram(

@@ -302,6 +302,26 @@ def test_multimodal_features_deterministic(spark):
     assert all(r["payload_bytes"] > 0 for r in f1)
 
 
+def test_multimodal_bmp_roundtrip_stats(spark):
+    """The oracle-gated generator→decoder round trip: closed-form
+    per-image stats, including the top-left pixel that pins BMP's
+    bottom-up row order (a sum alone is order-invariant)."""
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: (
+            r["width"], r["height"], r["sum_px"], r["top_px"]
+        )
+        for r in multimodal.media_decode_stats(
+            multimodal.synth_bmp_media(docs, limit=30)
+        ).collect()
+    }
+    assert len(got) == 30
+    for d in range(30):
+        w, h = d % 13 + 1, d % 9 + 1
+        s = 3 * w * sum((d + r) % 251 for r in range(h))
+        assert got[d] == (w, h, s, d % 251)
+
+
 def test_multimodal_decode_contract_without_decoder():
     """The decode stub's failure mode is explicit and typed."""
     if multimodal.REAL_DECODE:

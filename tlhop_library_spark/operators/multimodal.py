@@ -254,6 +254,104 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def synth_bmp_media(docs: DataFrame, limit: int = 200) -> DataFrame:
+    """Deterministic BMP payloads derived from ``doc_id`` — the
+    multimodal gate's input generator. Each doc with ``doc_id <
+    limit`` becomes a 24-bit BMP of ``(doc_id % 13 + 1) ×
+    (doc_id % 9 + 1)`` pixels whose row ``r`` holds the constant
+    value ``(doc_id + r) % 251`` in every channel — a closed-form
+    image whose decoded stats an SQL oracle can recompute exactly.
+    Encoding runs executor-side through the vendored codec
+    (``imagecodec.encode_bmp``) inside an Arrow batch — the same
+    ``mapInPandas`` shape a real ingest-from-bytes pipeline uses."""
+    base = docs.select(F.col("doc_id").cast("long").alias("media_id")).where(
+        F.col("media_id") < int(limit)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                w, h = d % 13 + 1, d % 9 + 1
+                rows_v = np.array(
+                    [(d + r) % 251 for r in range(h)], dtype=np.uint8
+                )
+                arr = np.repeat(
+                    np.repeat(rows_v[:, None, None], w, axis=1), 3, axis=2
+                )
+                payloads.append(imagecodec.encode_bmp(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    return base.mapInPandas(gen, "media_id long, payload binary")
+
+
+def media_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload through the REAL pixel path
+    (:func:`decode_image` — PIL when importable, the vendored
+    PPM/BMP codec otherwise) and emit integer-exact per-image stats:
+    ``(doc_id, width, height, sum_px, top_px)`` where ``sum_px`` is
+    the int64 sum of all channel values and ``top_px`` the top-left
+    red channel (catches a decoder that forgets BMP's bottom-up row
+    order — a sum alone is order-invariant). Arrow-batched
+    ``mapInPandas``; only the stats rows leave the executors, never
+    pixels."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w_, h_, s_, t_ = [], [], [], []
+            for b in pdf["payload"]:
+                img = decode_image(bytes(b))
+                h, w = img.shape[:2]
+                w_.append(w)
+                h_.append(h)
+                s_.append(int(img.astype(np.int64).sum()))
+                t_.append(int(img[0, 0, 0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["media_id"].astype("int64"),
+                    "width": pd.array(w_, dtype="int64"),
+                    "height": pd.array(h_, dtype="int64"),
+                    "sum_px": pd.array(s_, dtype="int64"),
+                    "top_px": pd.array(t_, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, width long, height long, sum_px long, "
+        "top_px long",
+    )
+
+
+def oracle_sql_media_decode(
+    limit: int = 200, table: str = "documents",
+) -> str:
+    """DuckDB oracle for ``media_decode_stats(synth_bmp_media(docs))``
+    — the closed-form pixel stats recomputed from ``doc_id`` alone
+    (uncorrelated ``generate_series`` join; DuckDB does not support
+    lateral column parameters in table functions)."""
+    return f"""
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(d.doc_id % 13 + 1 AS BIGINT) AS width,
+         CAST(d.doc_id % 9 + 1 AS BIGINT) AS height,
+         sum((d.doc_id + r.r) % 251) AS row_sum
+  FROM {table} d JOIN generate_series(0, 8) r(r)
+    ON r.r <= d.doc_id % 9
+  WHERE d.doc_id < {int(limit)}
+  GROUP BY d.doc_id
+)
+SELECT doc_id, width, height,
+       CAST(3 * width * row_sum AS BIGINT) AS sum_px,
+       CAST(doc_id % 251 AS BIGINT) AS top_px
+FROM px
+ORDER BY doc_id
+"""
+
+
 def make_media_df(spark, n: int = 64, seed: int = 11) -> DataFrame:
     """Deterministic synthetic media table (binary payloads + metadata)."""
     rng = np.random.default_rng(seed)
