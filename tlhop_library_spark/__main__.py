@@ -166,6 +166,47 @@ def main(argv: list[str] | None = None) -> int:
         help="composite (paginated terms) aggregation; resume "
         "strictly after AFTER",
     )
+    sm.add_argument(
+        "--diversified", metavar="DOCS_PARQUET:COL[:MAX]",
+        default=None,
+        help="diversified_sampler: top-k with at most MAX hits "
+        "(default 1) per distinct COL value",
+    )
+    sm.add_argument(
+        "--rank-feature", metavar="DOCS_PARQUET:COL[:PIVOT[:BOOST]]",
+        default=None,
+        help="rank_feature ⊕ BM25: add boost·saturation(COL, PIVOT) "
+        "to the text score (static doc-quality boost)",
+    )
+    sm.add_argument(
+        "--pinned", metavar="DOCS_PARQUET:ID1,ID2,...", default=None,
+        help="pinned query: the listed doc ids rank first in list "
+        "order, organic BM25 ranking after",
+    )
+    sm.add_argument(
+        "--bool-prefix", action="store_true",
+        help="match_bool_prefix (unordered type-ahead): trailing "
+        "token matched as a dictionary prefix, no position "
+        "constraint",
+    )
+    sm.add_argument(
+        "--histogram", metavar="DOCS_PARQUET:COL:INTERVAL",
+        default=None,
+        help="histogram aggregation: fixed-interval numeric buckets "
+        "over the matching set instead of top-k docs",
+    )
+    sm.add_argument(
+        "--terms-stats", metavar="DOCS_PARQUET:KEY:METRIC[:SIZE]",
+        default=None,
+        help="terms aggregation with a stats sub-agg: top KEY "
+        "buckets, each with METRIC cnt/min/max/sum/avg",
+    )
+    sm.add_argument(
+        "--multi-terms", metavar="DOCS_PARQUET:COL1,COL2[:SIZE]",
+        default=None,
+        help="multi_terms aggregation: composite-key buckets over "
+        "the matching set",
+    )
 
     ms = sub.add_parser(
         "msearch",
@@ -484,6 +525,60 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(path)
             rows = reader.facet_composite(
                 args.query, docs, col, size=size, after=after
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.diversified is not None:
+            spec = args.diversified.split(":")
+            docs = spark.read.parquet(spec[0])
+            m = int(spec[2]) if len(spec) > 2 else 1
+            rows = reader.search_diversified(
+                args.query, docs, spec[1], max_per_key=m, k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.rank_feature is not None:
+            spec = args.rank_feature.split(":")
+            docs = spark.read.parquet(spec[0])
+            pivot = float(spec[2]) if len(spec) > 2 else 1.0
+            boost = float(spec[3]) if len(spec) > 3 else 1.0
+            rows = reader.search_rank_feature(
+                args.query, docs, spec[1], k=args.k,
+                pivot=pivot, boost=boost,
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.pinned is not None:
+            path, _, ids = args.pinned.rpartition(":")
+            docs = spark.read.parquet(path)
+            pins = [int(x) for x in ids.split(",") if x]
+            rows = reader.search_pinned(
+                args.query, docs, pins, k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.bool_prefix:
+            rows = reader.search_bool_prefix(
+                args.query, k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.histogram is not None:
+            spec = args.histogram.split(":")
+            docs = spark.read.parquet(spec[0])
+            rows = reader.facet_histogram(
+                args.query, docs, spec[1], float(spec[2])
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.terms_stats is not None:
+            spec = args.terms_stats.split(":")
+            docs = spark.read.parquet(spec[0])
+            size = int(spec[3]) if len(spec) > 3 else 10
+            rows = reader.facet_terms_stats(
+                args.query, docs, spec[1], spec[2], size=size
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.multi_terms is not None:
+            spec = args.multi_terms.split(":")
+            docs = spark.read.parquet(spec[0])
+            size = int(spec[2]) if len(spec) > 2 else 10
+            rows = reader.facet_multi_terms(
+                args.query, docs, spec[1].split(","), size=size
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
         elif args.all_terms:
