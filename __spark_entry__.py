@@ -128,7 +128,7 @@ R5_ROTATION_CANDIDATES = frozenset({
     "bm25_diversified", "bm25_rank_feature", "bm25_pinned",
     "facet_multi_terms", "facet_adjacency", "bm25_bool_prefix",
     "facet_histogram", "facet_terms_stats", "facet_weighted_avg",
-    "media_decode_stats",
+    "media_decode_stats", "facet_filters",
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
@@ -579,6 +579,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d
     ).facet_terms_stats(
         BM25_QUERY_1, _t(s, d, "documents"), "lang", "n_chars", size=5
+    )
+
+    # ES filters aggregation: per-named-filter counts + the
+    # __other__ bucket (docs matching no filter), one filter's term
+    # intentionally absent from the corpus (counts 0 — ES still
+    # emits the bucket)
+    q["facet_filters"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_filters(
+        {"a": "spark", "b": "join filter", "zz": "zzznope"},
+        _t(s, d, "documents"),
     )
 
     # Multimodal round-trip under the oracle: deterministic BMPs
@@ -2216,6 +2227,14 @@ FROM tok GROUP BY doc_id, term
     )
 
     o["media_decode_stats"] = oracle_sql_media_decode(limit=200)
+    from tlhop_library_spark.index.query import (
+        oracle_sql_facet_filters,
+    )
+
+    o["facet_filters"] = oracle_sql_facet_filters(
+        {"a": "spark", "b": "join filter", "zz": "zzznope"},
+        other_bucket=True,
+    )
     from tlhop_library_spark.index.query import oracle_sql_date_histogram
 
     o["facet_date_histogram"] = oracle_sql_date_histogram(

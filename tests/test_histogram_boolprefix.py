@@ -218,6 +218,44 @@ def test_weighted_avg_matches_bruteforce(reader, docs, hits_map):
 
 
 # ---------------------------------------------------------------------
+# filters aggregation
+# ---------------------------------------------------------------------
+def test_filters_agg_matches_bruteforce(reader, docs, doc_tokens):
+    named = {
+        "x": "informação",
+        "y": "segurança análise",
+        "ghost": "zzzzunseen",
+    }
+    got = {
+        r["key"]: r["doc_count"]
+        for r in reader.facet_filters(named, docs).collect()
+    }
+    sets = {
+        n: {
+            d
+            for d, toks in doc_tokens.items()
+            if set(py_tokens(q)) & set(toks)
+        }
+        for n, q in named.items()
+    }
+    want = {n: len(s) for n, s in sets.items()}
+    want["__other__"] = len(doc_tokens) - len(
+        set().union(*sets.values())
+    )
+    assert got == want
+    assert got["ghost"] == 0  # absent filter still emits its bucket
+    assert got["__other__"] > 0, "weak fixture: other bucket empty"
+
+
+def test_filters_agg_without_context_has_no_other(reader):
+    got = {
+        r["key"]
+        for r in reader.facet_filters({"x": "informação"}).collect()
+    }
+    assert got == {"x"}
+
+
+# ---------------------------------------------------------------------
 # sharded federation identity
 # ---------------------------------------------------------------------
 def test_sharded_aggs_identical_to_single(
@@ -252,6 +290,14 @@ def test_sharded_aggs_identical_to_single(
         (
             reader.facet_weighted_avg(Q, wdocs, "n_chars", "w"),
             sharded.facet_weighted_avg(Q, wdocs, "n_chars", "w"),
+        ),
+        (
+            reader.facet_filters(
+                {"x": "informação", "y": "segurança"}, docs
+            ).orderBy("key"),
+            sharded.facet_filters(
+                {"x": "informação", "y": "segurança"}, docs
+            ).orderBy("key"),
         ),
     ]
     for single, fed in pairs:

@@ -1343,6 +1343,105 @@ WHERE d.{value_field} IS NOT NULL AND d.{weight_field} IS NOT NULL
 """
 
 
+def filters_agg_hits(
+    streams: dict[str, DataFrame], docs: "DataFrame | None" = None,
+) -> DataFrame:
+    """Shared ES ``filters`` aggregation: one row per named filter
+    with its matching-doc count; when ``docs`` is given, an
+    ``__other__`` row counts context docs (non-NULL text) matching
+    NO filter (ES ``other_bucket: true``). Fully declarative — the
+    per-name counts are one-row aggs over the already-pruned hit
+    streams, and the other-bucket is one anti-join + count; nothing
+    is collected at build time.
+
+    With tombstones, pass the index's own live-docs view (e.g.
+    ``reader.stored_docs()``) as ``docs`` — the hit streams are
+    already tombstone-masked, but an external docs table is not."""
+    if not streams:
+        raise ValueError("filters agg needs >= 1 named filter")
+    out = None
+    union_ids = None
+    for name in sorted(streams):
+        ids = streams[name].select("doc_id").distinct()
+        row = ids.agg(
+            F.lit(name).alias("key"),
+            F.count("*").cast("long").alias("doc_count"),
+        ).select("key", "doc_count")
+        out = row if out is None else out.unionByName(row)
+        union_ids = (
+            ids if union_ids is None else union_ids.unionByName(ids)
+        )
+    if docs is not None:
+        ctx = docs.where(F.col("text").isNotNull()).select("doc_id")
+        other = ctx.join(
+            union_ids.distinct(), "doc_id", "left_anti"
+        ).agg(
+            F.lit("__other__").alias("key"),
+            F.count("*").cast("long").alias("doc_count"),
+        ).select("key", "doc_count")
+        out = out.unionByName(other)
+    return out
+
+
+def oracle_sql_facet_filters(
+    named_queries: dict[str, str], other_bucket: bool = False,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the filters aggregation — per-name matching sets
+    from the shared token CTE (OR semantics), plus a NOT-EXISTS
+    other-bucket over the non-NULL-text context."""
+    all_terms = sorted(
+        {t for q in named_queries.values() for t in py_tokens(q)}
+    )
+    # a can't-match dummy keeps the tf CTE's IN-list valid when every
+    # filter analyzes to zero terms (counts still all come out 0)
+    cte = _bm25_scored_cte(
+        " ".join(all_terms) or "zzzznomatchplaceholder", table, doc_col
+    )
+    selects = []
+    for name in sorted(named_queries):
+        terms = sorted(set(py_tokens(named_queries[name])))
+        if not terms:  # unanalyzable filter — counts 0 via finals
+            continue
+        tl = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in terms
+        )
+        nm = name.replace("'", "''")
+        selects.append(
+            f"SELECT '{nm}' AS key, doc_id FROM tf "
+            f"WHERE term IN ({tl}) GROUP BY doc_id"
+        )
+    if not selects:  # every filter analyzed to zero terms
+        selects = [
+            "SELECT CAST(NULL AS VARCHAR) AS key, "
+            "CAST(NULL AS BIGINT) AS doc_id WHERE false"
+        ]
+    union = "\n  UNION ALL\n  ".join(selects)
+    # one GLOBAL agg per name (always yields a row — a filter whose
+    # terms are absent from the corpus counts 0, matching the engine
+    # and ES, where GROUP BY would silently drop the bucket)
+    finals = [
+        f"SELECT '{name.replace(chr(39), chr(39) * 2)}' AS key, "
+        "CAST(count(*) AS BIGINT) AS doc_count FROM labeled "
+        f"WHERE key = '{name.replace(chr(39), chr(39) * 2)}'"
+        for name in sorted(named_queries)
+    ]
+    if other_bucket:
+        finals.append(
+            f"""SELECT '__other__' AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM {table} d
+WHERE d.text IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM labeled l WHERE l.doc_id = d.{doc_col})"""
+        )
+    body = "\nUNION ALL\n".join(finals)
+    return f"""{cte}, labeled AS (
+  {union}
+)
+{body}
+"""
+
+
 def oracle_sql_bm25_diversified(
     query_text: str, field: str, max_per_key: int, k: int = 10,
     table: str = "documents", doc_col: str = "doc_id",
@@ -4626,6 +4725,26 @@ class IndexReader:
                 [], "key1 string, key2 string, doc_count long"
             )
         return adjacency_matrix_hits(streams)
+
+    def facet_filters(
+        self, named_queries: dict[str, str],
+        docs: "DataFrame | None" = None,
+    ) -> DataFrame:
+        """ES ``filters`` aggregation: per-named-filter matching-doc
+        counts, with an ``__other__`` bucket (docs matching no
+        filter) when a context ``docs`` table is given. Semantics in
+        :func:`filters_agg_hits`; filters whose terms are all absent
+        from the dictionary count 0."""
+        streams = {}
+        for name, q in named_queries.items():
+            terms = sorted(set(py_tokens(q)))
+            if self.lookup_terms(terms):
+                streams[name] = self._matching_scores(q)
+            else:
+                streams[name] = self.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+        return filters_agg_hits(streams, docs)
 
     def facet_histogram(
         self, query_text: str, docs: DataFrame, field: str,

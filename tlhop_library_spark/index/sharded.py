@@ -966,6 +966,26 @@ class ShardedIndexReader:
             )
         return adjacency_matrix_hits(streams)
 
+    def facet_filters(
+        self, named_queries: dict[str, str],
+        docs: "DataFrame | None" = None,
+    ) -> DataFrame:
+        """Federated filters aggregation — each named filter's
+        matching set federates independently; counts and the
+        other-bucket anti-join are doc_id-keyed, globally unique
+        across shards."""
+        from tlhop_library_spark.index.query import filters_agg_hits
+
+        streams = {}
+        for name, q in named_queries.items():
+            h = self._fed_hits(q)
+            if h is None:
+                h = self.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+            streams[name] = h
+        return filters_agg_hits(streams, docs)
+
     def facet_histogram(
         self, query_text: str, docs: DataFrame, field: str,
         interval: float,
