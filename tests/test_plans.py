@@ -189,3 +189,52 @@ def test_round24_collector_plans(spark, index_dir, corpus_df):
     assert "hashpartitioning(lang" in p_col
     p_kw = plan_of(corpus_stats.tfidf_keywords(docs, 3))
     assert "hashpartitioning(doc_id" in p_kw
+
+
+def test_round45_mode_plans(spark, index_dir, corpus_df):
+    """Round-4.5 operators keep the 100-TB plan contracts: every
+    k-cut is TakeOrderedAndProject, the diversity cap's window is
+    PARTITIONED by the key (never a full-input single-partition
+    window), the pinned list rides a broadcast join, and the
+    pair-count self-join is an equi-join — no CartesianProduct
+    anywhere."""
+    from tlhop_library_spark.index import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text"))
+    q = "informação dados"
+
+    p_div = plan_of(r.search_diversified(q, docs, "lang", 2, k=5))
+    assert "TakeOrderedAndProject" in p_div
+    assert "hashpartitioning(__key" in p_div
+    assert "CartesianProduct" not in p_div
+
+    p_pin = plan_of(r.search_pinned(q, docs, [7, 3], k=5))
+    assert "TakeOrderedAndProject" in p_pin
+    assert "BroadcastHashJoin" in p_pin
+    assert "CartesianProduct" not in p_pin
+
+    p_rf = plan_of(
+        r.search_rank_feature(q, docs, "n_chars", k=5, pivot=100.0)
+    )
+    assert "TakeOrderedAndProject" in p_rf
+    assert "SortMergeJoin" not in p_rf
+
+    for p in (
+        plan_of(r.facet_adjacency_matrix({"a": "dados", "b": "lei"})),
+        plan_of(r.facet_histogram(q, docs, "n_chars", 100.0)),
+        plan_of(r.facet_terms_stats(q, docs, "lang", "n_chars", 5)),
+        plan_of(r.facet_weighted_avg(q, docs, "n_chars", "n_chars")),
+        plan_of(r.search_bool_prefix("dados inf", k=5)),
+    ):
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+
+    # the filters other-bucket anti-join deliberately carries NO
+    # broadcast hint: a stopword filter's matching union can be
+    # corpus-sized at 10^12 docs, so the scale-safe static plan is a
+    # shuffled anti-join and AQE broadcast-converts it at runtime
+    # when the union is actually small. Only the cross product is
+    # forbidden.
+    p_fl = plan_of(r.facet_filters({"a": "dados", "b": "lei"}, docs))
+    assert "CartesianProduct" not in p_fl
