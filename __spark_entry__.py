@@ -128,7 +128,8 @@ R5_ROTATION_CANDIDATES = frozenset({
     "bm25_diversified", "bm25_rank_feature", "bm25_pinned",
     "facet_multi_terms", "facet_adjacency", "bm25_bool_prefix",
     "facet_histogram", "facet_terms_stats", "facet_weighted_avg",
-    "media_decode_stats", "facet_filters",
+    "media_decode_stats", "facet_filters", "facet_percentiles",
+    "facet_missing", "facet_rare_terms",
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
@@ -590,6 +591,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).facet_filters(
         {"a": "spark", "b": "join filter", "zz": "zzznope"},
         _t(s, d, "documents"),
+    )
+
+    # ES percentiles aggregation (EXACT, not TDigest — engine-
+    # reproducible): p25/p50/p90 of matching docs' n_chars
+    q["facet_percentiles"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_percentiles(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars",
+        [0.25, 0.5, 0.9],
+    )
+
+    # ES missing aggregation: matching docs with a NULL field (the sf
+    # table has no natural NULLs — derive a deterministic nullable
+    # column identically on both sides)
+    q["facet_missing"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_missing(
+        BM25_QUERY_1,
+        _t(s, d, "documents").withColumn(
+            "opt_lang",
+            F.when(F.col("doc_id") % 3 != 0, F.col("lang")),
+        ),
+        "opt_lang",
+    )
+
+    # ES rare_terms aggregation: exact long-tail buckets (n_chars
+    # values held by exactly one matching doc), explicit bucket
+    # budget instead of ES's CuckooFilter approximation
+    q["facet_rare_terms"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_rare_terms(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars",
+        max_doc_count=1, max_buckets=50,
     )
 
     # Multimodal round-trip under the oracle: deterministic BMPs
@@ -2234,6 +2268,23 @@ FROM tok GROUP BY doc_id, term
     o["facet_filters"] = oracle_sql_facet_filters(
         {"a": "spark", "b": "join filter", "zz": "zzznope"},
         other_bucket=True,
+    )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_facet_missing,
+        oracle_sql_facet_percentiles,
+        oracle_sql_facet_rare_terms,
+    )
+
+    o["facet_percentiles"] = oracle_sql_facet_percentiles(
+        BM25_QUERY_1, "n_chars", [0.25, 0.5, 0.9]
+    )
+    o["facet_missing"] = oracle_sql_facet_missing(
+        BM25_QUERY_1, "opt_lang",
+        table="(SELECT *, CASE WHEN doc_id % 3 != 0 THEN lang END "
+        "AS opt_lang FROM documents)",
+    )
+    o["facet_rare_terms"] = oracle_sql_facet_rare_terms(
+        BM25_QUERY_1, "n_chars", max_doc_count=1, max_buckets=50
     )
     from tlhop_library_spark.index.query import oracle_sql_date_histogram
 

@@ -218,6 +218,60 @@ def test_weighted_avg_matches_bruteforce(reader, docs, hits_map):
 
 
 # ---------------------------------------------------------------------
+# percentiles / missing / rare_terms
+# ---------------------------------------------------------------------
+def test_percentiles_matches_numpy_linear(reader, docs, hits_map):
+    import numpy as np
+
+    row = reader.facet_percentiles(
+        Q, docs, "n_chars", [0.25, 0.5, 0.9]
+    ).collect()[0]
+    vals = np.array(_nchars(docs, hits_map), dtype=float)
+    for col, p in (("p25", 25), ("p50", 50), ("p90", 90)):
+        assert row[col] == round(
+            float(np.percentile(vals, p, method="linear")), 4
+        )
+
+
+def test_percentiles_guard(reader, docs):
+    with pytest.raises(ValueError):
+        reader.facet_percentiles(Q, docs, "n_chars", [1.5])
+
+
+def test_missing_counts_null_fields(reader, docs, hits_map):
+    nulled = docs.withColumn(
+        "opt", F.when(F.col("doc_id") % 4 != 0, F.col("lang"))
+    )
+    got = reader.facet_missing(Q, nulled, "opt").collect()[0]
+    # NULL where doc_id % 4 == 0 OR lang itself is NULL
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    want = sum(
+        1 for d in hits_map if d % 4 == 0 or langs[d] is None
+    )
+    assert got["missing_count"] == want
+    assert 0 < want < len(hits_map), "weak fixture"
+
+
+def test_rare_terms_matches_bruteforce(reader, docs, hits_map):
+    got = [
+        (r["rank"], r["n_chars"], r["doc_count"])
+        for r in reader.facet_rare_terms(
+            Q, docs, "n_chars", max_doc_count=2, max_buckets=25
+        ).collect()
+    ]
+    counts: dict = {}
+    for v in _nchars(docs, hits_map):
+        counts[v] = counts.get(v, 0) + 1
+    tail = sorted(
+        ((c, k) for k, c in counts.items() if c <= 2)
+    )[:25]
+    assert got == [
+        (i + 1, k, c) for i, (c, k) in enumerate(tail)
+    ]
+    assert got, "weak fixture: no rare buckets"
+
+
+# ---------------------------------------------------------------------
 # filters aggregation
 # ---------------------------------------------------------------------
 def test_filters_agg_matches_bruteforce(reader, docs, doc_tokens):
@@ -298,6 +352,18 @@ def test_sharded_aggs_identical_to_single(
             sharded.facet_filters(
                 {"x": "informação", "y": "segurança"}, docs
             ).orderBy("key"),
+        ),
+        (
+            reader.facet_percentiles(Q, docs, "n_chars", [0.5, 0.9]),
+            sharded.facet_percentiles(Q, docs, "n_chars", [0.5, 0.9]),
+        ),
+        (
+            reader.facet_missing(Q, docs, "lang"),
+            sharded.facet_missing(Q, docs, "lang"),
+        ),
+        (
+            reader.facet_rare_terms(Q, docs, "n_chars", 2, 25),
+            sharded.facet_rare_terms(Q, docs, "n_chars", 2, 25),
         ),
     ]
     for single, fed in pairs:

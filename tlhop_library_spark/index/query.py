@@ -1276,6 +1276,134 @@ def weighted_avg_agg_hits(
     )
 
 
+def percentiles_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str,
+    percentiles: "list[float] | None" = None,
+) -> DataFrame:
+    """Shared ES ``percentiles`` aggregation over the matching set —
+    EXACT (`F.percentile`, linear interpolation ≡ DuckDB
+    ``quantile_cont``), not ES's TDigest sketch: exactness is what
+    makes the result engine-reproducible and layout-independent,
+    and the distributed exact percentile is one shuffle of the
+    matching docs' values. NULLs ignored. One row, a ``p<pct>``
+    column per requested percentile, rounded to 4 digits."""
+    ps = [0.25, 0.5, 0.75] if percentiles is None else list(percentiles)
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("percentiles must be within [0, 1]")
+    v = F.col(field).cast("double")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(v.isNotNull())
+    )
+    cols = [
+        F.round(F.percentile(v, F.lit(float(p))), 4).alias(
+            "p" + str(int(round(p * 100)))
+        )
+        for p in ps
+    ]
+    return j.agg(*cols)
+
+
+def missing_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str,
+) -> DataFrame:
+    """Shared ES ``missing`` aggregation: how many matching docs have
+    no value for ``field``. One semi-join + one-row agg."""
+    j = docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+    return j.agg(
+        F.count(F.when(F.col(field).isNull(), 1))
+        .cast("long")
+        .alias("missing_count")
+    )
+
+
+def rare_terms_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str,
+    max_doc_count: int = 1, max_buckets: int = 1000,
+) -> DataFrame:
+    """Shared ES ``rare_terms`` aggregation: the long-tail buckets —
+    field values appearing in at most ``max_doc_count`` matching
+    docs, ordered (doc_count ASC, key ASC). ES bounds the result
+    with a CuckooFilter approximation; this is EXACT but cut to
+    ``max_buckets`` via ``ranked_topk`` (per-partition heaps) — at
+    web scale the rare tail of a high-cardinality field is
+    corpus-sized, so an explicit bucket budget replaces ES's
+    probabilistic one. NULL keys form no bucket."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col(field).isNotNull())
+    )
+    agg = (
+        j.groupBy(field)
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .where(F.col("doc_count") <= int(max_doc_count))
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        agg, [F.asc("doc_count"), F.asc(field)], max_buckets
+    ).select("rank", field, "doc_count")
+
+
+def oracle_sql_facet_percentiles(
+    query_text: str, field: str,
+    percentiles: "list[float] | None" = None,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the exact percentiles agg — ``quantile_cont`` is
+    the same linear-interpolation definition as ``F.percentile``."""
+    ps = [0.25, 0.5, 0.75] if percentiles is None else list(percentiles)
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    cols = ", ".join(
+        f"round(quantile_cont(CAST(d.{field} AS DOUBLE), {float(p)!r}), 4)"
+        f" AS p{int(round(p * 100))}"
+        for p in ps
+    )
+    return f"""{cte}
+SELECT {cols}
+FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+WHERE d.{field} IS NOT NULL
+"""
+
+
+def oracle_sql_facet_missing(
+    query_text: str, field: str, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for the missing agg."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}
+SELECT CAST(count(CASE WHEN d.{field} IS NULL THEN 1 END) AS BIGINT)
+         AS missing_count
+FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+"""
+
+
+def oracle_sql_facet_rare_terms(
+    query_text: str, field: str, max_doc_count: int = 1,
+    max_buckets: int = 1000, table: str = "documents",
+    doc_col: str = "doc_id",
+) -> str:
+    """Oracle for rare_terms — exact tail buckets, same cut."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, buckets AS (
+  SELECT d.{field}, CAST(count(*) AS BIGINT) AS doc_count
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL
+  GROUP BY d.{field}
+  HAVING count(*) <= {int(max_doc_count)}
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_count ASC,
+                               {field} ASC) AS INT) AS rank,
+       {field}, doc_count
+FROM buckets
+QUALIFY rank <= {int(max_buckets)}
+ORDER BY rank
+"""
+
+
 def oracle_sql_facet_histogram(
     query_text: str, field: str, interval: float,
     table: str = "documents", doc_col: str = "doc_id",
@@ -4779,6 +4907,40 @@ class IndexReader:
         return weighted_avg_agg_hits(
             self._matching_scores(query_text).select("doc_id"),
             docs, value_field, weight_field,
+        )
+
+    def facet_percentiles(
+        self, query_text: str, docs: DataFrame, field: str,
+        percentiles: "list[float] | None" = None,
+    ) -> DataFrame:
+        """ES ``percentiles`` aggregation over the matching set —
+        exact, not TDigest. Semantics in
+        :func:`percentiles_agg_hits`."""
+        return percentiles_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field, percentiles,
+        )
+
+    def facet_missing(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """ES ``missing`` aggregation over the matching set.
+        Semantics in :func:`missing_agg_hits`."""
+        return missing_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field,
+        )
+
+    def facet_rare_terms(
+        self, query_text: str, docs: DataFrame, field: str,
+        max_doc_count: int = 1, max_buckets: int = 1000,
+    ) -> DataFrame:
+        """ES ``rare_terms`` aggregation over the matching set —
+        exact long-tail buckets with an explicit bucket budget.
+        Semantics in :func:`rare_terms_agg_hits`."""
+        return rare_terms_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field, max_doc_count, max_buckets,
         )
 
     def search_scan(

@@ -1043,6 +1043,56 @@ class ShardedIndexReader:
             hits.select("doc_id"), docs, value_field, weight_field
         )
 
+    def facet_percentiles(
+        self, query_text: str, docs: DataFrame, field: str,
+        percentiles: "list[float] | None" = None,
+    ) -> DataFrame:
+        """Federated exact percentiles — one value shuffle over the
+        unioned matching set; exactness (vs ES's TDigest) is what
+        makes the federated result identical to the single-index
+        one."""
+        from tlhop_library_spark.index.query import (
+            percentiles_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return percentiles_agg_hits(
+            hits.select("doc_id"), docs, field, percentiles
+        )
+
+    def facet_missing(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """Federated missing agg — a plain count over the unioned
+        matching set."""
+        from tlhop_library_spark.index.query import missing_agg_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return missing_agg_hits(hits.select("doc_id"), docs, field)
+
+    def facet_rare_terms(
+        self, query_text: str, docs: DataFrame, field: str,
+        max_doc_count: int = 1, max_buckets: int = 1000,
+    ) -> DataFrame:
+        """Federated rare_terms — the tail buckets aggregate over the
+        unioned matching set (a doc lives in one shard, so counts are
+        exact)."""
+        from tlhop_library_spark.index.query import (
+            rare_terms_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return rare_terms_agg_hits(
+            hits.select("doc_id"), docs, field, max_doc_count,
+            max_buckets,
+        )
+
     def search_terms_set(
         self, query_text: str, docs: DataFrame, msm_field: str,
         k: int = 10,
