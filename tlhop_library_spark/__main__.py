@@ -207,6 +207,22 @@ def main(argv: list[str] | None = None) -> int:
         help="multi_terms aggregation: composite-key buckets over "
         "the matching set",
     )
+    sm.add_argument(
+        "--percentiles", metavar="DOCS_PARQUET:COL[:P1,P2,...]",
+        default=None,
+        help="exact percentiles aggregation over the matching set "
+        "(fractions in [0,1]; default 0.25,0.5,0.75)",
+    )
+    sm.add_argument(
+        "--missing", metavar="DOCS_PARQUET:COL", default=None,
+        help="missing aggregation: matching docs with a NULL field",
+    )
+    sm.add_argument(
+        "--rare-terms", metavar="DOCS_PARQUET:COL[:MAXDC[:BUDGET]]",
+        default=None,
+        help="rare_terms aggregation: exact long-tail buckets "
+        "(doc_count <= MAXDC, at most BUDGET buckets)",
+    )
 
     ms = sub.add_parser(
         "msearch",
@@ -579,6 +595,33 @@ def main(argv: list[str] | None = None) -> int:
             size = int(spec[2]) if len(spec) > 2 else 10
             rows = reader.facet_multi_terms(
                 args.query, docs, spec[1].split(","), size=size
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.percentiles is not None:
+            spec = args.percentiles.split(":")
+            docs = spark.read.parquet(spec[0])
+            ps = (
+                [float(x) for x in spec[2].split(",")]
+                if len(spec) > 2 else None
+            )
+            rows = reader.facet_percentiles(
+                args.query, docs, spec[1], ps
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.missing is not None:
+            path, _, col = args.missing.rpartition(":")
+            docs = spark.read.parquet(path)
+            rows = reader.facet_missing(
+                args.query, docs, col
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.rare_terms is not None:
+            spec = args.rare_terms.split(":")
+            docs = spark.read.parquet(spec[0])
+            maxdc = int(spec[2]) if len(spec) > 2 else 1
+            budget = int(spec[3]) if len(spec) > 3 else 1000
+            rows = reader.facet_rare_terms(
+                args.query, docs, spec[1], maxdc, budget
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
         elif args.all_terms:
