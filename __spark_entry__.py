@@ -129,7 +129,8 @@ R5_ROTATION_CANDIDATES = frozenset({
     "facet_multi_terms", "facet_adjacency", "bm25_bool_prefix",
     "facet_histogram", "facet_terms_stats", "facet_weighted_avg",
     "media_decode_stats", "facet_filters", "facet_percentiles",
-    "facet_missing", "facet_rare_terms",
+    "facet_missing", "facet_rare_terms", "pq_encode_fixed",
+    "pq_topk_adc",
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
@@ -172,7 +173,7 @@ def _family(key: str) -> str:
                "stratified_sample", "lm_perplexity"):
         return "corpus"
     if key.startswith(("cosine_", "embedding_", "lsh_", "knn_", "ivf_",
-                       "hybrid_")):
+                       "hybrid_", "pq_")):
         return "similarity"
     if key.startswith(("dedup_", "dup_", "ngram_", "near_dup",
                        "minhash_", "simhash_", "training_data",
@@ -625,6 +626,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         BM25_QUERY_1, _t(s, d, "documents"), "n_chars",
         max_doc_count=1, max_buckets=50,
     )
+
+    # Product quantization (Jégou et al. 2011) under the oracle:
+    # fixed deterministic codebooks → per-subspace argmin codes
+    # (round-9 distances, lowest-code ties — engine-exact), exploded
+    # so every (vec_id, sub, code) is value-hashed
+    def _q_pq_encode(s, d):
+        from tlhop_library_spark.operators.pq import (
+            deterministic_codebooks,
+            pq_encode,
+        )
+
+        cb = deterministic_codebooks(64, 4, 8, seed=7)
+        return pq_encode(_t(s, d, "embeddings"), cb).select(
+            "vec_id", F.posexplode("codes").alias("sub", "code")
+        )
+
+    q["pq_encode_fixed"] = _q_pq_encode
+
+    # ADC top-k over the PQ codes: the query's m·k lookup table rides
+    # a broadcast literal join — float vectors never read at query
+    # time (the 64x-compression IVFADC read path)
+    def _q_pq_topk(s, d):
+        import numpy as _np
+
+        from tlhop_library_spark.operators.pq import (
+            deterministic_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        cb = deterministic_codebooks(64, 4, 8, seed=7)
+        qv = _np.random.default_rng(11).standard_normal(64).round(6)
+        return pq_topk(
+            pq_encode(_t(s, d, "embeddings"), cb), cb, qv, topk=10
+        )
+
+    q["pq_topk_adc"] = _q_pq_topk
 
     # Multimodal round-trip under the oracle: deterministic BMPs
     # encoded executor-side (vendored codec), decoded through the
@@ -2261,6 +2299,21 @@ FROM tok GROUP BY doc_id, term
     )
 
     o["media_decode_stats"] = oracle_sql_media_decode(limit=200)
+    import numpy as _np_pq
+
+    from tlhop_library_spark.operators.pq import (
+        deterministic_codebooks as _det_cb,
+        oracle_sql_pq_encode,
+        oracle_sql_pq_topk,
+    )
+
+    _cb = _det_cb(64, 4, 8, seed=7)
+    o["pq_encode_fixed"] = oracle_sql_pq_encode(_cb)
+    o["pq_topk_adc"] = oracle_sql_pq_topk(
+        _cb,
+        _np_pq.random.default_rng(11).standard_normal(64).round(6),
+        topk=10,
+    )
     from tlhop_library_spark.index.query import (
         oracle_sql_facet_filters,
     )

@@ -1,0 +1,118 @@
+"""Product quantization (operators/pq.py): deterministic training,
+engine-exact encoding (numpy ≡ kernel, tie-break pinned), ADC ranking
+sanity (self-query first, bounded recall vs exact), and guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tlhop_library_spark.operators.pq import (
+    deterministic_codebooks,
+    pq_encode,
+    pq_topk,
+    train_pq,
+)
+
+SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(SF_EMB)
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    return E, ids
+
+
+@pytest.fixture(scope="module")
+def trained(emb):
+    return train_pq(emb, m=4, k=16, iters=10, seed=7)
+
+
+def test_training_is_deterministic(emb, trained):
+    again = train_pq(emb, m=4, k=16, iters=10, seed=7)
+    assert np.array_equal(trained, again)
+    assert trained.shape == (4, 16, 16)
+    other = train_pq(emb, m=4, k=16, iters=10, seed=8)
+    assert not np.array_equal(trained, other)
+
+
+def test_encode_matches_numpy(emb, emb_np, trained):
+    E, ids = emb_np
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, trained).collect()
+    }
+    m, k, dsub = trained.shape
+    for s in range(m):
+        d = (
+            (E[:, s * dsub:(s + 1) * dsub][:, None, :]
+             - trained[s][None]) ** 2
+        ).sum(-1)
+        want = np.argmin(np.round(d, 9), axis=1)
+        for i, vid in enumerate(ids):
+            assert got[vid][s] == want[i]
+
+
+def test_encode_tie_breaks_to_lowest_code(spark):
+    # two identical centroids → the argmin must pick the lower code
+    cb = np.zeros((1, 2, 4))
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    codes = pq_encode(df, cb).collect()[0]["codes"]
+    assert codes == [0]
+
+
+def test_adc_self_query_ranks_itself_first(emb, emb_np, trained):
+    E, ids = emb_np
+    qv = E[123]
+    got = pq_topk(pq_encode(emb, trained), trained, qv, 10).collect()
+    assert got[0]["vec_id"] == ids[123]
+    assert got[0]["rank"] == 1
+
+
+def test_adc_recall_vs_exact(emb, emb_np, trained):
+    E, ids = emb_np
+    qv = np.random.default_rng(11).standard_normal(64).round(6)
+    adc = [
+        r["vec_id"]
+        for r in pq_topk(pq_encode(emb, trained), trained, qv, 10)
+        .collect()
+    ]
+    exact = ids[np.argsort(((E - qv[None]) ** 2).sum(-1))][:10]
+    recall = len(set(adc) & set(exact.tolist())) / 10
+    assert recall >= 0.2, f"ADC recall collapsed: {recall}"
+
+
+def test_pq_guards(emb, trained):
+    with pytest.raises(ValueError):
+        deterministic_codebooks(63, 4, 8)
+    with pytest.raises(ValueError):
+        pq_topk(
+            pq_encode(emb, trained), trained, np.zeros(32), 10
+        )
+
+
+def test_adc_plan_is_jvm_only(emb, trained):
+    """The ADC read path never touches float vectors: broadcast lut
+    join + partial agg + TakeOrderedAndProject, no pandas kernel
+    past the (cacheable) encode."""
+    enc = pq_encode(emb, trained)
+    qv = np.zeros(64)
+    plan = (
+        pq_topk(enc, trained, qv, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

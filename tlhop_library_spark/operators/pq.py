@@ -1,0 +1,280 @@
+"""Product quantization (PQ) for the embedding store — the classic
+IVFADC compression lever (Jégou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011): split each d-dim vector
+into ``m`` subvectors, vector-quantize each against its own
+``k``-centroid codebook, and store one small code per subspace —
+``m`` bytes per vector at k ≤ 256 versus ``4d`` bytes of float32
+(64× compression at d=64, m=4), with query-time Asymmetric Distance
+Computation (ADC) summing per-subspace lookup-table entries instead
+of touching float vectors.
+
+Scale shape:
+- **Training** collects a DETERMINISTIC bounded sample to the driver
+  (``orderBy(vec_id).limit(n)``) and runs seeded Lloyd k-means per
+  subspace in numpy — the codebook is ``m·k·(d/m)`` floats, a
+  broadcastable constant exactly like the BPE type table
+  (``operators/bpe.py``) or the dictionary expansions; the corpus
+  itself never funnels through the driver.
+- **Encoding** is one Arrow-batched ``mapInPandas`` pass — per batch
+  a single ``(batch, k, dsub)`` numpy distance computation per
+  subspace, no per-row Python.
+- **ADC top-k** is pure JVM: the query's ``m·k`` lookup table rides
+  a broadcast literal table, codes ``posexplode`` to (vec_id, sub,
+  code), one broadcast equi-join, one partial-aggregated sum, and a
+  ``TakeOrderedAndProject`` k-cut — the float embeddings are never
+  read at query time.
+
+Determinism contract (what makes the oracle possible): distances are
+rounded to 9 digits BEFORE the argmin, ties break toward the lowest
+code, and ADC scores round to 6 — identical in numpy and the DuckDB
+oracle, so codes and rankings are engine-exact for any fixed
+codebook. Training is deterministic per (seed, sample) but not
+SQL-expressible (iterative k-means); the gates therefore run encode +
+ADC under FIXED deterministic codebooks and training is pinned by
+pytest instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "deterministic_codebooks",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
+    "oracle_sql_pq_encode",
+    "oracle_sql_pq_topk",
+]
+
+_ROUND_D = 9   # distance rounding before argmin / lut sums
+_ROUND_S = 6   # final ADC score rounding
+
+
+def deterministic_codebooks(
+    dim: int, m: int, k: int, seed: int = 7
+) -> np.ndarray:
+    """Seeded random codebooks (m, k, dim/m) — the fixed-codebook
+    input of the oracle gates; also a sane k-means init."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, k, dim // m)).round(6)
+
+
+def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd k-means; empty clusters reseed deterministically
+    from the points farthest from their centroid."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=len(X) < k)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+        assign = np.argmin(d, axis=1)
+        far = np.argsort(-d[np.arange(len(X)), assign])
+        fi = 0
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+            else:
+                C[c] = X[far[fi % len(X)]]
+                fi += 1
+    return C
+
+
+def train_pq(
+    embeddings: DataFrame, m: int = 4, k: int = 16, iters: int = 10,
+    seed: int = 7, sample_n: int = 10000, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace codebooks on a deterministic sample.
+
+    The sample (``orderBy(vec_id).limit(sample_n)``) is the only
+    driver-side data — bounded and layout-independent; k-means
+    training cost is O(sample · k · iters) on the driver, the
+    standard faiss/ScaNN shape where codebooks train on a slice and
+    encode distributes."""
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .limit(int(sample_n))
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+    return np.stack([
+        _kmeans(X[:, s * dsub:(s + 1) * dsub], k, iters, seed + s)
+        for s in range(m)
+    ])
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to (vec_id, codes array<int>) — one
+    argmin per subspace against the broadcast codebooks, vectorized
+    per Arrow batch. Codes are engine-exact under the determinism
+    contract (round-9 distances, lowest-code ties)."""
+    m, k, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub:(s + 1) * dsub]
+                d = ((Xs[:, None, :] - cb[s][None]) ** 2).sum(-1)
+                out[:, s] = np.argmin(np.round(d, _ROUND_D), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "codes": [
+                        [int(c) for c in row] for row in out
+                    ],
+                }
+            )
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        run, "vec_id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    encoded: DataFrame, codebooks: np.ndarray, qvec, topk: int = 10,
+) -> DataFrame:
+    """ADC top-k over PQ codes — NO float vectors touched: the
+    query's (m·k) lookup table of squared subspace distances rides a
+    broadcast literal frame; codes posexplode, one broadcast
+    equi-join, a partial-aggregated per-vector sum, and a
+    ``TakeOrderedAndProject`` cut by (adc_dist ASC, vec_id ASC).
+    Returns (rank, vec_id, adc_dist)."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError("query dim mismatch")
+    lut = np.round(
+        (
+            (q.reshape(m, 1, dsub) - codebooks.astype(np.float64))
+            ** 2
+        ).sum(-1),
+        _ROUND_D,
+    )
+    spark = encoded.sparkSession
+    lut_df = spark.createDataFrame(
+        [
+            (s, c, float(lut[s, c]))
+            for s in range(m)
+            for c in range(k)
+        ],
+        "sub int, code int, d double",
+    )
+    exploded = encoded.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut_df), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), _ROUND_S).alias("adc_dist"))
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.asc("adc_dist"), F.asc("vec_id")], topk
+    ).select("rank", "vec_id", "adc_dist")
+
+
+def _cb_values(codebooks: np.ndarray) -> str:
+    m, k, _ = codebooks.shape
+    return ",\n         ".join(
+        f"({s}, {c}, [{', '.join(repr(float(x)) for x in codebooks[s][c])}])"
+        for s in range(m)
+        for c in range(k)
+    )
+
+
+def _codes_cte(
+    codebooks: np.ndarray, table: str, limit: "int | None",
+) -> str:
+    m, k, dsub = codebooks.shape
+    where = f"WHERE e.vec_id < {int(limit)}" if limit else ""
+    return f"""
+WITH cb(sub, code, cvec) AS (VALUES {_cb_values(codebooks)}),
+subv AS (
+  SELECT e.vec_id, g.sub,
+         e.embedding[g.sub*{dsub}+1 : (g.sub+1)*{dsub}] AS v
+  FROM {table} e JOIN generate_series(0, {m - 1}) g(sub) ON true
+  {where}
+),
+dist AS (
+  SELECT s.vec_id, s.sub, cb.code,
+         round(list_sum(list_transform(list_zip(s.v, cb.cvec),
+               z -> power(CAST(z[1] AS DOUBLE) - z[2], 2))),
+               {_ROUND_D}) AS d
+  FROM subv s JOIN cb ON cb.sub = s.sub
+),
+codes AS (
+  SELECT vec_id, sub, code
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d, code) = 1
+)"""
+
+
+def oracle_sql_pq_encode(
+    codebooks: np.ndarray, table: str = "embeddings",
+    limit: "int | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`pq_encode` under fixed codebooks —
+    the identical round-9 argmin with lowest-code ties."""
+    return f"""{_codes_cte(codebooks, table, limit)}
+SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+FROM codes
+ORDER BY vec_id, sub
+"""
+
+
+def oracle_sql_pq_topk(
+    codebooks: np.ndarray, qvec, topk: int = 10,
+    table: str = "embeddings", limit: "int | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`pq_topk` — codes re-derived, the
+    query lookup table computed from the same literals, identical
+    rounding and tie-break."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    lut = np.round(
+        ((q.reshape(m, 1, dsub) - codebooks.astype(np.float64)) ** 2)
+        .sum(-1),
+        _ROUND_D,
+    )
+    lut_vals = ",\n         ".join(
+        f"({s}, {c}, {float(lut[s, c])!r})"
+        for s in range(m)
+        for c in range(k)
+    )
+    return f"""{_codes_cte(codebooks, table, limit)},
+lut(sub, code, d) AS (VALUES {lut_vals}),
+adc AS (
+  SELECT codes.vec_id,
+         round(sum(lut.d), {_ROUND_S}) AS adc_dist
+  FROM codes JOIN lut
+    ON lut.sub = codes.sub AND lut.code = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC)
+        AS INT) AS rank, vec_id, adc_dist
+FROM adc
+QUALIFY rank <= {int(topk)}
+ORDER BY rank
+"""
