@@ -130,7 +130,7 @@ R5_ROTATION_CANDIDATES = frozenset({
     "facet_histogram", "facet_terms_stats", "facet_weighted_avg",
     "media_decode_stats", "facet_filters", "facet_percentiles",
     "facet_missing", "facet_rare_terms", "pq_encode_fixed",
-    "pq_topk_adc",
+    "pq_topk_adc", "ivf_pq_topk",
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
@@ -663,6 +663,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pq_topk_adc"] = _q_pq_topk
+
+    # Full IVFADC: IVF cell pruning (n_probe/n_centroids of the CODE
+    # store read) then ADC re-ranking — the two levers composed
+    def _q_ivf_pq(s, d):
+        import numpy as _np
+
+        from tlhop_library_spark.operators.pq import (
+            deterministic_codebooks,
+            ivf_pq_topk,
+        )
+
+        cb = deterministic_codebooks(64, 4, 8, seed=7)
+        qv = _np.random.default_rng(11).standard_normal(64).round(6)
+        return ivf_pq_topk(
+            _t(s, d, "embeddings"), cb, qv,
+            k=10, n_centroids=16, n_probe=4, seed=11,
+        )
+
+    q["ivf_pq_topk"] = _q_ivf_pq
 
     # Multimodal round-trip under the oracle: deterministic BMPs
     # encoded executor-side (vendored codec), decoded through the
@@ -2309,10 +2328,15 @@ FROM tok GROUP BY doc_id, term
 
     _cb = _det_cb(64, 4, 8, seed=7)
     o["pq_encode_fixed"] = oracle_sql_pq_encode(_cb)
-    o["pq_topk_adc"] = oracle_sql_pq_topk(
-        _cb,
-        _np_pq.random.default_rng(11).standard_normal(64).round(6),
-        topk=10,
+    _pq_qv = _np_pq.random.default_rng(11).standard_normal(64).round(6)
+    o["pq_topk_adc"] = oracle_sql_pq_topk(_cb, _pq_qv, topk=10)
+    from tlhop_library_spark.operators.pq import oracle_sql_ivf_pq_topk
+    from tlhop_library_spark.operators.similarity import (
+        ivf_centroids as _ivf_c,
+    )
+
+    o["ivf_pq_topk"] = oracle_sql_ivf_pq_topk(
+        _cb, _ivf_c(16, 64, seed=11), _pq_qv, n_probe=4, topk=10
     )
     from tlhop_library_spark.index.query import (
         oracle_sql_facet_filters,

@@ -101,6 +101,38 @@ def test_pq_guards(emb, trained):
         )
 
 
+def test_ivf_pq_restricts_to_probed_cells(emb, emb_np, trained):
+    from tlhop_library_spark.operators.pq import ivf_pq_topk
+    from tlhop_library_spark.operators.similarity import ivf_assign
+
+    qv = np.random.default_rng(11).standard_normal(64).round(6)
+    got = ivf_pq_topk(
+        emb, trained, qv, k=20, n_centroids=16, n_probe=4, seed=11
+    ).collect()
+    assert got, "weak fixture: no probed candidates"
+    probed_ids = {r["vec_id"] for r in got}
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, 16, 64, 11).collect()
+    }
+    from tlhop_library_spark.operators.similarity import ivf_centroids
+
+    C = ivf_centroids(16, 64, seed=11)
+    probe = set(
+        int(x) for x in np.argsort(-(C @ qv), kind="stable")[:4]
+    )
+    assert all(cells[v] in probe for v in probed_ids)
+    # pre-encoded reuse is identical (the encode-once deploy shape)
+    from tlhop_library_spark.operators.pq import pq_encode
+
+    enc = pq_encode(emb, trained)
+    again = ivf_pq_topk(
+        emb, trained, qv, k=20, n_centroids=16, n_probe=4, seed=11,
+        encoded=enc,
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
 def test_adc_plan_is_jvm_only(emb, trained):
     """The ADC read path never touches float vectors: broadcast lut
     join + partial agg + TakeOrderedAndProject, no pandas kernel

@@ -48,8 +48,10 @@ __all__ = [
     "train_pq",
     "pq_encode",
     "pq_topk",
+    "ivf_pq_topk",
     "oracle_sql_pq_encode",
     "oracle_sql_pq_topk",
+    "oracle_sql_ivf_pq_topk",
 ]
 
 _ROUND_D = 9   # distance rounding before argmin / lut sums
@@ -194,6 +196,45 @@ def pq_topk(
     ).select("rank", "vec_id", "adc_dist")
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame, codebooks: np.ndarray, query_vec,
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+    seed: int = 11, encoded: "DataFrame | None" = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the full Jégou et al. pipeline: IVF cell pruning
+    (probe the ``n_probe`` cells nearest the query, same fixed
+    centroids as :func:`operators.similarity.ivf_topk`) followed by
+    ADC re-ranking over the PQ codes of the probed cells only.
+
+    At 10^9+ vectors with the cell as a partition key, a query reads
+    ``n_probe/n_centroids`` of the CODE store (m bytes/vector) and
+    zero float vectors — the two levers compose multiplicatively.
+    Pass a cached ``encoded`` frame to skip re-encoding per query
+    (the deployment shape: encode once, query many)."""
+    from tlhop_library_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = ivf_centroids(n_centroids, q.shape[0], seed)
+    probe = sorted(
+        int(x) for x in np.argsort(-(C @ q), kind="stable")[:n_probe]
+    )
+    cells = ivf_assign(
+        embeddings, n_centroids, q.shape[0], seed, "vec_id", vec_col
+    )
+    cand_ids = cells.where(F.col("cell").isin(probe)).select("vec_id")
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(embeddings, codebooks, vec_col)
+    )
+    cand = enc.join(cand_ids, "vec_id", "left_semi")
+    return pq_topk(cand, codebooks, query_vec, k)
+
+
 def _cb_values(codebooks: np.ndarray) -> str:
     m, k, _ = codebooks.shape
     return ",\n         ".join(
@@ -205,11 +246,13 @@ def _cb_values(codebooks: np.ndarray) -> str:
 
 def _codes_cte(
     codebooks: np.ndarray, table: str, limit: "int | None",
+    extra_ctes: str = "", where: "str | None" = None,
 ) -> str:
     m, k, dsub = codebooks.shape
-    where = f"WHERE e.vec_id < {int(limit)}" if limit else ""
+    if where is None:
+        where = f"WHERE e.vec_id < {int(limit)}" if limit else ""
     return f"""
-WITH cb(sub, code, cvec) AS (VALUES {_cb_values(codebooks)}),
+WITH cb(sub, code, cvec) AS (VALUES {_cb_values(codebooks)}),{extra_ctes}
 subv AS (
   SELECT e.vec_id, g.sub,
          e.embedding[g.sub*{dsub}+1 : (g.sub+1)*{dsub}] AS v
@@ -241,6 +284,80 @@ def oracle_sql_pq_encode(
 SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
 FROM codes
 ORDER BY vec_id, sub
+"""
+
+
+def oracle_sql_ivf_pq_topk(
+    codebooks: np.ndarray, centroids: np.ndarray, qvec,
+    n_probe: int = 4, topk: int = 10, table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`ivf_pq_topk` — IVF dot-product
+    argmax assignment (greatest + first-match CASE, lowest-cell
+    ties, exactly :func:`similarity.ivf_assign`) restricts the codes
+    CTE to the probed cells; then the same ADC ranking as
+    :func:`oracle_sql_pq_topk`."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    nc = centroids.shape[0]
+    probe = sorted(
+        int(x)
+        for x in np.argsort(-(centroids @ q), kind="stable")[:n_probe]
+    )
+
+    def arr(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    d_exprs = ", ".join(
+        f"list_dot_product(fv, {arr(centroids[i])}) AS d{i}"
+        for i in range(nc)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(nc)) + ")"
+    cell_case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = __best THEN {i}" for i in range(nc))
+        + " END"
+    )
+    ivf_ctes = f"""
+fvec AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS fv
+  FROM {table}
+),
+dots AS (SELECT vec_id, {d_exprs} FROM fvec),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, {cell_case} AS cell
+    FROM (SELECT *, {best} AS __best FROM dots)
+  ) WHERE cell IN ({", ".join(map(str, probe))})
+),"""
+    codes = _codes_cte(
+        codebooks, table, None, extra_ctes=ivf_ctes,
+        where="WHERE e.vec_id IN (SELECT vec_id FROM cand)",
+    )
+    lut = np.round(
+        ((q.reshape(m, 1, dsub) - codebooks.astype(np.float64)) ** 2)
+        .sum(-1),
+        _ROUND_D,
+    )
+    lut_vals = ",\n         ".join(
+        f"({s}, {c}, {float(lut[s, c])!r})"
+        for s in range(m)
+        for c in range(k)
+    )
+    return f"""{codes},
+lut(sub, code, d) AS (VALUES {lut_vals}),
+adc AS (
+  SELECT codes.vec_id,
+         round(sum(lut.d), {_ROUND_S}) AS adc_dist
+  FROM codes JOIN lut
+    ON lut.sub = codes.sub AND lut.code = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC)
+        AS INT) AS rank, vec_id, adc_dist
+FROM adc
+QUALIFY rank <= {int(topk)}
+ORDER BY rank
 """
 
 
