@@ -133,6 +133,64 @@ def test_ivf_pq_restricts_to_probed_cells(emb, emb_np, trained):
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
 
 
+def test_rerank_full_shortlist_is_exact_l2(emb, emb_np, trained):
+    """rerank_exact over an all-vector shortlist must reproduce the
+    exact L2 ranking — pins the JVM zip_with/aggregate distance."""
+    from tlhop_library_spark.operators.pq import rerank_exact
+
+    E, ids = emb_np
+    qv = np.random.default_rng(5).standard_normal(64).round(6)
+    sl = emb.select("vec_id")
+    got = [
+        (r["rank"], r["vec_id"], r["l2_dist"])
+        for r in rerank_exact(emb, sl, qv, 10).collect()
+    ]
+    d2 = np.round(((E - qv[None]) ** 2).sum(axis=1), 6)
+    order = np.lexsort((ids, d2))[:10]
+    want = [
+        (i + 1, int(ids[j]), float(d2[j]))
+        for i, j in enumerate(order)
+    ]
+    assert got == want
+
+
+def test_residual_pipeline(emb, emb_np):
+    """Residual IVFADC: deterministic coarse training, cells match
+    the brute-force nearest centroid, self-query ranks itself first,
+    and the rerank stage is containment-consistent."""
+    from tlhop_library_spark.operators.pq import (
+        ivf_pq_topk_residual,
+        pq_encode_residual,
+        rerank_exact,
+        train_coarse,
+        train_pq_residual,
+    )
+
+    E, ids = emb_np
+    coarse = train_coarse(emb, n_centroids=8, iters=5, seed=23)
+    assert np.array_equal(
+        coarse, train_coarse(emb, n_centroids=8, iters=5, seed=23)
+    )
+    rcb = train_pq_residual(emb, coarse, m=4, k=16, iters=5, seed=7)
+    enc = pq_encode_residual(emb, rcb, coarse)
+    rows = {r["vec_id"]: (r["cell"], r["codes"]) for r in enc.collect()}
+    d = ((E[:, None, :] - coarse[None]) ** 2).sum(-1)
+    want_cells = np.argmin(np.round(d, 9), axis=1)
+    for i, vid in enumerate(ids):
+        assert rows[vid][0] == want_cells[i]
+    qv = E[77]
+    got = ivf_pq_topk_residual(
+        enc, rcb, coarse, qv, 10, n_probe=4
+    ).collect()
+    assert got[0]["vec_id"] == ids[77]
+    # rerank stage returns k rows drawn from the shortlist
+    sl = ivf_pq_topk_residual(enc, rcb, coarse, qv, 50, n_probe=4)
+    rr = rerank_exact(emb, sl, qv, 10).collect()
+    sl_ids = {r["vec_id"] for r in sl.collect()}
+    assert {r["vec_id"] for r in rr} <= sl_ids
+    assert rr[0]["vec_id"] == ids[77]  # exact stage finds the seed
+
+
 def test_adc_plan_is_jvm_only(emb, trained):
     """The ADC read path never touches float vectors: broadcast lut
     join + partial agg + TakeOrderedAndProject, no pandas kernel

@@ -49,6 +49,12 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_pq_topk",
+    "train_coarse",
+    "train_pq_residual",
+    "pq_encode_residual",
+    "ivf_pq_topk_residual",
+    "pq_topk_rerank",
+    "rerank_exact",
     "oracle_sql_pq_encode",
     "oracle_sql_pq_topk",
     "oracle_sql_ivf_pq_topk",
@@ -200,6 +206,7 @@ def ivf_pq_topk(
     embeddings: DataFrame, codebooks: np.ndarray, query_vec,
     k: int = 10, n_centroids: int = 16, n_probe: int = 4,
     seed: int = 11, encoded: "DataFrame | None" = None,
+    cells: "DataFrame | None" = None,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVFADC — the full Jégou et al. pipeline: IVF cell pruning
@@ -210,8 +217,10 @@ def ivf_pq_topk(
     At 10^9+ vectors with the cell as a partition key, a query reads
     ``n_probe/n_centroids`` of the CODE store (m bytes/vector) and
     zero float vectors — the two levers compose multiplicatively.
-    Pass a cached ``encoded`` frame to skip re-encoding per query
-    (the deployment shape: encode once, query many)."""
+    Pass cached ``encoded`` (codes) and ``cells`` (ivf_assign output)
+    frames to skip per-query re-derivation — the deployment shape:
+    assign + encode once at ingest (cells becoming the partition
+    key), query many."""
     from tlhop_library_spark.operators.similarity import (
         ivf_assign,
         ivf_centroids,
@@ -222,9 +231,11 @@ def ivf_pq_topk(
     probe = sorted(
         int(x) for x in np.argsort(-(C @ q), kind="stable")[:n_probe]
     )
-    cells = ivf_assign(
-        embeddings, n_centroids, q.shape[0], seed, "vec_id", vec_col
-    )
+    if cells is None:
+        cells = ivf_assign(
+            embeddings, n_centroids, q.shape[0], seed, "vec_id",
+            vec_col,
+        )
     cand_ids = cells.where(F.col("cell").isin(probe)).select("vec_id")
     enc = (
         encoded
@@ -233,6 +244,209 @@ def ivf_pq_topk(
     )
     cand = enc.join(cand_ids, "vec_id", "left_semi")
     return pq_topk(cand, codebooks, query_vec, k)
+
+
+def train_coarse(
+    embeddings: DataFrame, n_centroids: int = 64, iters: int = 8,
+    seed: int = 23, sample_n: int = 10000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVFADC coarse quantizer: full-dimension L2 k-means
+    on the same bounded deterministic driver-side sample shape as
+    :func:`train_pq` — unlike the fixed random-plane centroids of
+    ``similarity.ivf_centroids`` (a cosine bucketer), a TRAINED
+    coarse quantizer actually absorbs the corpus's cluster structure,
+    which is what makes residual PQ codes small."""
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .limit(int(sample_n))
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return _kmeans(X, n_centroids, iters, seed)
+
+
+def _coarse_cells(X: np.ndarray, coarse: np.ndarray) -> np.ndarray:
+    """Nearest coarse centroid by squared L2 — round-9 + lowest-cell
+    ties, the PQ determinism contract. Chunked so the (batch, cells,
+    dim) intermediate stays bounded."""
+    out = np.empty(len(X), dtype=np.int64)
+    step = max(1, 2_000_000 // max(1, coarse.shape[0] * X.shape[1]))
+    for lo in range(0, len(X), step):
+        d = (
+            (X[lo:lo + step, None, :] - coarse[None]) ** 2
+        ).sum(-1)
+        out[lo:lo + step] = np.argmin(np.round(d, _ROUND_D), axis=1)
+    return out
+
+
+def train_pq_residual(
+    embeddings: DataFrame, coarse: np.ndarray, m: int = 8,
+    k: int = 256, iters: int = 6, seed: int = 7,
+    sample_n: int = 10000, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Residual-PQ training (the actual IVFADC of Jégou et al.):
+    codebooks are trained on ``x − coarse_centroid(cell(x))`` rather
+    than raw vectors, so the coarse quantizer absorbs the cluster
+    structure and the product codebooks spend their bits on the
+    residual — the distortion (and therefore ADC rank error) drops
+    by roughly the cluster-spread-to-noise ratio. Same bounded
+    driver-side sample shape as :func:`train_pq`."""
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .limit(int(sample_n))
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    R = X - coarse[_coarse_cells(X, coarse)]
+    dsub = dim // m
+    return np.stack([
+        _kmeans(R[:, s * dsub:(s + 1) * dsub], k, iters, seed + s)
+        for s in range(m)
+    ])
+
+
+def pq_encode_residual(
+    embeddings: DataFrame, codebooks: np.ndarray,
+    coarse: np.ndarray, vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode to (vec_id, cell, codes): nearest coarse centroid by
+    L2 (round-9, lowest-cell ties), then PQ codes of the RESIDUAL
+    against the cell's centroid. One Arrow pass; at rest ``cell`` is
+    the partition key of the code store."""
+    m, k, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    C = coarse.astype(np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cell = _coarse_cells(X, C)
+            R = X - C[cell]
+            out = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Rs = R[:, s * dsub:(s + 1) * dsub]
+                d = ((Rs[:, None, :] - cb[s][None]) ** 2).sum(-1)
+                out[:, s] = np.argmin(np.round(d, _ROUND_D), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": cell.astype("int32"),
+                    "codes": [[int(c) for c in row] for row in out],
+                }
+            )
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        run, "vec_id long, cell int, codes array<int>"
+    )
+
+
+def ivf_pq_topk_residual(
+    encoded: DataFrame, codebooks: np.ndarray, coarse: np.ndarray,
+    qvec, k: int = 10, n_probe: int = 8,
+) -> DataFrame:
+    """Residual IVFADC query: probe the n_probe cells whose coarse
+    centroids are L2-nearest the query, build ONE lookup table per
+    probed cell from the query's residual against that cell
+    (``n_probe·m·k`` rows — still a broadcast literal), and ADC-rank
+    only rows whose ``cell`` is probed. The cell filter prunes the
+    code-store scan (partition pruning when ``cell`` partitions the
+    store); floats are never read."""
+    m, k_codes, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    dim = m * dsub
+    if q.shape[0] != dim:
+        raise ValueError("query dim mismatch")
+    C = coarse.astype(np.float64)
+    qd = ((C - q[None]) ** 2).sum(-1)
+    probe = sorted(
+        int(x) for x in np.argsort(np.round(qd, _ROUND_D),
+                                   kind="stable")[:n_probe]
+    )
+    rows = []
+    for cell in probe:
+        r = (q - C[cell]).reshape(m, 1, dsub)
+        lut = np.round(
+            ((r - codebooks.astype(np.float64)) ** 2).sum(-1),
+            _ROUND_D,
+        )
+        rows.extend(
+            (cell, s, c, float(lut[s, c]))
+            for s in range(m)
+            for c in range(k_codes)
+        )
+    spark = encoded.sparkSession
+    lut_df = spark.createDataFrame(
+        rows, "cell int, sub int, code int, d double"
+    )
+    exploded = encoded.where(F.col("cell").isin(probe)).select(
+        "vec_id", "cell", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut_df), ["cell", "sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), _ROUND_S).alias("adc_dist"))
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.asc("adc_dist"), F.asc("vec_id")], k
+    ).select("rank", "vec_id", "adc_dist")
+
+
+def rerank_exact(
+    embeddings: DataFrame, shortlist: DataFrame, qvec, k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a shortlist — the second stage of
+    every deployed PQ pipeline: ONLY the shortlist's float vectors
+    are read (one semi-join, i.e. ``|shortlist|/n`` of the float
+    store) and ranked JVM-side (``zip_with`` + ``aggregate`` — no
+    Python). Returns (rank, vec_id, l2_dist). Recall is set by the
+    shortlist depth: quantization error only costs recall when a
+    true neighbor misses the shortlist, never rank precision inside
+    it."""
+    q = np.asarray(qvec, dtype=np.float64)
+    cand = embeddings.join(
+        shortlist.select("vec_id"), "vec_id", "left_semi"
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), qarr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "vec_id", F.round(dist2, _ROUND_S).alias("l2_dist")
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    return ranked_topk(
+        scored, [F.asc("l2_dist"), F.asc("vec_id")], k
+    ).select("rank", "vec_id", "l2_dist")
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame, encoded: DataFrame,
+    codebooks: np.ndarray, qvec, k: int = 10, shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist (:func:`pq_topk`, codes only) + exact re-rank
+    (:func:`rerank_exact`)."""
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
+    sl = pq_topk(encoded, codebooks, qvec, shortlist)
+    return rerank_exact(embeddings, sl, qvec, k, vec_col)
 
 
 def _cb_values(codebooks: np.ndarray) -> str:
