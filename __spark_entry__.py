@@ -130,7 +130,7 @@ R5_ROTATION_CANDIDATES = frozenset({
     "facet_histogram", "facet_terms_stats", "facet_weighted_avg",
     "media_decode_stats", "facet_filters", "facet_percentiles",
     "facet_missing", "facet_rare_terms", "pq_encode_fixed",
-    "pq_topk_adc", "ivf_pq_topk",
+    "pq_topk_adc", "ivf_pq_topk", "pq_encode_residual_fixed",
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
@@ -682,6 +682,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ivf_pq_topk"] = _q_ivf_pq
+
+    # Residual IVFADC encode under the oracle: fixed coarse
+    # centroids + codebooks → nearest-cell assignment, residual
+    # subtraction, per-subspace codes — every (vec_id, cell, sub,
+    # code) value-hashed against a full list-arithmetic SQL replay
+    def _q_pq_residual(s, d):
+        import numpy as _np
+
+        from tlhop_library_spark.operators.pq import (
+            deterministic_codebooks,
+            pq_encode_residual,
+        )
+
+        cb = deterministic_codebooks(64, 4, 8, seed=7)
+        coarse = _np.random.default_rng(29).standard_normal(
+            (8, 64)
+        ).round(6)
+        return pq_encode_residual(
+            _t(s, d, "embeddings"), cb, coarse
+        ).select(
+            "vec_id", "cell",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+
+    q["pq_encode_residual_fixed"] = _q_pq_residual
 
     # Multimodal round-trip under the oracle: deterministic BMPs
     # encoded executor-side (vendored codec), decoded through the
@@ -2337,6 +2362,15 @@ FROM tok GROUP BY doc_id, term
 
     o["ivf_pq_topk"] = oracle_sql_ivf_pq_topk(
         _cb, _ivf_c(16, 64, seed=11), _pq_qv, n_probe=4, topk=10
+    )
+    from tlhop_library_spark.operators.pq import (
+        oracle_sql_pq_encode_residual,
+    )
+
+    o["pq_encode_residual_fixed"] = oracle_sql_pq_encode_residual(
+        _cb,
+        _np_pq.random.default_rng(29).standard_normal((8, 64))
+        .round(6),
     )
     from tlhop_library_spark.index.query import (
         oracle_sql_facet_filters,

@@ -56,6 +56,7 @@ __all__ = [
     "pq_topk_rerank",
     "rerank_exact",
     "oracle_sql_pq_encode",
+    "oracle_sql_pq_encode_residual",
     "oracle_sql_pq_topk",
     "oracle_sql_ivf_pq_topk",
 ]
@@ -572,6 +573,73 @@ SELECT CAST(row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC)
 FROM adc
 QUALIFY rank <= {int(topk)}
 ORDER BY rank
+"""
+
+
+def oracle_sql_pq_encode_residual(
+    codebooks: np.ndarray, coarse: np.ndarray,
+    table: str = "embeddings", limit: "int | None" = None,
+) -> str:
+    """DuckDB oracle for :func:`pq_encode_residual` under FIXED
+    coarse centroids and codebooks: nearest-cell assignment (round-9
+    squared L2, lowest-cell ties), residual subtraction, and
+    per-subspace argmin all re-derived with list arithmetic."""
+    m, k, dsub = codebooks.shape
+    nc = coarse.shape[0]
+
+    def arr(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    co_vals = ",\n         ".join(
+        f"({i}, {arr(coarse[i])})" for i in range(nc)
+    )
+    cb_vals = ",\n         ".join(
+        f"({s}, {c}, {arr(codebooks[s][c])})"
+        for s in range(m)
+        for c in range(k)
+    )
+    where = f"WHERE vec_id < {int(limit)}" if limit else ""
+    return f"""
+WITH co(cell, cvec) AS (VALUES {co_vals}),
+cb(sub, code, bvec) AS (VALUES {cb_vals}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table} {where}
+),
+celld AS (
+  SELECT v.vec_id, co.cell, v.e, co.cvec,
+         round(list_sum(list_transform(list_zip(v.e, co.cvec),
+               z -> power(z[1] - z[2], 2))), {_ROUND_D}) AS d
+  FROM v JOIN co ON true
+),
+assigned AS (
+  SELECT vec_id, cell, e, cvec
+  FROM celld
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d, cell) = 1
+),
+resid AS (
+  SELECT vec_id, cell,
+         list_transform(list_zip(e, cvec), z -> z[1] - z[2]) AS r
+  FROM assigned
+),
+subv AS (
+  SELECT vec_id, cell, g.sub,
+         r[g.sub*{dsub}+1 : (g.sub+1)*{dsub}] AS rv
+  FROM resid JOIN generate_series(0, {m - 1}) g(sub) ON true
+),
+dist AS (
+  SELECT s.vec_id, s.cell, s.sub, cb.code,
+         round(list_sum(list_transform(list_zip(s.rv, cb.bvec),
+               z -> power(z[1] - z[2], 2))), {_ROUND_D}) AS d
+  FROM subv s JOIN cb ON cb.sub = s.sub
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(sub AS INT) AS sub,
+       CAST(code AS INT) AS code
+FROM dist
+QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                           ORDER BY d, code) = 1
+ORDER BY vec_id, sub
 """
 
 
