@@ -482,6 +482,17 @@ def test_extension_accessor(spark, docs):
         "doc_id", "query_id", "matched", "required",
     ]
     assert "text_redacted" in docs.tlhop.redact_pii().columns
+    # PQ accessors route to operators/pq.py
+    emb4 = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, float(-i)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    cbk = emb4.tlhop.pq_train(m=2, k=2, iters=3, sample_n=6)
+    assert cbk.shape == (2, 2, 2)
+    enc4 = emb4.tlhop.pq_encode(cbk)
+    assert enc4.columns == ["vec_id", "codes"]
+    assert enc4.tlhop.pq_topk(cbk, [0.0, 0.0, 1.0, 0.0], k=3).columns \
+        == ["rank", "vec_id", "adc_dist"]
 
 
 def test_webpage_stats_classes(spark):

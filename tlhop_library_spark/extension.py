@@ -152,6 +152,23 @@ class TlhopExtension:
 
         return percolate(self._df, queries_df, doc_col)
 
+    # embedding-store quantization (round 4; frame = embeddings table)
+    def pq_train(self, m: int = 4, k: int = 16, **kw):
+        from tlhop_library_spark.operators.pq import train_pq
+
+        return train_pq(self._df, m=m, k=k, **kw)
+
+    def pq_encode(self, codebooks, **kw):
+        from tlhop_library_spark.operators.pq import pq_encode
+
+        return pq_encode(self._df, codebooks, **kw)
+
+    def pq_topk(self, codebooks, qvec, k: int = 10):
+        """Frame = a pq_encode output (vec_id, codes)."""
+        from tlhop_library_spark.operators.pq import pq_topk
+
+        return pq_topk(self._df, codebooks, qvec, k)
+
     # webpage / screenshot wrappers (ref shodan_library.py:95-215,
     # tlhop_abstraction.py:61-82)
     def describe_html(self, html_col: str = "html",
