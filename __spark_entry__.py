@@ -111,19 +111,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------
-#: ROUND-4 ROTATION (round-3 verdict ask #4): 99 of 149 oracle
-#: entries had never appeared in a driver CORRECTNESS file, because
-#: rounds 1-3 kept re-gating the same prefix. Each family's queue now
-#: front-loads gates ABSENT from every prior CORRECTNESS_r0{1,2,3}
-#: (plus one continuity anchor per family), so the r4 50-entry prefix
-#: still spans all 8 families while first-time-gating ≥25 entries
-#: (asserted in tests/test_entry_order.py against the recorded
-#: CORRECTNESS files). Previously-gated entries stay oracle-checked
-#: locally via tools/check_oracle.py over the full 149-entry surface.
-#: Gates added AFTER the r4 prefix was frozen (the prefix already
-#: carries exactly 50 entries, every one needed so the r01–r04 union
-#: covers the pre-existing surface). These are oracle-checked locally
-#: (tools/check_oracle.py) and queue for the r5 driver rotation.
+#: ROUND-5 ROTATION (round-4 verdict ask #1): these 18 gates were
+#: added after the r4 prefix froze, so they are the only entries with
+#: zero driver history (the r01–r04 CORRECTNESS union covers the
+#: other 149 at least once). The r5 _FAMILY_PRIORITY front-loads ALL
+#: 18 into the driver's 50-entry prefix, with one continuity anchor
+#: per family (asserted in tests/test_entry_order.py). Entries
+#: outside the prefix stay oracle-checked locally via
+#: tools/check_oracle.py over the full surface.
 R5_ROTATION_CANDIDATES = frozenset({
     "bm25_diversified", "bm25_rank_feature", "bm25_pinned",
     "facet_multi_terms", "facet_adjacency", "bm25_bool_prefix",
@@ -134,33 +129,26 @@ R5_ROTATION_CANDIDATES = frozenset({
 })
 
 _FAMILY_PRIORITY: dict[str, list[str]] = {
-    # rollup_events/asof_signup were driver-gated in r01 — they yield
-    # their two prefix slots to the only remaining never-gated entries
-    # (lmjm_topk, facet_cardinality_src), so the r01–r04 union covers
-    # every one of the 149 oracle gates at least once.
+    # r5 prefix = the 18 R5_ROTATION_CANDIDATES (zero driver history)
+    # + one continuity anchor per family, each driver-green in r4, as
+    # cross-round regression canaries (dedup gets a second because
+    # minhash_verified_pairs is the perf-watch entry from the r4
+    # verdict). The remaining ~22 prefix slots fill round-robin, where
+    # any gate added during round 5 lands first within its family.
     "relational": ["props_extract"],
-    "search": ["bm25_indexed", "bm25_multifield", "bm25_cross_fields",
-               "bm25_combined_fields", "bm25_mf_federated",
-               "percolate_matches", "facet_date_histogram",
-               "bm25_mlt", "bm25_rescored", "bm25_decay",
-               "bm25_group_topk", "bm25_boosting", "bm25_random_page",
-               "terms_set_msm", "facet_stats_nchars",
-               "facet_composite_page2", "bm25_scan_slice",
-               "term_suggest", "term_autocomplete", "phrase_suggest",
-               "facet_lang_stored", "bm25_sorted_stored", "span_near",
-               "span_not", "phrase_prefix", "bm25_best_fields",
-               "lmjm_topk", "facet_cardinality_src"],
-    "dedup": ["dedup_exact", "minhash_verified_pairs",
-              "training_data_prep_lm"],
-    "similarity": ["knn_join_topk", "hybrid_rrf",
-                   "embedding_semdedup_keep"],
-    "text": ["winnow_fingerprint", "stopword_stats",
-             "gopher_repetition", "gopher_quality", "text_c4_clean",
-             "redact_pii", "median_nchars_by_lang"],
-    "corpus": ["lm_perplexity", "pmi_collocations", "contamination",
-               "stratified_sample"],
-    "web": ["domain_topk", "domain_blocklist", "domain_temperature"],
-    "extraction": ["extract_html_info"],
+    "search": ["bm25_indexed", "bm25_bool_prefix", "bm25_diversified",
+               "bm25_pinned", "bm25_rank_feature", "facet_adjacency",
+               "facet_filters", "facet_histogram", "facet_missing",
+               "facet_multi_terms", "facet_percentiles",
+               "facet_rare_terms", "facet_terms_stats",
+               "facet_weighted_avg"],
+    "dedup": ["dedup_exact", "minhash_verified_pairs"],
+    "similarity": ["knn_join_topk", "pq_encode_fixed", "pq_topk_adc",
+                   "ivf_pq_topk", "pq_encode_residual_fixed"],
+    "text": ["winnow_fingerprint", "stopword_stats"],
+    "corpus": ["lm_perplexity"],
+    "web": ["domain_topk"],
+    "extraction": ["extract_html_info", "media_decode_stats"],
 }
 
 

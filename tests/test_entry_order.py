@@ -27,70 +27,61 @@ def test_prefix_spans_every_family():
 
 
 def test_priority_gates_inside_prefix():
-    # round-4 rotation: the judge-named r03-absent gates plus one
-    # continuity anchor per family must land inside any 50-prefix
+    # round-5 rotation (r4 verdict ask #1): ALL 18 rotation candidates
+    # (the only gates with zero driver history) plus one continuity
+    # anchor per family must land inside the 50-prefix
     fifty = set(list(entry.queries())[:DRIVER_PREFIX])
-    for k in (
-        # anchors (one per family)
+    anchors = (
         "extract_html_info",
         "props_extract",
         "dedup_exact",
         "knn_join_topk",
         "bm25_indexed",
-        # judge-named rotations (round-3 verdict ask #4); rollup_events
-        # and asof_signup from the judge's list were already r01-gated,
-        # so they yielded their slots to the last two never-gated
-        # entries (lmjm_topk, facet_cardinality_src)
-        "bm25_multifield",
-        "bm25_cross_fields",
-        "percolate_matches",
+        "winnow_fingerprint",
         "lm_perplexity",
-        "facet_date_histogram",
-        "bm25_mlt",
-        "lmjm_topk",
-        "facet_cardinality_src",
-    ):
-        assert k in fifty, f"{k} fell out of the driver-verified prefix"
+        "domain_topk",
+        "minhash_verified_pairs",
+    )
+    for k in anchors:
+        assert k in fifty, f"anchor {k} fell out of the driver prefix"
+    missing = entry.R5_ROTATION_CANDIDATES - fifty
+    assert not missing, f"rotation gates outside the driver prefix: {missing}"
 
 
 def test_prefix_union_covers_every_gate():
-    """r01–r03 CORRECTNESS union + the current 50-prefix must cover
-    ALL oracle gates: after the r4 driver run, every entry has been
+    """r01–r04 CORRECTNESS union + the current 50-prefix must cover
+    ALL oracle gates: after the r5 driver run, every entry has been
     driver-verified at least once across the project's lifetime."""
     import json
 
     seen: set[str] = set()
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         p = Path(__file__).resolve().parents[1] / f"CORRECTNESS_r0{r}.json"
         if p.is_file():
             seen |= set(json.loads(p.read_text()))
     keys = list(entry.queries())
     seen |= set(keys[:DRIVER_PREFIX])
-    # gates added after the r4 prefix froze queue for the r5 rotation —
-    # exempt here, but they must NOT displace anything in the prefix
-    assert not (entry.R5_ROTATION_CANDIDATES & set(keys[:DRIVER_PREFIX]))
-    uncovered = [
-        k for k in keys
-        if k not in seen and k not in entry.R5_ROTATION_CANDIDATES
-    ]
-    assert uncovered == [], f"gates never driver-gated by r4: {uncovered}"
+    uncovered = [k for k in keys if k not in seen]
+    assert uncovered == [], f"gates never driver-gated by r5: {uncovered}"
 
 
-def test_prefix_first_time_gates_at_least_25():
-    # round-4 rotation contract: ≥25 of the 50 driver-gated entries
-    # must never have appeared in any prior CORRECTNESS file
+def test_prefix_first_time_gates_all_rotation_candidates():
+    # round-5 rotation contract: every gate absent from the r01–r04
+    # union (exactly R5_ROTATION_CANDIDATES at rotation time, plus any
+    # gate added during round 5) must be a first-time entry in the
+    # prefix
     import json
 
     seen: set[str] = set()
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         p = Path(__file__).resolve().parents[1] / f"CORRECTNESS_r0{r}.json"
         if p.is_file():
             seen |= set(json.loads(p.read_text()))
     fifty = list(entry.queries())[:DRIVER_PREFIX]
-    first_time = [k for k in fifty if k not in seen]
-    assert len(first_time) >= 25, (
-        f"only {len(first_time)} first-time gates in the prefix: "
-        f"{first_time}"
+    first_time = {k for k in fifty if k not in seen}
+    assert entry.R5_ROTATION_CANDIDATES <= first_time, (
+        f"rotation gates not first-time-gated: "
+        f"{entry.R5_ROTATION_CANDIDATES - first_time}"
     )
 
 
