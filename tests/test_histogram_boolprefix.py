@@ -370,3 +370,88 @@ def test_sharded_aggs_identical_to_single(
         assert [tuple(r) for r in fed.collect()] == [
             tuple(r) for r in single.collect()
         ]
+
+
+def test_percentiles_approx_within_rank_error(reader, docs, hits_map):
+    """approx=True (bounded GK sketch, the at-scale path) must land
+    within the guaranteed rank error of the exact percentile: the
+    returned value is an actual field value whose rank is within
+    n/accuracy (+1 interpolation slack) of the target rank."""
+    acc = 100
+    row = reader.facet_percentiles(
+        Q, docs, "n_chars", [0.25, 0.5, 0.9], approx=True,
+        accuracy=acc,
+    ).collect()[0]
+    vals = sorted(float(v) for v in _nchars(docs, hits_map))
+    n = len(vals)
+    tol = n / acc + 1
+    for col, p in (("p25", 0.25), ("p50", 0.5), ("p90", 0.9)):
+        got = row[col]
+        assert got is not None
+        # value must exist in the data (GK returns samples, no
+        # interpolation) and sit near the target rank
+        assert got in vals
+        lo = min(i for i, v in enumerate(vals) if v == got)
+        hi = max(i for i, v in enumerate(vals) if v == got)
+        target = p * (n - 1)
+        assert lo - tol <= target <= hi + tol, (col, got, target)
+
+
+def test_percentiles_approx_sharded_bounded(
+    spark, corpus_df, docs, reader, tmp_path_factory, hits_map
+):
+    """The GK partials merge across shards: the federated approx
+    percentile obeys the same rank-error bound as the single-index
+    one (bit-identity is NOT promised — merge order differs)."""
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("pct_shards")
+    dirs = []
+    for i in range(2):
+        d = str(base / f"shard{i}")
+        part = corpus_df.where(F.col("doc_id") % 2 == i)
+        IndexBuilder(spark, d, n_buckets=4, n_jobs=2).build(part)
+        dirs.append(d)
+    sharded = ShardedIndexReader(spark, dirs)
+    acc = 100
+    row = sharded.facet_percentiles(
+        Q, docs, "n_chars", [0.5], approx=True, accuracy=acc
+    ).collect()[0]
+    vals = sorted(float(v) for v in _nchars(docs, hits_map))
+    n = len(vals)
+    got = row["p50"]
+    assert got in vals
+    lo = min(i for i, v in enumerate(vals) if v == got)
+    hi = max(i for i, v in enumerate(vals) if v == got)
+    assert lo - (n / acc + 1) <= 0.5 * (n - 1) <= hi + (n / acc + 1)
+
+
+def test_sharded_zero_match_schemas_match_nonempty(
+    spark, corpus_df, docs, reader, tmp_path_factory
+):
+    """Zero-match empty results must carry the SAME schema as the
+    non-empty path when the caller's field is numeric (round-4
+    advice: the empty path hard-coded string keys)."""
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("schema_shards")
+    d = str(base / "s0")
+    IndexBuilder(spark, d, n_buckets=4, n_jobs=2).build(corpus_df)
+    sharded = ShardedIndexReader(spark, [d])
+    ndocs = docs.withColumn("n2", (F.col("n_chars") * 2).cast("long"))
+
+    empty_mt = sharded.facet_multi_terms(
+        "zzznope", ndocs, ["n_chars", "n2"]
+    )
+    full_mt = sharded.facet_multi_terms(Q, ndocs, ["n_chars", "n2"])
+    assert empty_mt.schema == full_mt.schema
+    assert empty_mt.count() == 0
+
+    empty_ts = sharded.facet_terms_stats(
+        "zzznope", ndocs, "n_chars", "n2"
+    )
+    full_ts = sharded.facet_terms_stats(Q, ndocs, "n_chars", "n2")
+    assert empty_ts.schema == full_ts.schema
+    assert empty_ts.count() == 0

@@ -1279,14 +1279,27 @@ def weighted_avg_agg_hits(
 def percentiles_agg_hits(
     hits: DataFrame, docs: DataFrame, field: str,
     percentiles: "list[float] | None" = None,
+    approx: bool = False, accuracy: int = 10000,
 ) -> DataFrame:
-    """Shared ES ``percentiles`` aggregation over the matching set —
-    EXACT (`F.percentile`, linear interpolation ≡ DuckDB
-    ``quantile_cont``), not ES's TDigest sketch: exactness is what
-    makes the result engine-reproducible and layout-independent,
-    and the distributed exact percentile is one shuffle of the
-    matching docs' values. NULLs ignored. One row, a ``p<pct>``
-    column per requested percentile, rounded to 4 digits."""
+    """Shared ES ``percentiles`` aggregation over the matching set.
+    NULLs ignored. One row, a ``p<pct>`` column per requested
+    percentile, rounded to 4 digits.
+
+    Scale contract — two paths:
+
+    - ``approx=False`` (oracle path): EXACT ``F.percentile`` (linear
+      interpolation ≡ DuckDB ``quantile_cont``), engine-reproducible
+      and layout-independent — but Spark's exact Percentile partial
+      buffer is a value→count map of ALL DISTINCT values of the
+      matching set. Fine for bounded-int fields (n_chars); for a
+      continuous/high-cardinality field under a stopword query at
+      10^12 docs the buffer is corpus-sized — OOM, not slow.
+    - ``approx=True`` (the at-scale default for continuous fields):
+      ``F.approx_percentile`` — Spark's bounded, mergeable
+      Greenwald-Khanna summary (the same reason ES serves this agg
+      from TDigest). Memory is O(accuracy · log n) per partial
+      regardless of cardinality; guaranteed rank error ≤
+      1/accuracy. All requested percentiles share ONE sketch."""
     ps = [0.25, 0.5, 0.75] if percentiles is None else list(percentiles)
     if not ps or not all(0.0 <= p <= 1.0 for p in ps):
         raise ValueError("percentiles must be within [0, 1]")
@@ -1295,11 +1308,22 @@ def percentiles_agg_hits(
         docs.join(hits.select("doc_id"), "doc_id", "left_semi")
         .where(v.isNotNull())
     )
-    cols = [
-        F.round(F.percentile(v, F.lit(float(p))), 4).alias(
-            "p" + str(int(round(p * 100)))
+    names = ["p" + str(int(round(p * 100))) for p in ps]
+    if approx:
+        sketch = F.approx_percentile(
+            v,
+            F.array(*[F.lit(float(p)) for p in ps]),
+            F.lit(int(accuracy)),
         )
-        for p in ps
+        return j.agg(sketch.alias("_ps")).select(
+            *[
+                F.round(F.element_at("_ps", i + 1), 4).alias(n)
+                for i, n in enumerate(names)
+            ]
+        )
+    cols = [
+        F.round(F.percentile(v, F.lit(float(p))), 4).alias(n)
+        for p, n in zip(ps, names)
     ]
     return j.agg(*cols)
 
@@ -4912,13 +4936,17 @@ class IndexReader:
     def facet_percentiles(
         self, query_text: str, docs: DataFrame, field: str,
         percentiles: "list[float] | None" = None,
+        approx: bool = False, accuracy: int = 10000,
     ) -> DataFrame:
-        """ES ``percentiles`` aggregation over the matching set —
-        exact, not TDigest. Semantics in
+        """ES ``percentiles`` aggregation over the matching set.
+        ``approx=True`` switches the exact (oracle-reproducible)
+        percentile to the bounded-memory mergeable sketch — the
+        documented default for continuous/high-cardinality fields at
+        scale. Semantics + scale contract in
         :func:`percentiles_agg_hits`."""
         return percentiles_agg_hits(
             self._matching_scores(query_text).select("doc_id"),
-            docs, field, percentiles,
+            docs, field, percentiles, approx=approx, accuracy=accuracy,
         )
 
     def facet_missing(

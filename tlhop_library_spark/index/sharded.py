@@ -935,12 +935,11 @@ class ShardedIndexReader:
 
         hits = self._fed_hits(query_text)
         if hits is None:
-            return self.spark.createDataFrame(
-                [],
-                "rank int, "
-                + ", ".join(f"{f_} string" for f_ in fields)
-                + ", doc_count long",
-            )
+            # run the normal agg over an empty hit stream so the
+            # zero-match schema (key dtypes AND nullability) is the
+            # non-empty path's by construction (round-4 advice: a
+            # hand-built schema hard-coded string keys)
+            hits = self._empty()
         return multi_terms_agg_hits(
             hits.select("doc_id"), docs, fields, size
         )
@@ -997,9 +996,9 @@ class ShardedIndexReader:
 
         hits = self._fed_hits(query_text)
         if hits is None:
-            return self.spark.createDataFrame(
-                [], "bucket_key double, doc_count long"
-            )
+            # normal agg over an empty hit stream — zero-match schema
+            # (incl. nullability) equals the non-empty path's
+            hits = self._empty()
         return histogram_agg_hits(
             hits.select("doc_id"), docs, field, interval
         )
@@ -1016,12 +1015,9 @@ class ShardedIndexReader:
 
         hits = self._fed_hits(query_text)
         if hits is None:
-            return self.spark.createDataFrame(
-                [],
-                f"rank int, {key_field} string, doc_count long, "
-                "cnt long, min_v double, max_v double, "
-                "sum_v double, avg_v double",
-            )
+            # normal agg over an empty hit stream — zero-match schema
+            # equals the non-empty path's by construction
+            hits = self._empty()
         return terms_stats_agg_hits(
             hits.select("doc_id"), docs, key_field, metric_field, size
         )
@@ -1046,11 +1042,16 @@ class ShardedIndexReader:
     def facet_percentiles(
         self, query_text: str, docs: DataFrame, field: str,
         percentiles: "list[float] | None" = None,
+        approx: bool = False, accuracy: int = 10000,
     ) -> DataFrame:
-        """Federated exact percentiles — one value shuffle over the
-        unioned matching set; exactness (vs ES's TDigest) is what
-        makes the federated result identical to the single-index
-        one."""
+        """Federated percentiles over the unioned matching set.
+        ``approx=False``: exact (vs ES's TDigest), which makes the
+        federated result identical to the single-index one;
+        ``approx=True``: the bounded-memory mergeable sketch — the
+        at-scale default for continuous fields (the GK partials merge
+        across shards exactly like any other partial agg). Scale
+        contract in :func:`~tlhop_library_spark.index.query.
+        percentiles_agg_hits`."""
         from tlhop_library_spark.index.query import (
             percentiles_agg_hits,
         )
@@ -1059,7 +1060,8 @@ class ShardedIndexReader:
         if hits is None:
             hits = self._empty().select("doc_id")
         return percentiles_agg_hits(
-            hits.select("doc_id"), docs, field, percentiles
+            hits.select("doc_id"), docs, field, percentiles,
+            approx=approx, accuracy=accuracy,
         )
 
     def facet_missing(
