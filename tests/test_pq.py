@@ -206,3 +206,48 @@ def test_adc_plan_is_jvm_only(emb, trained):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rerank_exact_rejects_wrong_dim(spark, emb):
+    """A wrong-dimension query must raise, not silently return
+    arbitrary docs (zip_with pads the mismatch with NULLs and NULLs
+    sort first under F.asc) — mirrors pq_topk's guard."""
+    import pytest as _pytest
+
+    from tlhop_library_spark.operators.pq import rerank_exact
+
+    sl = emb.select("vec_id")
+    with _pytest.raises(ValueError, match="dim mismatch"):
+        rerank_exact(emb, sl, [0.0] * 3, 5).collect()
+
+
+def test_kmeans_chunked_matches_unchunked():
+    """The chunked assignment step must be bit-identical to the
+    single-tensor formulation it replaced (driver-memory fix)."""
+    import numpy as np
+
+    from tlhop_library_spark.operators.pq import _kmeans
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((500, 12))
+
+    def kmeans_ref(X, k, iters, seed):
+        r = np.random.default_rng(seed)
+        C = X[r.choice(len(X), size=k, replace=len(X) < k)].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+            assign = np.argmin(d, axis=1)
+            far = np.argsort(-d[np.arange(len(X)), assign])
+            fi = 0
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+                else:
+                    C[c] = X[far[fi % len(X)]]
+                    fi += 1
+        return C
+
+    got = _kmeans(X, 7, 6, seed=3)
+    want = kmeans_ref(X, 7, 6, seed=3)
+    assert np.array_equal(got, want)

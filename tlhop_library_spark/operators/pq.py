@@ -78,20 +78,31 @@ def deterministic_codebooks(
 
 def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Seeded Lloyd k-means; empty clusters reseed deterministically
-    from the points farthest from their centroid."""
+    from the points farthest from their centroid. The assignment step
+    is chunked (same bound as :func:`_coarse_cells`) so the
+    (batch, k, dim) distance intermediate stays ~16 MB regardless of
+    sample_n/k — the unchunked tensor was O(n·k·dim) driver memory
+    (~320 MB/iter at train_coarse defaults, OOM beyond)."""
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=k, replace=len(X) < k)].copy()
+    n = len(X)
+    assign = np.empty(n, dtype=np.int64)
+    dmin = np.empty(n, dtype=np.float64)
+    step = max(1, 2_000_000 // max(1, k * X.shape[1]))
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
-        assign = np.argmin(d, axis=1)
-        far = np.argsort(-d[np.arange(len(X)), assign])
+        for lo in range(0, n, step):
+            d = ((X[lo:lo + step, None, :] - C[None]) ** 2).sum(-1)
+            a = np.argmin(d, axis=1)
+            assign[lo:lo + step] = a
+            dmin[lo:lo + step] = d[np.arange(len(a)), a]
+        far = np.argsort(-dmin)
         fi = 0
         for c in range(k):
             mask = assign == c
             if mask.any():
                 C[c] = X[mask].mean(axis=0)
             else:
-                C[c] = X[far[fi % len(X)]]
+                C[c] = X[far[fi % n]]
                 fi += 1
     return C
 
@@ -404,7 +415,7 @@ def ivf_pq_topk_residual(
 
 def rerank_exact(
     embeddings: DataFrame, shortlist: DataFrame, qvec, k: int = 10,
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", dim: "int | None" = None,
 ) -> DataFrame:
     """Exact squared-L2 re-rank of a shortlist — the second stage of
     every deployed PQ pipeline: ONLY the shortlist's float vectors
@@ -413,8 +424,22 @@ def rerank_exact(
     Python). Returns (rank, vec_id, l2_dist). Recall is set by the
     shortlist depth: quantization error only costs recall when a
     true neighbor misses the shortlist, never rank precision inside
-    it."""
+    it.
+
+    The query dimension is validated against ``dim`` (pass it when
+    known, e.g. from the codebooks) or, failing that, the first
+    stored vector's width: ``zip_with`` pads a length mismatch with
+    NULLs, making every l2_dist NULL — and NULLs sort FIRST under
+    ``F.asc``, so a wrong-dim query would silently return arbitrary
+    docs instead of raising (mirrors pq_topk's guard)."""
     q = np.asarray(qvec, dtype=np.float64)
+    if dim is None:
+        probe = embeddings.select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()
+        dim = int(probe["d"]) if probe is not None else len(q)
+    if q.shape[0] != int(dim):
+        raise ValueError("query dim mismatch")
     cand = embeddings.join(
         shortlist.select("vec_id"), "vec_id", "left_semi"
     )
@@ -446,8 +471,9 @@ def pq_topk_rerank(
     (:func:`rerank_exact`)."""
     if shortlist < k:
         raise ValueError("shortlist must be >= k")
+    m, _, dsub = codebooks.shape
     sl = pq_topk(encoded, codebooks, qvec, shortlist)
-    return rerank_exact(embeddings, sl, qvec, k, vec_col)
+    return rerank_exact(embeddings, sl, qvec, k, vec_col, dim=m * dsub)
 
 
 def _cb_values(codebooks: np.ndarray) -> str:
