@@ -144,7 +144,8 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
                "facet_weighted_avg"],
     "dedup": ["dedup_exact", "minhash_verified_pairs"],
     "similarity": ["knn_join_topk", "pq_encode_fixed", "pq_topk_adc",
-                   "ivf_pq_topk", "pq_encode_residual_fixed"],
+                   "ivf_pq_topk", "pq_encode_residual_fixed",
+                   "ivf_pq_topk_sharded"],
     "text": ["winnow_fingerprint", "stopword_stats"],
     "corpus": ["lm_perplexity"],
     "web": ["domain_topk"],
@@ -674,6 +675,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pq_encode_residual_fixed"] = _q_pq_residual
+
+    # Sharded residual-IVFADC store under the oracle: two disjoint
+    # persisted code stores (vec_id parity split, parquet partitioned
+    # by coarse cell, fingerprint-checked), federated probed-cell ADC
+    # partials rank-merged — must equal the full SQL re-derivation
+    # over the union table
+    def _q_ivf_pq_sharded(s, d):
+        import os as _os
+        import tempfile as _tf
+
+        import numpy as _np
+
+        from tlhop_library_spark.operators.pq import (
+            deterministic_codebooks,
+        )
+        from tlhop_library_spark.operators.pq_store import (
+            ShardedPQStoreReader,
+            write_pq_store,
+        )
+
+        cb = deterministic_codebooks(64, 4, 8, seed=7)
+        coarse = _np.random.default_rng(29).standard_normal(
+            (8, 64)
+        ).round(6)
+        qv = _np.random.default_rng(11).standard_normal(64).round(6)
+        emb = _t(s, d, "embeddings")
+        base = _os.path.join(
+            _tf.gettempdir(),
+            "tlhop_gate_pqstore_" + d.strip("/").replace("/", "_"),
+        )
+        paths = [_os.path.join(base, f"shard{i}") for i in range(2)]
+        n = emb.count()
+        fresh = False
+        try:
+            import json as _json
+
+            tot = 0
+            for p in paths:
+                with open(_os.path.join(p, "pq_meta.json")) as f:
+                    tot += _json.load(f)["n_vectors"]
+            fresh = tot == n
+        except OSError:
+            fresh = False
+        if not fresh:
+            for i, p in enumerate(paths):
+                write_pq_store(
+                    emb.where(F.col("vec_id") % 2 == i), p, cb, coarse
+                )
+        return ShardedPQStoreReader(s, paths).topk(
+            qv, k=10, n_probe=4
+        )
+
+    q["ivf_pq_topk_sharded"] = _q_ivf_pq_sharded
 
     # Multimodal round-trip under the oracle: deterministic BMPs
     # encoded executor-side (vendored codec), decoded through the
@@ -2338,6 +2392,16 @@ FROM tok GROUP BY doc_id, term
         _cb,
         _np_pq.random.default_rng(29).standard_normal((8, 64))
         .round(6),
+    )
+    from tlhop_library_spark.operators.pq import (
+        oracle_sql_ivf_pq_topk_residual,
+    )
+
+    o["ivf_pq_topk_sharded"] = oracle_sql_ivf_pq_topk_residual(
+        _cb,
+        _np_pq.random.default_rng(29).standard_normal((8, 64))
+        .round(6),
+        _pq_qv, n_probe=4, topk=10,
     )
     from tlhop_library_spark.index.query import (
         oracle_sql_facet_filters,

@@ -59,6 +59,7 @@ __all__ = [
     "oracle_sql_pq_encode_residual",
     "oracle_sql_pq_topk",
     "oracle_sql_ivf_pq_topk",
+    "oracle_sql_ivf_pq_topk_residual",
 ]
 
 _ROUND_D = 9   # distance rounding before argmin / lut sums
@@ -695,6 +696,112 @@ adc AS (
          round(sum(lut.d), {_ROUND_S}) AS adc_dist
   FROM codes JOIN lut
     ON lut.sub = codes.sub AND lut.code = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC)
+        AS INT) AS rank, vec_id, adc_dist
+FROM adc
+QUALIFY rank <= {int(topk)}
+ORDER BY rank
+"""
+
+
+def oracle_sql_ivf_pq_topk_residual(
+    codebooks: np.ndarray, coarse: np.ndarray, qvec,
+    n_probe: int = 8, topk: int = 10, table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`ivf_pq_topk_residual` (and therefore
+    for the persisted/sharded PQ store's ``topk``): the residual
+    encode of :func:`oracle_sql_pq_encode_residual` restricted to the
+    probed cells, joined against the per-probed-cell residual lookup
+    tables (computed from the same literals, same round-9/round-6
+    contract), summed per vector and rank-cut."""
+    m, k, dsub = codebooks.shape
+    nc = coarse.shape[0]
+    q = np.asarray(qvec, dtype=np.float64)
+    C = coarse.astype(np.float64)
+    qd = ((C - q[None]) ** 2).sum(-1)
+    probe = sorted(
+        int(x) for x in np.argsort(np.round(qd, _ROUND_D),
+                                   kind="stable")[:n_probe]
+    )
+
+    def arr(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    co_vals = ",\n         ".join(
+        f"({i}, {arr(coarse[i])})" for i in range(nc)
+    )
+    cb_vals = ",\n         ".join(
+        f"({s}, {c}, {arr(codebooks[s][c])})"
+        for s in range(m)
+        for c in range(k)
+    )
+    lut_rows = []
+    for cell in probe:
+        r = (q - C[cell]).reshape(m, 1, dsub)
+        lut = np.round(
+            ((r - codebooks.astype(np.float64)) ** 2).sum(-1),
+            _ROUND_D,
+        )
+        lut_rows.extend(
+            f"({cell}, {s}, {c}, {float(lut[s, c])!r})"
+            for s in range(m)
+            for c in range(k)
+        )
+    lut_vals = ",\n         ".join(lut_rows)
+    probe_list = ", ".join(map(str, probe))
+    return f"""
+WITH co(cell, cvec) AS (VALUES {co_vals}),
+cb(sub, code, bvec) AS (VALUES {cb_vals}),
+lut(cell, sub, code, d) AS (VALUES {lut_vals}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table}
+),
+celld AS (
+  SELECT v.vec_id, co.cell, v.e, co.cvec,
+         round(list_sum(list_transform(list_zip(v.e, co.cvec),
+               z -> power(z[1] - z[2], 2))), {_ROUND_D}) AS d
+  FROM v JOIN co ON true
+),
+assigned AS (
+  SELECT vec_id, cell, e, cvec
+  FROM celld
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d, cell) = 1
+),
+probed AS (
+  SELECT * FROM assigned WHERE cell IN ({probe_list})
+),
+resid AS (
+  SELECT vec_id, cell,
+         list_transform(list_zip(e, cvec), z -> z[1] - z[2]) AS r
+  FROM probed
+),
+subv AS (
+  SELECT vec_id, cell, g.sub,
+         r[g.sub*{dsub}+1 : (g.sub+1)*{dsub}] AS rv
+  FROM resid JOIN generate_series(0, {m - 1}) g(sub) ON true
+),
+dist AS (
+  SELECT s.vec_id, s.cell, s.sub, cb.code,
+         round(list_sum(list_transform(list_zip(s.rv, cb.bvec),
+               z -> power(z[1] - z[2], 2))), {_ROUND_D}) AS d
+  FROM subv s JOIN cb ON cb.sub = s.sub
+),
+codes AS (
+  SELECT vec_id, cell, sub, code
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d, code) = 1
+),
+adc AS (
+  SELECT codes.vec_id,
+         CAST(round(sum(lut.d), {_ROUND_S}) AS DOUBLE) AS adc_dist
+  FROM codes JOIN lut
+    ON lut.cell = codes.cell AND lut.sub = codes.sub
+   AND lut.code = codes.code
   GROUP BY codes.vec_id
 )
 SELECT CAST(row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC)
