@@ -143,3 +143,32 @@ def test_store_topk_duckdb_oracle(spark, store):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_cli_pqstore_roundtrip(spark, tmp_path, capsys):
+    """pqstore-build trains + writes N shards; pqstore-query
+    federates them — end-to-end through the CLI entry point."""
+    import json
+
+    from tlhop_library_spark.__main__ import main
+
+    out = str(tmp_path / "cli")
+    rc = main([
+        "pqstore-build", "--embeddings", SF_EMB, "--out", out,
+        "--m", "4", "--k", "8", "--cells", "8", "--shard-mod", "2",
+        "--sample-n", "200",
+    ])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(built["shards"]) == 2
+    assert sum(s["n_vectors"] for s in built["shards"]) == 500
+    qv = ",".join(str(round(float(x), 6)) for x in QV)
+    rc = main([
+        "pqstore-query", "--store", f"{out}/shard0",
+        "--store", f"{out}/shard1", "--qvec", qv,
+        "--k", "5", "--n-probe", "4",
+    ])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows == sorted(rows, key=lambda r: (r["adc_dist"], r["vec_id"]))

@@ -361,6 +361,32 @@ def main(argv: list[str] | None = None) -> int:
         "(max(100, 0.1%% of docs) — default), or 'none'",
     )
 
+    pb = sub.add_parser(
+        "pqstore-build",
+        help="train (coarse + residual PQ) on the embeddings table "
+        "and persist a cell-partitioned code store",
+    )
+    pb.add_argument("--embeddings", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--m", type=int, default=8)
+    pb.add_argument("--k", type=int, default=256)
+    pb.add_argument("--cells", type=int, default=64)
+    pb.add_argument("--iters", type=int, default=6)
+    pb.add_argument("--seed", type=int, default=7)
+    pb.add_argument("--sample-n", type=int, default=10000)
+    pb.add_argument("--shard-mod", type=int, default=1,
+                    help="write N disjoint shards (vec_id %% N)")
+
+    pq = sub.add_parser(
+        "pqstore-query",
+        help="residual-IVFADC top-k over one or more code stores",
+    )
+    pq.add_argument("--store", action="append", required=True)
+    pq.add_argument("--qvec", required=True,
+                    help="comma-separated query floats")
+    pq.add_argument("--k", type=int, default=10)
+    pq.add_argument("--n-probe", type=int, default=8)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -759,6 +785,62 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"survivors": n, "out": args.out}))
+    elif args.cmd == "pqstore-build":
+        import os as _os
+
+        from tlhop_library_spark.operators.pq import (
+            train_coarse,
+            train_pq_residual,
+        )
+        from tlhop_library_spark.operators.pq_store import (
+            write_pq_store,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        coarse = train_coarse(
+            emb, n_centroids=args.cells, iters=args.iters,
+            seed=args.seed, sample_n=args.sample_n,
+        )
+        cb = train_pq_residual(
+            emb, coarse, m=args.m, k=args.k, iters=args.iters,
+            seed=args.seed, sample_n=args.sample_n,
+        )
+        from pyspark.sql import functions as _F
+
+        shards = []
+        for i in range(max(1, args.shard_mod)):
+            part = (
+                emb
+                if args.shard_mod <= 1
+                else emb.where(_F.col("vec_id") % args.shard_mod == i)
+            )
+            p = (
+                args.out
+                if args.shard_mod <= 1
+                else _os.path.join(args.out, f"shard{i}")
+            )
+            man = write_pq_store(part, p, cb, coarse)
+            shards.append({"path": p, "n_vectors": man["n_vectors"],
+                           "skew_ratio": man["skew_ratio"]})
+        print(json.dumps({"out": args.out, "shards": shards}))
+    elif args.cmd == "pqstore-query":
+        from tlhop_library_spark.operators.pq_store import (
+            PQStoreReader,
+            ShardedPQStoreReader,
+        )
+
+        qv = [float(x) for x in args.qvec.split(",")]
+        reader = (
+            PQStoreReader(spark, args.store[0])
+            if len(args.store) == 1
+            else ShardedPQStoreReader(spark, args.store)
+        )
+        rows = reader.topk(qv, k=args.k, n_probe=args.n_probe).collect()
+        print(json.dumps([
+            {"rank": r["rank"], "vec_id": r["vec_id"],
+             "adc_dist": r["adc_dist"]}
+            for r in rows
+        ]))
     return 0
 
 

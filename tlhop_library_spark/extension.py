@@ -169,6 +169,16 @@ class TlhopExtension:
 
         return pq_topk(self._df, codebooks, qvec, k)
 
+    def pq_store_write(self, path: str, codebooks, coarse, **kw):
+        """Frame = embeddings table; residual-encode once and persist
+        the cell-partitioned code store (operators/pq_store.py).
+        Returns the lineage manifest."""
+        from tlhop_library_spark.operators.pq_store import (
+            write_pq_store,
+        )
+
+        return write_pq_store(self._df, path, codebooks, coarse, **kw)
+
     # webpage / screenshot wrappers (ref shodan_library.py:95-215,
     # tlhop_abstraction.py:61-82)
     def describe_html(self, html_col: str = "html",
