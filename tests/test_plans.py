@@ -238,3 +238,47 @@ def test_round45_mode_plans(spark, index_dir, corpus_df):
     # forbidden.
     p_fl = plan_of(r.facet_filters({"a": "dados", "b": "lei"}, docs))
     assert "CartesianProduct" not in p_fl
+
+
+def test_round5_mode_plans(spark, corpus_df, tmp_path):
+    """Round-5 operators keep the 100-TB plan contracts: the PQ-store
+    probe prunes parquet partitions, its k-cut is
+    TakeOrderedAndProject, the LUT join is a broadcast, and the
+    rank_eval pipeline contains no cartesian product and no
+    single-partition window over corpus-sized input."""
+    import numpy as np
+
+    from tlhop_library_spark.operators.pq import (
+        deterministic_codebooks,
+    )
+    from tlhop_library_spark.operators.pq_store import (
+        PQStoreReader,
+        write_pq_store,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = deterministic_codebooks(64, 4, 8, seed=7)
+    coarse = np.random.default_rng(29).standard_normal((8, 64)).round(6)
+    qv = np.random.default_rng(11).standard_normal(64).round(6)
+    p = str(tmp_path / "pqs")
+    write_pq_store(emb, p, cb, coarse)
+    plan = plan_of(PQStoreReader(spark, p).topk(qv, k=5, n_probe=2))
+    assert "TakeOrderedAndProject" in plan
+    assert "PartitionFilters" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    from tlhop_library_spark.operators.rank_eval import rank_eval
+
+    rk = spark.createDataFrame(
+        [(1, 1, 1)], "query_id long, rank int, doc_id long"
+    )
+    jd = spark.createDataFrame(
+        [(1, 1, 2.0)], "query_id long, doc_id long, grade double"
+    )
+    p_re = plan_of(rank_eval(rk, jd, 10))
+    assert "CartesianProduct" not in p_re
+    # the idcg window must partition by query_id, never a global
+    # single-partition window
+    assert "Window" in p_re
+    assert "hashpartitioning(query_id" in p_re
