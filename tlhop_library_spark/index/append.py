@@ -173,6 +173,9 @@ def add_documents(
         staging = os.path.join(index_dir, "segments_staging", gname)
         seg = builder._encode_group_df(exploded, avgdl, range_size)
         seg.write.mode("overwrite").parquet(staging)
+        for cached in builder._pending_unpersist:
+            cached.unpersist()
+        builder._pending_unpersist.clear()
         os.makedirs(builder.segments_path, exist_ok=True)
         if os.path.isdir(gdir):
             shutil.rmtree(gdir)

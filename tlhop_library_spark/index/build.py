@@ -224,10 +224,24 @@ class IndexBuilder:
         encode_parts: int | None = None,
         positions: bool = False,
         stored_fields: list[str] | None = None,
+        serve_layout: bool = True,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.n_buckets = n_buckets
+        #: range-repartition the ENCODED chunk rows by (bucket, tid)
+        #: before the segment write so every file owns a disjoint tid
+        #: span. Without it a file's tid min/max spans the whole hash
+        #: range (hash shuffle + within-partition sort), so file/row-
+        #: group statistics admit ~every file for a point lookup: at
+        #: the 10M stress index the driver-side serving read cost
+        #: 0.5-0.7 s/term (reading ~28% of a 5 GB store) vs ~1 file
+        #: with the range layout. Costs one extra (smaller) shuffle of
+        #: the compressed segment rows (~12% of the raw postings
+        #: shuffle at 10M) + a short-lived cache so the range
+        #: sampler does not re-run the encoder. Distributed queries
+        #: get the same file-skipping benefit.
+        self.serve_layout = serve_layout
         #: None → derived from the corpus doc count at build time via
         #: :func:`default_n_ranges` (docs-per-range target, see
         #: RANGE_DOCS); an explicit value is honored as-is (tests,
@@ -246,6 +260,8 @@ class IndexBuilder:
         #: One narrow projection of the input scan — never through the
         #: wide posting shuffle.
         self.stored_fields = list(stored_fields or [])
+        #: encode caches awaiting release after the segment write
+        self._pending_unpersist: list[DataFrame] = []
 
     # -- paths ---------------------------------------------------------
     @property
@@ -335,13 +351,24 @@ class IndexBuilder:
         sort_keys = [bucket_expr, range_expr, "tid", "doc_id"] + (
             ["pos"] if self.positions else []
         )
-        return (
+        enc = (
             part.select(*shuffle_cols)
             .repartition(n_encode_parts, bucket_expr, range_expr)
             .sortWithinPartitions(*sort_keys)
             .mapInArrow(encoder, schema=seg_schema)
-            .sortWithinPartitions("tid")
         )
+        if not self.serve_layout:
+            return enc.sortWithinPartitions("tid")
+        # serve layout: contiguous (bucket, tid) spans per output file
+        # (see __init__). The encoded frame is cached so the range
+        # partitioner's sampling pass reads the cache instead of
+        # re-running the whole encode; build() unpersists after the
+        # segment write.
+        enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+        self._pending_unpersist.append(enc)
+        return enc.repartitionByRange(
+            n_encode_parts, "bucket", "tid"
+        ).sortWithinPartitions("bucket", "tid")
 
     # -- build ---------------------------------------------------------
     def build(self, docs: DataFrame, resume: bool = False) -> dict:
@@ -469,6 +496,9 @@ class IndexBuilder:
             )
             gdir = os.path.join(self.segments_path, f"bucket_group={g}")
             seg.write.mode("overwrite").parquet(gdir)
+            for cached in self._pending_unpersist:
+                cached.unpersist()
+            self._pending_unpersist.clear()
             mark(f"segments_g{g}")
             self._append_manifest(gname, gdir)
             mark(f"manifest_g{g}")
