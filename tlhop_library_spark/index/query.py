@@ -4244,14 +4244,23 @@ class IndexReader:
 
     def search_serve(
         self, query_text: str, k: int = 10, mode: str = "auto",
-        max_local_bytes: int = 64 << 20,
+        max_local_bytes: int = 8 << 20,
     ) -> DataFrame:
         """Auto-routed search: estimate the query's posting volume as
         Σ df(term) × avg-bytes-per-posting (df from the dictionary,
         bytes/posting from the build manifest) and serve driver-side
         (:meth:`search_local`) when it fits under ``max_local_bytes``,
         else run the distributed scan (:meth:`search`). Both paths are
-        rank-identical; the knob only trades latency vs driver IO."""
+        rank-identical; the knob only trades latency vs driver IO.
+
+        Default 8 MB is the measured 10M-doc breakeven
+        (tools/bench_serve_10m.py over the kept stress index, r5):
+        the driver kernel decodes+scores ~7 MB/s single-threaded
+        while the distributed path floors at ~1-1.5 s regardless of
+        df, so an 8 MB posting volume is where the two cross —
+        tail/torso queries serve at 0.48-0.76 s driver-side and head
+        terms (tens of MB) correctly fall back. The round-4 64 MB
+        default routed 41 MB stopword queries local at 5-6 s."""
         terms = sorted(set(py_tokens(query_text)))
         info = self.lookup_terms(terms)
         if not info:
