@@ -141,7 +141,9 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
                "facet_filters", "facet_histogram", "facet_missing",
                "facet_multi_terms", "facet_percentiles",
                "facet_rare_terms", "facet_terms_stats",
-               "facet_weighted_avg"],
+               "facet_weighted_avg",
+               # round-5 additions (never driver-gated before r5)
+               "facet_pipeline_aggs", "facet_bucket_selector"],
     "dedup": ["dedup_exact", "minhash_verified_pairs"],
     "similarity": ["knn_join_topk", "pq_encode_fixed", "pq_topk_adc",
                    "ivf_pq_topk", "pq_encode_residual_fixed",
@@ -453,6 +455,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["facet_date_histogram"] = _q_date_histogram
+
+    # ES pipeline aggregations over the date_histogram parent:
+    # cumulative_sum + derivative + moving_fn(avg, window 3) +
+    # bucket_script (metric/doc_count) per weekly bucket of the
+    # matching set, metric = sum(n_chars)
+    def _q_pipeline_aggs(s, d):
+        docs = _t(s, d, "documents").withColumn(
+            "doc_ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, cast(doc_id % 2160 as int), 0, 0)"
+            ),
+        )
+        return _indexed_reader(s, d).facet_pipeline(
+            BM25_QUERY_1, docs, "doc_ts", "week",
+            metric_field="n_chars", window=3,
+        )
+
+    q["facet_pipeline_aggs"] = _q_pipeline_aggs
+
+    # bucket_selector + bucket_sort: buckets below the metric floor
+    # dropped AFTER the pipeline columns (ES execution order), the
+    # survivors re-ranked metric DESC and truncated
+    def _q_bucket_selector(s, d):
+        docs = _t(s, d, "documents").withColumn(
+            "doc_ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, cast(doc_id % 2160 as int), 0, 0)"
+            ),
+        )
+        return _indexed_reader(s, d).facet_pipeline(
+            BM25_QUERY_1, docs, "doc_ts", "week",
+            metric_field="n_chars", window=3,
+            min_metric=3000.0, sort_by_metric=True, size=8,
+        )
+
+    q["facet_bucket_selector"] = _q_bucket_selector
 
     # ES _rank_eval: P@k / recall@k / MRR / NDCG@k of the engine's own
     # BM25 rankings against synthetic graded judgments (grade = count
@@ -2434,6 +2474,23 @@ FROM tok GROUP BY doc_id, term
         BM25_QUERY_1, "doc_ts", "week",
         table="(SELECT *, TIMESTAMP '2024-01-01 00:00:00' + "
         "(doc_id % 2160) * INTERVAL 1 HOUR AS doc_ts FROM documents)",
+    )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_pipeline_aggs,
+    )
+
+    _ts_tbl = (
+        "(SELECT *, TIMESTAMP '2024-01-01 00:00:00' + "
+        "(doc_id % 2160) * INTERVAL 1 HOUR AS doc_ts FROM documents)"
+    )
+    o["facet_pipeline_aggs"] = oracle_sql_pipeline_aggs(
+        BM25_QUERY_1, "doc_ts", "week", metric_field="n_chars",
+        window=3, table=_ts_tbl,
+    )
+    o["facet_bucket_selector"] = oracle_sql_pipeline_aggs(
+        BM25_QUERY_1, "doc_ts", "week", metric_field="n_chars",
+        window=3, min_metric=3000.0, sort_by_metric=True, size=8,
+        table=_ts_tbl,
     )
     from tlhop_library_spark.analyzer import (
         py_tokens as _re_pt,

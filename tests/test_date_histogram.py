@@ -104,3 +104,115 @@ def test_date_histogram_rejects_bad_interval(spark, corpus_df):
     hits = corpus_df.select("doc_id").limit(1)
     with pytest.raises(ValueError):
         date_histogram_hits(hits, corpus_df, "warc_ts", "fortnight")
+
+
+# ---------------------------------------------------------------------
+# pipeline aggregations (round 5)
+# ---------------------------------------------------------------------
+def test_pipeline_aggs_hand_computed(spark, index_dir, corpus_df):
+    """cumulative_sum / derivative / moving_avg / per_doc recomputed
+    in python over the parent buckets."""
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text").cast("long"))
+    parent = {
+        row["key"]: (row["n_docs"], None)
+        for row in r.facet_date_histogram(
+            Q, docs, "warc_ts", "day"
+        ).collect()
+    }
+    rows = r.facet_pipeline(
+        Q, docs, "warc_ts", "day", metric_field="n_chars", window=2
+    ).collect()
+    assert [x["key"] for x in rows] == sorted(parent)
+    assert [x["n_docs"] for x in rows] == [
+        parent[x["key"]][0] for x in rows
+    ]
+    cum = 0.0
+    prev = None
+    metrics = [x["metric"] for x in rows]
+    for i, x in enumerate(rows):
+        cum = round(cum + x["metric"], 4)
+        assert x["cumulative_sum"] == cum
+        if prev is None:
+            assert x["derivative"] is None
+        else:
+            assert x["derivative"] == round(x["metric"] - prev, 4)
+        prev = x["metric"]
+        wnd = metrics[max(0, i - 1): i + 1]
+        assert x["moving_avg"] == round(sum(wnd) / len(wnd), 4)
+        assert x["per_doc"] == round(x["metric"] / x["n_docs"], 4)
+
+
+def test_pipeline_selector_after_pipeline(spark, index_dir, corpus_df):
+    """bucket_selector drops buckets AFTER the pipeline columns are
+    computed: a surviving bucket keeps the cumulative/derivative
+    values it had in the unfiltered list (ES execution order)."""
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text").cast("long"))
+    full = {
+        x["key"]: tuple(x)
+        for x in r.facet_pipeline(
+            Q, docs, "warc_ts", "day", metric_field="n_chars"
+        ).collect()
+    }
+    med = sorted(v[3] for v in full.values())[len(full) // 2]
+    kept = r.facet_pipeline(
+        Q, docs, "warc_ts", "day", metric_field="n_chars",
+        min_metric=float(med),
+    ).collect()
+    assert 0 < len(kept) < len(full)
+    for x in kept:
+        assert tuple(x) == full[x["key"]]
+
+
+def test_pipeline_bucket_sort(spark, index_dir, corpus_df):
+    r = IndexReader(spark, index_dir)
+    docs = corpus_df.withColumn("n_chars", F.length("text").cast("long"))
+    total = len(
+        r.facet_pipeline(
+            Q, docs, "warc_ts", "day", metric_field="n_chars"
+        ).collect()
+    )
+    rows = r.facet_pipeline(
+        Q, docs, "warc_ts", "day", metric_field="n_chars",
+        sort_by_metric=True, size=3,
+    ).collect()
+    assert len(rows) == min(3, total) and rows
+    ms = [(x["metric"], x["key"]) for x in rows]
+    assert ms == sorted(ms, key=lambda t: (-t[0], t[1]))
+
+
+def test_pipeline_federated_equals_union(spark, index_dir, corpus_df, tmp_path):
+    """Pipeline columns are computed on the MERGED bucket list — a
+    per-shard cumulative sum would be wrong for buckets spanning
+    shards; the federation must equal the union index exactly."""
+    from tlhop_library_spark.index.build import IndexBuilder
+    from tlhop_library_spark.index.sharded import ShardedIndexReader
+
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    IndexBuilder(spark, da, n_buckets=4, n_ranges=4).build(
+        corpus_df.where("doc_id % 2 = 0")
+    )
+    IndexBuilder(spark, db, n_buckets=4, n_ranges=4).build(
+        corpus_df.where("doc_id % 2 = 1")
+    )
+    docs = corpus_df.withColumn("n_chars", F.length("text").cast("long"))
+    fed = ShardedIndexReader(spark, [da, db]).facet_pipeline(
+        Q, docs, "warc_ts", "day", metric_field="n_chars", window=3
+    )
+    union = IndexReader(spark, index_dir).facet_pipeline(
+        Q, docs, "warc_ts", "day", metric_field="n_chars", window=3
+    )
+    assert [tuple(x) for x in fed.collect()] == [
+        tuple(x) for x in union.collect()
+    ]
+
+
+def test_pipeline_aggs_guards(spark, corpus_df):
+    from tlhop_library_spark.index.query import pipeline_aggs_hits
+
+    hits = corpus_df.select("doc_id").limit(1)
+    with pytest.raises(ValueError):
+        pipeline_aggs_hits(hits, corpus_df, "warc_ts", "fortnight")
+    with pytest.raises(ValueError):
+        pipeline_aggs_hits(hits, corpus_df, "warc_ts", "day", window=0)

@@ -1872,6 +1872,155 @@ def date_histogram_hits(
     )
 
 
+def pipeline_aggs_hits(
+    hits: DataFrame, docs: DataFrame, ts_col: str,
+    interval: str = "day", metric_field: "str | None" = None,
+    window: int = 3, min_metric: "float | None" = None,
+    sort_by_metric: bool = False, size: "int | None" = None,
+) -> DataFrame:
+    """ES *pipeline aggregations* over a date_histogram parent: one
+    row per non-empty bucket carrying the parent metric plus
+
+    - ``cumulative_sum``  — running Σ of the metric (ES
+      ``cumulative_sum``),
+    - ``derivative``      — metric − previous bucket's metric, NULL
+      for the first bucket (ES ``derivative``),
+    - ``moving_avg``      — mean of the trailing ``window`` buckets
+      including the current one (ES ``moving_fn`` with
+      ``MovingFunctions.unweightedAvg``),
+    - ``per_doc``         — metric / doc_count (an ES
+      ``bucket_script`` over two sub-metrics).
+
+    ``min_metric`` applies an ES ``bucket_selector`` (buckets whose
+    metric is below it are dropped AFTER the pipeline columns are
+    computed, matching ES's execution order — a dropped bucket still
+    contributes to its successors' cumulative/moving values);
+    ``sort_by_metric``/``size`` apply an ES ``bucket_sort`` (metric
+    DESC, key ASC tiebreak, optional truncation).
+
+    The metric is ``Σ metric_field`` over the bucket (``doc_count``
+    itself when ``metric_field`` is None — ES ``_count``).
+
+    Scale shape: the parent reduction is the same semi-join + groupBy
+    as :func:`date_histogram_hits`; the pipeline windows then run over
+    the BUCKET LIST, whose cardinality is time-range/interval — a
+    single-partition window over that list is the same bounded
+    coordinator-side reduction ES performs, never corpus-sized."""
+    allowed = {"hour", "day", "week", "month", "quarter", "year"}
+    if interval not in allowed:
+        raise ValueError(f"interval must be one of {sorted(allowed)}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col(ts_col).isNotNull())
+    )
+    metric = (
+        F.lit(1.0)
+        if metric_field is None
+        else F.col(metric_field).cast("double")
+    )
+    base = (
+        j.select(
+            F.date_trunc(interval, F.col(ts_col)).alias("b"),
+            metric.alias("m"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("m"), 4).alias("metric"),
+        )
+        .select(
+            (F.unix_timestamp("b") * 1000).cast("long").alias("key"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias(
+                "key_as_string"
+            ),
+            "n_docs",
+            "metric",
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.orderBy("key").rowsBetween(W.unboundedPreceding, 0)
+    w_mov = W.orderBy("key").rowsBetween(-(window - 1), 0)
+    out = base.select(
+        "key",
+        "key_as_string",
+        "n_docs",
+        "metric",
+        F.round(F.sum("metric").over(w_cum), 4).alias(
+            "cumulative_sum"
+        ),
+        F.round(
+            F.col("metric") - F.lag("metric").over(W.orderBy("key")), 4
+        ).alias("derivative"),
+        F.round(F.avg("metric").over(w_mov), 4).alias("moving_avg"),
+        F.round(F.col("metric") / F.col("n_docs"), 4).alias("per_doc"),
+    )
+    if min_metric is not None:
+        out = out.where(F.col("metric") >= float(min_metric))
+    if sort_by_metric:
+        out = out.orderBy(F.desc("metric"), F.asc("key"))
+        if size is not None:
+            out = out.limit(int(size))
+    else:
+        out = out.orderBy("key")
+    return out
+
+
+def oracle_sql_pipeline_aggs(
+    query_text: str, ts_col: str, interval: str = "day",
+    metric_field: "str | None" = None, window: int = 3,
+    min_metric: "float | None" = None,
+    sort_by_metric: bool = False, size: "int | None" = None,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`pipeline_aggs_hits` — identical
+    bucket calendar, metric arithmetic, window frames, selector
+    ordering (pipeline BEFORE selector), and bucket_sort."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    m = "1.0" if metric_field is None else f"CAST(d.{metric_field} AS DOUBLE)"
+    sel = (
+        f"WHERE metric >= {float(min_metric)!r}"
+        if min_metric is not None
+        else ""
+    )
+    if sort_by_metric:
+        order = "ORDER BY metric DESC, key ASC"
+        lim = f"LIMIT {int(size)}" if size is not None else ""
+    else:
+        order, lim = "ORDER BY key", ""
+    return f"""{cte}, buckets AS (
+  SELECT date_trunc('{interval}', d.{ts_col}) AS b,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(sum({m}), 4) AS metric
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{ts_col} IS NOT NULL
+  GROUP BY 1
+), piped AS (
+  SELECT CAST(epoch_ms(CAST(b AS TIMESTAMP)) AS BIGINT) AS key,
+         strftime(CAST(b AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+           AS key_as_string,
+         n_docs,
+         CAST(metric AS DOUBLE) AS metric,
+         CAST(round(sum(metric) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS DOUBLE) AS cumulative_sum,
+         CAST(round(metric - lag(metric) OVER (ORDER BY b), 4)
+           AS DOUBLE) AS derivative,
+         CAST(round(avg(metric) OVER (ORDER BY b
+               ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW), 4)
+           AS DOUBLE) AS moving_avg,
+         CAST(round(metric / n_docs, 4) AS DOUBLE) AS per_doc
+  FROM buckets
+)
+SELECT * FROM piped
+{sel}
+{order}
+{lim}
+"""
+
+
 def oracle_sql_date_histogram(
     query_text: str, ts_col: str, interval: str = "day",
     table: str = "documents", doc_col: str = "doc_id",
@@ -5012,6 +5161,22 @@ class IndexReader:
         :func:`date_histogram_hits`."""
         hits = self._matching_scores(query_text).select("doc_id")
         return date_histogram_hits(hits, docs, ts_col, interval)
+
+    def facet_pipeline(
+        self, query_text: str, docs: DataFrame, ts_col: str,
+        interval: str = "day", metric_field: "str | None" = None,
+        window: int = 3, min_metric: "float | None" = None,
+        sort_by_metric: bool = False, size: "int | None" = None,
+    ) -> DataFrame:
+        """ES pipeline aggregations (cumulative_sum / derivative /
+        moving_fn avg / bucket_script / bucket_selector /
+        bucket_sort) over a date_histogram of the matching set.
+        Semantics + scale shape in :func:`pipeline_aggs_hits`."""
+        hits = self._matching_scores(query_text).select("doc_id")
+        return pipeline_aggs_hits(
+            hits, docs, ts_col, interval, metric_field, window,
+            min_metric, sort_by_metric, size,
+        )
 
     def facet_counts(
         self, query_text: str, docs: DataFrame, facet_col: str = "lang"

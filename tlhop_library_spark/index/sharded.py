@@ -1192,6 +1192,29 @@ class ShardedIndexReader:
             )
         return date_histogram_hits(hits, docs, ts_col, interval)
 
+    def facet_pipeline(
+        self, query_text: str, docs: DataFrame, ts_col: str,
+        interval: str = "day", metric_field: "str | None" = None,
+        window: int = 3, min_metric: "float | None" = None,
+        sort_by_metric: bool = False, size: "int | None" = None,
+    ) -> DataFrame:
+        """Federated pipeline aggs ≡ single index on the union: the
+        parent buckets merge exactly across shards BEFORE the window
+        pass (pipeline columns are computed on the merged bucket
+        list, never per shard — a per-shard cumulative sum would be
+        wrong for any bucket spanning shards)."""
+        from tlhop_library_spark.index.query import pipeline_aggs_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return pipeline_aggs_hits(
+            hits, docs, ts_col, interval, metric_field, window,
+            min_metric, sort_by_metric, size,
+        )
+
     def facet_composite(
         self, query_text: str, docs: DataFrame, field: str,
         size: int = 10, after: "str | None" = None,
