@@ -143,7 +143,8 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
                "facet_rare_terms", "facet_terms_stats",
                "facet_weighted_avg",
                # round-5 additions (never driver-gated before r5)
-               "facet_pipeline_aggs", "facet_bucket_selector"],
+               "facet_pipeline_aggs", "facet_bucket_selector",
+               "facet_percentile_ranks", "facet_mad"],
     "dedup": ["dedup_exact", "minhash_verified_pairs"],
     "similarity": ["knn_join_topk", "pq_encode_fixed", "pq_topk_adc",
                    "ivf_pq_topk", "pq_encode_residual_fixed",
@@ -609,6 +610,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).facet_percentiles(
         BM25_QUERY_1, _t(s, d, "documents"), "n_chars",
         [0.25, 0.5, 0.9],
+    )
+
+    # ES percentile_ranks (inverse percentiles, exact CDF percent):
+    # for each probe value, the % of matching docs' n_chars <= it
+    q["facet_percentile_ranks"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_percentile_ranks(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars",
+        [200.0, 500.0, 900.0],
+    )
+
+    # ES median_absolute_deviation (exact two-phase median)
+    q["facet_mad"] = lambda s, d: _indexed_reader(s, d).facet_mad(
+        BM25_QUERY_1, _t(s, d, "documents"), "n_chars"
     )
 
     # ES missing aggregation: matching docs with a NULL field (the sf
@@ -2460,6 +2475,15 @@ FROM tok GROUP BY doc_id, term
     o["facet_percentiles"] = oracle_sql_facet_percentiles(
         BM25_QUERY_1, "n_chars", [0.25, 0.5, 0.9]
     )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_mad,
+        oracle_sql_percentile_ranks,
+    )
+
+    o["facet_percentile_ranks"] = oracle_sql_percentile_ranks(
+        BM25_QUERY_1, "n_chars", [200.0, 500.0, 900.0]
+    )
+    o["facet_mad"] = oracle_sql_mad(BM25_QUERY_1, "n_chars")
     o["facet_missing"] = oracle_sql_facet_missing(
         BM25_QUERY_1, "opt_lang",
         table="(SELECT *, CASE WHEN doc_id % 3 != 0 THEN lang END "

@@ -455,3 +455,69 @@ def test_sharded_zero_match_schemas_match_nonempty(
     full_ts = sharded.facet_terms_stats(Q, ndocs, "n_chars", "n2")
     assert empty_ts.schema == full_ts.schema
     assert empty_ts.count() == 0
+
+
+def test_percentile_ranks_matches_numpy(reader, docs, hits_map):
+    """Exact inverse percentiles: pct(v) = 100 * |vals <= v| / n."""
+    vals = sorted(float(v) for v in _nchars(docs, hits_map))
+    probes = [vals[0] - 1, vals[len(vals) // 2], vals[-1] + 1]
+    rows = reader.facet_percentile_ranks(
+        Q, docs, "n_chars", probes
+    ).collect()
+    assert [r["value"] for r in rows] == sorted(probes)
+    for r in rows:
+        want = 100.0 * sum(1 for v in vals if v <= r["value"]) / len(vals)
+        assert r["pct"] == round(want, 4)
+    assert rows[0]["pct"] == 0.0 and rows[-1]["pct"] == 100.0
+
+
+def test_mad_matches_numpy(reader, docs, hits_map):
+    import numpy as np
+
+    vals = np.array(sorted(float(v) for v in _nchars(docs, hits_map)))
+    med = float(np.percentile(vals, 50, method="linear"))
+    want = round(
+        float(np.percentile(np.abs(vals - med), 50, method="linear")),
+        4,
+    )
+    row = reader.facet_mad(Q, docs, "n_chars").collect()[0]
+    assert row["mad"] == want
+    assert row["n_used"] == len(vals)
+
+
+def test_percentile_ranks_and_mad_federated(
+    spark, corpus_df, docs, reader, tmp_path_factory
+):
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("pr_shards")
+    dirs = []
+    for i in range(2):
+        p = str(base / f"s{i}")
+        IndexBuilder(spark, p, n_buckets=4, n_jobs=2).build(
+            corpus_df.where(F.col("doc_id") % 2 == i)
+        )
+        dirs.append(p)
+    fed = ShardedIndexReader(spark, dirs)
+    for single, sharded in (
+        (
+            reader.facet_percentile_ranks(Q, docs, "n_chars", [300.0, 700.0]),
+            fed.facet_percentile_ranks(Q, docs, "n_chars", [300.0, 700.0]),
+        ),
+        (reader.facet_mad(Q, docs, "n_chars"), fed.facet_mad(Q, docs, "n_chars")),
+    ):
+        assert [tuple(r) for r in sharded.collect()] == [
+            tuple(r) for r in single.collect()
+        ]
+
+
+def test_percentile_ranks_guard(reader, docs):
+    from tlhop_library_spark.index.query import (
+        percentile_ranks_agg_hits,
+    )
+
+    with pytest.raises(ValueError):
+        percentile_ranks_agg_hits(
+            docs.select("doc_id").limit(1), docs, "n_chars", []
+        )

@@ -1328,6 +1328,123 @@ def percentiles_agg_hits(
     return j.agg(*cols)
 
 
+def percentile_ranks_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str,
+    values: list[float],
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation — the inverse of
+    ``percentiles``: for each requested value, the percentage of the
+    matching set's non-NULL field values that are <= it. EXACT (a
+    count_if per requested value over one pass — ES serves this from
+    the same TDigest as percentiles; exactness is what makes the
+    result engine-reproducible), rendered relationally as one row per
+    requested value, ascending: (value, pct), pct rounded to 4.
+
+    One semi-join + ONE single-row aggregation computing every
+    requested value's count simultaneously — |values| is the only
+    growth axis, never the corpus."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    vs = [float(x) for x in values]
+    v = F.col(field).cast("double")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(v.isNotNull())
+    )
+    agg = j.agg(
+        F.count("*").alias("_n"),
+        *[
+            F.count_if(v <= F.lit(x)).alias(f"_c{i}")
+            for i, x in enumerate(vs)
+        ],
+    )
+    spark = docs.sparkSession
+    rows = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(vs)], "i int, value double"
+    )
+    cases = F.lit(None).cast("long")
+    for i in range(len(vs)):
+        cases = F.when(F.col("i") == i, F.col(f"_c{i}")).otherwise(cases)
+    return (
+        rows.crossJoin(F.broadcast(agg))
+        .select(
+            "value",
+            F.round(cases * 100.0 / F.col("_n"), 4).alias("pct"),
+        )
+        .orderBy("value")
+    )
+
+
+def mad_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation — EXACT:
+    median(|v − median(v)|) with linear-interpolated medians
+    (``F.percentile`` ≡ DuckDB ``quantile_cont``; ES approximates
+    both medians with TDigest). One row (mad, n_used), rounded to 4.
+
+    Two passes over the matching values (median, then deviations) —
+    the exact two-phase algorithm; each pass is one shuffle of the
+    matching set's values. The exact-percentile scale ceiling of
+    :func:`percentiles_agg_hits` applies — for continuous fields at
+    10^12 docs use ``approx_percentile`` percentiles instead."""
+    v = F.col(field).cast("double")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(v.isNotNull())
+        .select(v.alias("v"))
+    )
+    med_row = j.agg(F.percentile("v", F.lit(0.5)).alias("m")).collect()[0]
+    if med_row["m"] is None:
+        return docs.sparkSession.createDataFrame(
+            [], "mad double, n_used long"
+        )
+    med = float(med_row["m"])
+    return j.select(F.abs(F.col("v") - F.lit(med)).alias("d")).agg(
+        F.round(F.percentile("d", F.lit(0.5)), 4).alias("mad"),
+        F.count("*").cast("long").alias("n_used"),
+    )
+
+
+def oracle_sql_percentile_ranks(
+    query_text: str, field: str, values: list[float],
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`percentile_ranks_agg_hits`."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    vals = ", ".join(f"({float(x)!r})" for x in sorted(set(values)))
+    return f"""{cte}, vals AS (
+  SELECT CAST(d.{field} AS DOUBLE) AS v
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL
+), req(value) AS (VALUES {vals})
+SELECT r.value,
+       round(100.0 * (SELECT count(*) FROM vals WHERE v <= r.value)
+             / (SELECT count(*) FROM vals), 4) AS pct
+FROM req r
+ORDER BY r.value
+"""
+
+
+def oracle_sql_mad(
+    query_text: str, field: str,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`mad_agg_hits` — quantile_cont twice,
+    identical interpolation."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, vals AS (
+  SELECT CAST(d.{field} AS DOUBLE) AS v
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL
+), med AS (SELECT quantile_cont(v, 0.5) AS m FROM vals)
+SELECT round(quantile_cont(abs(v - (SELECT m FROM med)), 0.5), 4)
+         AS mad,
+       CAST(count(*) AS BIGINT) AS n_used
+FROM vals
+"""
+
+
 def missing_agg_hits(
     hits: DataFrame, docs: DataFrame, field: str,
 ) -> DataFrame:
@@ -5113,6 +5230,28 @@ class IndexReader:
         """ES ``missing`` aggregation over the matching set.
         Semantics in :func:`missing_agg_hits`."""
         return missing_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field,
+        )
+
+    def facet_percentile_ranks(
+        self, query_text: str, docs: DataFrame, field: str,
+        values: list[float],
+    ) -> DataFrame:
+        """ES ``percentile_ranks`` over the matching set — exact
+        inverse percentiles. Semantics in
+        :func:`percentile_ranks_agg_hits`."""
+        return percentile_ranks_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field, values,
+        )
+
+    def facet_mad(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """ES ``median_absolute_deviation`` over the matching set —
+        exact two-phase. Semantics in :func:`mad_agg_hits`."""
+        return mad_agg_hits(
             self._matching_scores(query_text).select("doc_id"),
             docs, field,
         )

@@ -1076,6 +1076,37 @@ class ShardedIndexReader:
             hits = self._empty().select("doc_id")
         return missing_agg_hits(hits.select("doc_id"), docs, field)
 
+    def facet_percentile_ranks(
+        self, query_text: str, docs: DataFrame, field: str,
+        values: list[float],
+    ) -> DataFrame:
+        """Federated percentile_ranks — exact counts reduce over the
+        unioned matching set like any partial agg."""
+        from tlhop_library_spark.index.query import (
+            percentile_ranks_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return percentile_ranks_agg_hits(
+            hits.select("doc_id"), docs, field, values
+        )
+
+    def facet_mad(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """Federated median_absolute_deviation — both median passes
+        run over the unioned matching set, so the federated result is
+        identical to the single-index one (exactness, not TDigest, is
+        what makes that true)."""
+        from tlhop_library_spark.index.query import mad_agg_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return mad_agg_hits(hits.select("doc_id"), docs, field)
+
     def facet_rare_terms(
         self, query_text: str, docs: DataFrame, field: str,
         max_doc_count: int = 1, max_buckets: int = 1000,
