@@ -144,7 +144,9 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
                "facet_weighted_avg",
                # round-5 additions (never driver-gated before r5)
                "facet_pipeline_aggs", "facet_bucket_selector",
-               "facet_percentile_ranks", "facet_mad"],
+               "facet_percentile_ranks", "facet_mad",
+               "facet_boxplot", "facet_string_stats",
+               "facet_top_metrics", "facet_t_test"],
     "dedup": ["dedup_exact", "minhash_verified_pairs"],
     "similarity": ["knn_join_topk", "pq_encode_fixed", "pq_topk_adc",
                    "ivf_pq_topk", "pq_encode_residual_fixed",
@@ -624,6 +626,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES median_absolute_deviation (exact two-phase median)
     q["facet_mad"] = lambda s, d: _indexed_reader(s, d).facet_mad(
         BM25_QUERY_1, _t(s, d, "documents"), "n_chars"
+    )
+
+    # ES boxplot (exact quartiles, one agg pass)
+    q["facet_boxplot"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_boxplot(BM25_QUERY_1, _t(s, d, "documents"), "n_chars")
+
+    # ES string_stats: lengths + Shannon character entropy of the
+    # matching docs' source field (bounded alphabet shuffle)
+    q["facet_string_stats"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_string_stats(
+        BM25_QUERY_1, _t(s, d, "documents"), "source"
+    )
+
+    # ES top_metrics: n_chars of the 5 highest-doc_id matching docs
+    # (sort field and metric differ to exercise both columns)
+    q["facet_top_metrics"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_top_metrics(
+        BM25_QUERY_1, _t(s, d, "documents"), "doc_id", "n_chars",
+        size=5,
+    )
+
+    # ES t_test (Welch, exact statistic): n_chars of even- vs
+    # odd-doc_id matching docs
+    q["facet_t_test"] = lambda s, d: _indexed_reader(
+        s, d
+    ).facet_t_test(
+        BM25_QUERY_1,
+        _t(s, d, "documents").withColumn(
+            "is_even", F.col("doc_id") % 2 == 0
+        ),
+        "n_chars",
+        "is_even",
     )
 
     # ES missing aggregation: matching docs with a NULL field (the sf
@@ -2484,6 +2521,23 @@ FROM tok GROUP BY doc_id, term
         BM25_QUERY_1, "n_chars", [200.0, 500.0, 900.0]
     )
     o["facet_mad"] = oracle_sql_mad(BM25_QUERY_1, "n_chars")
+    from tlhop_library_spark.index.query import (
+        oracle_sql_boxplot,
+        oracle_sql_string_stats,
+        oracle_sql_t_test,
+        oracle_sql_top_metrics,
+    )
+
+    o["facet_boxplot"] = oracle_sql_boxplot(BM25_QUERY_1, "n_chars")
+    o["facet_string_stats"] = oracle_sql_string_stats(
+        BM25_QUERY_1, "source"
+    )
+    o["facet_top_metrics"] = oracle_sql_top_metrics(
+        BM25_QUERY_1, "doc_id", "n_chars", size=5
+    )
+    o["facet_t_test"] = oracle_sql_t_test(
+        BM25_QUERY_1, "n_chars", "(d.doc_id % 2 = 0)"
+    )
     o["facet_missing"] = oracle_sql_facet_missing(
         BM25_QUERY_1, "opt_lang",
         table="(SELECT *, CASE WHEN doc_id % 3 != 0 THEN lang END "

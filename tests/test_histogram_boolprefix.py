@@ -521,3 +521,114 @@ def test_percentile_ranks_guard(reader, docs):
         percentile_ranks_agg_hits(
             docs.select("doc_id").limit(1), docs, "n_chars", []
         )
+
+
+def test_boxplot_matches_numpy(reader, docs, hits_map):
+    import numpy as np
+
+    vals = np.array(sorted(float(v) for v in _nchars(docs, hits_map)))
+    row = reader.facet_boxplot(Q, docs, "n_chars").collect()[0]
+    assert row["min_v"] == round(float(vals.min()), 4)
+    assert row["max_v"] == round(float(vals.max()), 4)
+    for col, p in (("q1", 25), ("q2", 50), ("q3", 75)):
+        assert row[col] == round(
+            float(np.percentile(vals, p, method="linear")), 4
+        )
+    assert row["n_used"] == len(vals)
+
+
+def test_string_stats_hand_computed(reader, docs, hits_map):
+    import math
+    from collections import Counter
+
+    texts = [
+        r["lang"]
+        for r in docs.collect()
+        if r["doc_id"] in hits_map and r["lang"] is not None
+    ]
+    row = reader.facet_string_stats(Q, docs, "lang").collect()[0]
+    assert row["cnt"] == len(texts)
+    lens = [len(t) for t in texts]
+    assert row["min_length"] == min(lens)
+    assert row["max_length"] == max(lens)
+    assert row["avg_length"] == round(sum(lens) / len(lens), 4)
+    chars = Counter("".join(texts))
+    tot = sum(chars.values())
+    ent = -sum(
+        (n / tot) * math.log2(n / tot) for n in chars.values()
+    )
+    assert row["entropy"] == round(ent, 4)
+
+
+def test_top_metrics_matches_bruteforce(reader, docs, hits_map):
+    meta = {
+        r["doc_id"]: float(r["n_chars"])
+        for r in docs.collect()
+        if r["doc_id"] in hits_map and r["n_chars"] is not None
+    }
+    want = sorted(meta, key=lambda d: (-d, d))[:3]
+    rows = reader.facet_top_metrics(
+        Q, docs, "doc_id", "n_chars", size=3
+    ).collect()
+    assert [r["doc_id"] for r in rows] == want
+    assert all(r["metric"] == meta[r["doc_id"]] for r in rows)
+
+
+def test_t_test_matches_scipy_formula(reader, docs, hits_map):
+    """Welch t-statistic recomputed from first principles (sample
+    variance, n-1)."""
+    import statistics
+
+    a, b = [], []
+    for r in docs.collect():
+        if r["doc_id"] in hits_map and r["n_chars"] is not None:
+            (a if r["doc_id"] % 2 == 0 else b).append(float(r["n_chars"]))
+    gdocs = docs.withColumn("is_even", F.col("doc_id") % 2 == 0)
+    row = reader.facet_t_test(Q, gdocs, "n_chars", "is_even").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    va, vb = statistics.variance(a), statistics.variance(b)
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    t = (ma - mb) / (va / len(a) + vb / len(b)) ** 0.5
+    assert abs(row["t_stat"] - t) < 5e-4
+    assert row["mean_a"] == round(ma, 4)
+    assert row["mean_b"] == round(mb, 4)
+
+
+def test_round5_metric_aggs_federated(
+    spark, corpus_df, docs, reader, tmp_path_factory
+):
+    from tlhop_library_spark.index import ShardedIndexReader
+    from tlhop_library_spark.index.build import IndexBuilder
+
+    base = tmp_path_factory.mktemp("r5agg_shards")
+    dirs = []
+    for i in range(2):
+        p = str(base / f"s{i}")
+        IndexBuilder(spark, p, n_buckets=4, n_jobs=2).build(
+            corpus_df.where(F.col("doc_id") % 2 == i)
+        )
+        dirs.append(p)
+    fed = ShardedIndexReader(spark, dirs)
+    gdocs = docs.withColumn("is_even", F.col("doc_id") % 2 == 0)
+    pairs = [
+        (
+            reader.facet_boxplot(Q, docs, "n_chars"),
+            fed.facet_boxplot(Q, docs, "n_chars"),
+        ),
+        (
+            reader.facet_string_stats(Q, docs, "lang"),
+            fed.facet_string_stats(Q, docs, "lang"),
+        ),
+        (
+            reader.facet_top_metrics(Q, docs, "doc_id", "n_chars", 4),
+            fed.facet_top_metrics(Q, docs, "doc_id", "n_chars", 4),
+        ),
+        (
+            reader.facet_t_test(Q, gdocs, "n_chars", "is_even"),
+            fed.facet_t_test(Q, gdocs, "n_chars", "is_even"),
+        ),
+    ]
+    for single, sharded in pairs:
+        assert [tuple(r) for r in sharded.collect()] == [
+            tuple(r) for r in single.collect()
+        ]

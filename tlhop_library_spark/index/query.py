@@ -1406,6 +1406,249 @@ def mad_agg_hits(
     )
 
 
+def boxplot_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str,
+) -> DataFrame:
+    """ES ``boxplot`` aggregation — EXACT (ES uses TDigest): min, q1,
+    median, q3, max of the matching set's non-NULL field values in
+    one aggregation pass (the three quartiles share the exact
+    Percentile buffer). One row, rounded to 4. Inherits the
+    exact-percentile scale ceiling documented on
+    :func:`percentiles_agg_hits`."""
+    v = F.col(field).cast("double")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(v.isNotNull())
+    )
+    return j.agg(
+        F.round(F.min(v), 4).alias("min_v"),
+        F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("q2"),
+        F.round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
+        F.round(F.max(v), 4).alias("max_v"),
+        F.count("*").cast("long").alias("n_used"),
+    )
+
+
+def string_stats_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str,
+) -> DataFrame:
+    """ES ``string_stats`` aggregation: count, min/max/avg length,
+    and the Shannon entropy (bits) of the CHARACTER distribution
+    across every non-NULL value of the matching set. One row.
+
+    Scale shape: lengths reduce in one agg over the semi-joined scan;
+    the entropy pass explodes characters and aggregates per distinct
+    character — the shuffle is |alphabet|-sized (the per-partition
+    partial agg collapses each partition to its distinct characters
+    first), never corpus-sized. Per-character p·log2(p) terms sum in
+    double precision (relative error ~1e-15 against the 4-decimal
+    round, so summation order cannot flip the result across
+    engines)."""
+    j = docs.join(hits.select("doc_id"), "doc_id", "left_semi").where(
+        F.col(field).isNotNull()
+    )
+    lengths = j.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min(F.length(field)).cast("long").alias("min_length"),
+        F.max(F.length(field)).cast("long").alias("max_length"),
+        F.round(F.avg(F.length(field)), 4).alias("avg_length"),
+    )
+    chars = (
+        j.select(F.explode(F.split(F.col(field), "")).alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+    )
+    log2 = F.log(F.lit(2.0))
+    total = chars.agg(F.sum("n").cast("double").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    ent = (
+        chars.crossJoin(F.broadcast(total))
+        .select((p * (F.log(p) / log2)).alias("term"))
+        .agg(F.round(-F.sum("term"), 4).alias("entropy"))
+    )
+    return lengths.crossJoin(F.broadcast(ent))
+
+
+def top_metrics_agg_hits(
+    hits: DataFrame, docs: DataFrame, sort_field: str,
+    metric_field: str, size: int = 1, asc: bool = False,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: the metric values of the
+    ``size`` docs with the largest (or smallest) ``sort_field`` in
+    the matching set — (rank, sort_value, metric, doc_id), doc_id
+    ascending tiebreak. A ``ranked_topk`` cut
+    (TakeOrderedAndProject), never a global sort."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col(sort_field).isNotNull())
+        .select(
+            "doc_id",
+            F.col(sort_field).cast("double").alias("sort_value"),
+            F.col(metric_field).cast("double").alias("metric"),
+        )
+    )
+    from tlhop_library_spark.operators.relational import ranked_topk
+
+    order = [
+        F.asc("sort_value") if asc else F.desc("sort_value"),
+        F.asc("doc_id"),
+    ]
+    return ranked_topk(j, order, size).select(
+        "rank", "doc_id", "sort_value", "metric"
+    )
+
+
+def t_test_agg_hits(
+    hits: DataFrame, docs: DataFrame, field: str, group_field: str,
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch): the
+    t-statistic between the matching docs where ``group_field`` is
+    true (group a) and false (group b). Returns one row
+    (t_stat, n_a, n_b, mean_a, mean_b), rounded to 4.
+
+    Deviation from ES, documented: ES renders a p-value (Student-t
+    CDF), which is not reproducible in portable SQL; the statistic
+    itself is exact order-independent arithmetic (Σ, Σ², n per
+    group in ONE aggregation pass), and a client converts it to a
+    p-value with any t-distribution table. NULL field or NULL group
+    rows are ignored."""
+    v = F.col(field).cast("double")
+    g = F.col(group_field).cast("boolean")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(v.isNotNull() & g.isNotNull())
+        .select(v.alias("v"), g.alias("g"))
+    )
+    agg = j.agg(
+        F.count_if(F.col("g")).cast("long").alias("n_a"),
+        F.count_if(~F.col("g")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g"), F.col("v"))).alias("s_a"),
+        F.sum(F.when(~F.col("g"), F.col("v"))).alias("s_b"),
+        F.sum(F.when(F.col("g"), F.col("v") * F.col("v"))).alias("ss_a"),
+        F.sum(F.when(~F.col("g"), F.col("v") * F.col("v"))).alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    denom = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return agg.select(
+        F.round((mean_a - mean_b) / denom, 4).alias("t_stat"),
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+    )
+
+
+def oracle_sql_boxplot(
+    query_text: str, field: str,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, vals AS (
+  SELECT CAST(d.{field} AS DOUBLE) AS v
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL
+)
+SELECT round(min(v), 4) AS min_v,
+       round(quantile_cont(v, 0.25), 4) AS q1,
+       round(quantile_cont(v, 0.5), 4) AS q2,
+       round(quantile_cont(v, 0.75), 4) AS q3,
+       round(max(v), 4) AS max_v,
+       CAST(count(*) AS BIGINT) AS n_used
+FROM vals
+"""
+
+
+def oracle_sql_string_stats(
+    query_text: str, field: str,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, vals AS (
+  SELECT d.{field} AS t
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL
+), lens AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(length(t)) AS BIGINT) AS min_length,
+         CAST(max(length(t)) AS BIGINT) AS max_length,
+         round(avg(length(t)), 4) AS avg_length
+  FROM vals
+), chars AS (
+  SELECT c, CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT unnest(string_split(t, '')) AS c FROM vals)
+  GROUP BY c
+), ent AS (
+  SELECT round(-sum((n / tot) * (ln(n / tot) / ln(2.0))), 4)
+           AS entropy
+  FROM (SELECT c, n, sum(n) OVER () AS tot FROM chars)
+)
+SELECT lens.*, ent.entropy FROM lens, ent
+"""
+
+
+def oracle_sql_top_metrics(
+    query_text: str, sort_field: str, metric_field: str,
+    size: int = 1, asc: bool = False,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    direction = "ASC" if asc else "DESC"
+    return f"""{cte}, vals AS (
+  SELECT d.{doc_col} AS doc_id,
+         CAST(d.{sort_field} AS DOUBLE) AS sort_value,
+         CAST(d.{metric_field} AS DOUBLE) AS metric
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{sort_field} IS NOT NULL
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY sort_value {direction}, doc_id ASC) AS INT) AS rank,
+       doc_id, sort_value, metric
+FROM vals
+QUALIFY rank <= {int(size)}
+ORDER BY rank
+"""
+
+
+def oracle_sql_t_test(
+    query_text: str, field: str, group_expr: str,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """``group_expr`` is a boolean SQL expression over alias ``d``
+    replicating the Spark side's group column."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    return f"""{cte}, vals AS (
+  SELECT CAST(d.{field} AS DOUBLE) AS v, ({group_expr}) AS g
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{field} IS NOT NULL AND ({group_expr}) IS NOT NULL
+), agg AS (
+  SELECT CAST(count(*) FILTER (g) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (NOT g) AS BIGINT) AS n_b,
+         sum(v) FILTER (g) AS s_a,
+         sum(v) FILTER (NOT g) AS s_b,
+         sum(v*v) FILTER (g) AS ss_a,
+         sum(v*v) FILTER (NOT g) AS ss_b
+  FROM vals
+)
+SELECT round((s_a/n_a - s_b/n_b) / sqrt(
+         ((ss_a - s_a*s_a/n_a) / (n_a - 1)) / n_a
+         + ((ss_b - s_b*s_b/n_b) / (n_b - 1)) / n_b), 4) AS t_stat,
+       n_a, n_b,
+       round(s_a/n_a, 4) AS mean_a,
+       round(s_b/n_b, 4) AS mean_b
+FROM agg
+"""
+
+
 def oracle_sql_percentile_ranks(
     query_text: str, field: str, values: list[float],
     table: str = "documents", doc_col: str = "doc_id",
@@ -5254,6 +5497,50 @@ class IndexReader:
         return mad_agg_hits(
             self._matching_scores(query_text).select("doc_id"),
             docs, field,
+        )
+
+    def facet_boxplot(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """ES ``boxplot`` over the matching set — exact quartiles.
+        Semantics in :func:`boxplot_agg_hits`."""
+        return boxplot_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field,
+        )
+
+    def facet_string_stats(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """ES ``string_stats`` over the matching set (lengths +
+        character entropy). Semantics in
+        :func:`string_stats_agg_hits`."""
+        return string_stats_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field,
+        )
+
+    def facet_top_metrics(
+        self, query_text: str, docs: DataFrame, sort_field: str,
+        metric_field: str, size: int = 1, asc: bool = False,
+    ) -> DataFrame:
+        """ES ``top_metrics`` over the matching set. Semantics in
+        :func:`top_metrics_agg_hits`."""
+        return top_metrics_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, sort_field, metric_field, size, asc,
+        )
+
+    def facet_t_test(
+        self, query_text: str, docs: DataFrame, field: str,
+        group_field: str,
+    ) -> DataFrame:
+        """ES ``t_test`` (Welch) over the matching set — returns the
+        exact statistic (see deviation note in
+        :func:`t_test_agg_hits`)."""
+        return t_test_agg_hits(
+            self._matching_scores(query_text).select("doc_id"),
+            docs, field, group_field,
         )
 
     def facet_rare_terms(

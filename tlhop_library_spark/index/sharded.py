@@ -1107,6 +1107,68 @@ class ShardedIndexReader:
             hits = self._empty().select("doc_id")
         return mad_agg_hits(hits.select("doc_id"), docs, field)
 
+    def facet_boxplot(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """Federated boxplot — exact quartiles over the unioned
+        matching set ≡ single index."""
+        from tlhop_library_spark.index.query import boxplot_agg_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return boxplot_agg_hits(hits.select("doc_id"), docs, field)
+
+    def facet_string_stats(
+        self, query_text: str, docs: DataFrame, field: str,
+    ) -> DataFrame:
+        """Federated string_stats — the character counts reduce over
+        the union before the entropy sum (a per-shard entropy would
+        not merge)."""
+        from tlhop_library_spark.index.query import (
+            string_stats_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return string_stats_agg_hits(
+            hits.select("doc_id"), docs, field
+        )
+
+    def facet_top_metrics(
+        self, query_text: str, docs: DataFrame, sort_field: str,
+        metric_field: str, size: int = 1, asc: bool = False,
+    ) -> DataFrame:
+        """Federated top_metrics — the rank cut runs over the unioned
+        matching set."""
+        from tlhop_library_spark.index.query import (
+            top_metrics_agg_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return top_metrics_agg_hits(
+            hits.select("doc_id"), docs, sort_field, metric_field,
+            size, asc,
+        )
+
+    def facet_t_test(
+        self, query_text: str, docs: DataFrame, field: str,
+        group_field: str,
+    ) -> DataFrame:
+        """Federated t_test — Σ/Σ²/n partials reduce over the union
+        exactly."""
+        from tlhop_library_spark.index.query import t_test_agg_hits
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self._empty().select("doc_id")
+        return t_test_agg_hits(
+            hits.select("doc_id"), docs, field, group_field
+        )
+
     def facet_rare_terms(
         self, query_text: str, docs: DataFrame, field: str,
         max_doc_count: int = 1, max_buckets: int = 1000,
