@@ -146,7 +146,8 @@ _FAMILY_PRIORITY: dict[str, list[str]] = {
                "facet_pipeline_aggs", "facet_bucket_selector",
                "facet_percentile_ranks", "facet_mad",
                "facet_boxplot", "facet_string_stats",
-               "facet_top_metrics", "facet_t_test"],
+               "facet_top_metrics", "facet_t_test",
+               "facet_auto_date_histogram"],
     "dedup": ["dedup_exact", "minhash_verified_pairs"],
     "similarity": ["knn_join_topk", "pq_encode_fixed", "pq_topk_adc",
                    "ivf_pq_topk", "pq_encode_residual_fixed",
@@ -477,6 +478,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["facet_pipeline_aggs"] = _q_pipeline_aggs
+
+    # ES auto_date_histogram: the finest calendar interval whose
+    # bucket count fits the budget, chosen over the matching set
+    def _q_auto_hist(s, d):
+        docs = _t(s, d, "documents").withColumn(
+            "doc_ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, cast(doc_id % 2160 as int), 0, 0)"
+            ),
+        )
+        return _indexed_reader(s, d).facet_auto_date_histogram(
+            BM25_QUERY_1, docs, "doc_ts", max_buckets=25
+        )
+
+    q["facet_auto_date_histogram"] = _q_auto_hist
 
     # bucket_selector + bucket_sort: buckets below the metric floor
     # dropped AFTER the pipeline columns (ES execution order), the
@@ -2564,6 +2581,13 @@ FROM tok GROUP BY doc_id, term
     o["facet_pipeline_aggs"] = oracle_sql_pipeline_aggs(
         BM25_QUERY_1, "doc_ts", "week", metric_field="n_chars",
         window=3, table=_ts_tbl,
+    )
+    from tlhop_library_spark.index.query import (
+        oracle_sql_auto_date_histogram,
+    )
+
+    o["facet_auto_date_histogram"] = oracle_sql_auto_date_histogram(
+        BM25_QUERY_1, "doc_ts", max_buckets=25, table=_ts_tbl
     )
     o["facet_bucket_selector"] = oracle_sql_pipeline_aggs(
         BM25_QUERY_1, "doc_ts", "week", metric_field="n_chars",

@@ -216,3 +216,65 @@ def test_pipeline_aggs_guards(spark, corpus_df):
         pipeline_aggs_hits(hits, corpus_df, "warc_ts", "fortnight")
     with pytest.raises(ValueError):
         pipeline_aggs_hits(hits, corpus_df, "warc_ts", "day", window=0)
+
+
+def test_auto_date_histogram_picks_finest_fitting(spark, index_dir, corpus_df):
+    """Ladder choice: with a huge budget the finest rung (hour) wins;
+    with budget 1 it coarsens until the bucket list fits (or year)."""
+    r = IndexReader(spark, index_dir)
+    wide = r.facet_auto_date_histogram(
+        Q, corpus_df, "warc_ts", max_buckets=10**6
+    ).collect()
+    assert wide and wide[0]["interval"] == "hour"
+    hourly = r.facet_date_histogram(
+        Q, corpus_df, "warc_ts", "hour"
+    ).collect()
+    assert [(x["key"], x["n_docs"]) for x in wide] == [
+        (x["key"], x["n_docs"]) for x in hourly
+    ]
+    narrow = r.facet_auto_date_histogram(
+        Q, corpus_df, "warc_ts", max_buckets=1
+    ).collect()
+    assert narrow and len(narrow) <= max(
+        1, len(set(x["interval"] for x in narrow))
+    ) * 10**6
+    chosen = narrow[0]["interval"]
+    n_at_chosen = len(
+        r.facet_date_histogram(Q, corpus_df, "warc_ts", chosen).collect()
+    )
+    assert len(narrow) == n_at_chosen
+    assert chosen == "year" or n_at_chosen <= 1
+
+
+def test_auto_date_histogram_federated(spark, index_dir, corpus_df, tmp_path):
+    from tlhop_library_spark.index.build import IndexBuilder
+    from tlhop_library_spark.index.sharded import ShardedIndexReader
+
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    IndexBuilder(spark, da, n_buckets=4, n_ranges=4).build(
+        corpus_df.where("doc_id % 2 = 0")
+    )
+    IndexBuilder(spark, db, n_buckets=4, n_ranges=4).build(
+        corpus_df.where("doc_id % 2 = 1")
+    )
+    fed = ShardedIndexReader(spark, [da, db]).facet_auto_date_histogram(
+        Q, corpus_df, "warc_ts", max_buckets=5
+    )
+    union = IndexReader(spark, index_dir).facet_auto_date_histogram(
+        Q, corpus_df, "warc_ts", max_buckets=5
+    )
+    assert [tuple(x) for x in fed.collect()] == [
+        tuple(x) for x in union.collect()
+    ]
+
+
+def test_auto_date_histogram_guard(spark, corpus_df):
+    from tlhop_library_spark.index.query import (
+        auto_date_histogram_hits,
+    )
+
+    with pytest.raises(ValueError):
+        auto_date_histogram_hits(
+            corpus_df.select("doc_id").limit(1), corpus_df,
+            "warc_ts", max_buckets=0,
+        )

@@ -2328,6 +2328,91 @@ def pipeline_aggs_hits(
     return out
 
 
+_AUTO_HIST_LADDER = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def auto_date_histogram_hits(
+    hits: DataFrame, docs: DataFrame, ts_col: str,
+    max_buckets: int = 20,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the FINEST calendar interval
+    from the ladder (hour → day → week → month → quarter → year)
+    whose non-empty bucket count fits ``max_buckets``, then return
+    that interval's date_histogram with the chosen interval tagged on
+    every row (ES reports it in the agg metadata; a column is the
+    relational rendering). Falls back to ``year`` if nothing fits.
+
+    Scale shape: ONE aggregation computes every ladder rung's
+    distinct-bucket count simultaneously (6 countDistincts over the
+    semi-joined scan — a single pass); the choice itself is a
+    driver-side scalar, then the parent histogram runs at the chosen
+    interval exactly as :func:`date_histogram_hits`."""
+    if max_buckets < 1:
+        raise ValueError("max_buckets must be >= 1")
+    j = (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col(ts_col).isNotNull())
+    )
+    counts = j.agg(
+        *[
+            F.countDistinct(F.date_trunc(i, F.col(ts_col))).alias(i)
+            for i in _AUTO_HIST_LADDER
+        ]
+    ).collect()[0]
+    chosen = _AUTO_HIST_LADDER[-1]
+    for i in _AUTO_HIST_LADDER:
+        if int(counts[i]) <= max_buckets:
+            chosen = i
+            break
+    return date_histogram_hits(hits, docs, ts_col, chosen).select(
+        F.lit(chosen).alias("interval"), "key", "key_as_string",
+        "n_docs",
+    )
+
+
+def oracle_sql_auto_date_histogram(
+    query_text: str, ts_col: str, max_buckets: int = 20,
+    table: str = "documents", doc_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`auto_date_histogram_hits`: the ladder
+    choice is re-derived in SQL (distinct-bucket count per rung, the
+    finest fitting rung wins) and selects the matching tagged
+    histogram from a union over the ladder."""
+    cte = _bm25_scored_cte(query_text, table, doc_col)
+    rungs = ", ".join(
+        f"count(DISTINCT date_trunc('{i}', d.{ts_col})) AS c_{i}"
+        for i in _AUTO_HIST_LADDER
+    )
+    case = "CASE "
+    for i in _AUTO_HIST_LADDER[:-1]:
+        case += f"WHEN c_{i} <= {int(max_buckets)} THEN '{i}' "
+    case += f"ELSE '{_AUTO_HIST_LADDER[-1]}' END"
+    hists = "\nUNION ALL\n".join(
+        f"""  SELECT '{i}' AS interval,
+         CAST(epoch_ms(CAST(date_trunc('{i}', d.{ts_col})
+           AS TIMESTAMP)) AS BIGINT) AS key,
+         strftime(CAST(date_trunc('{i}', d.{ts_col}) AS TIMESTAMP),
+           '%Y-%m-%d %H:%M:%S') AS key_as_string,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{ts_col} IS NOT NULL
+  GROUP BY 1, 2, 3"""
+        for i in _AUTO_HIST_LADDER
+    )
+    return f"""{cte}, rungs AS (
+  SELECT {rungs}
+  FROM scored s JOIN {table} d ON d.{doc_col} = s.doc_id
+  WHERE d.{ts_col} IS NOT NULL
+), choice AS (SELECT {case} AS interval FROM rungs),
+hists AS (
+{hists}
+)
+SELECT h.interval, h.key, h.key_as_string, h.n_docs
+FROM hists h JOIN choice c ON c.interval = h.interval
+ORDER BY h.key
+"""
+
+
 def oracle_sql_pipeline_aggs(
     query_text: str, ts_col: str, interval: str = "day",
     metric_field: "str | None" = None, window: int = 3,
@@ -5603,6 +5688,16 @@ class IndexReader:
             hits, docs, ts_col, interval, metric_field, window,
             min_metric, sort_by_metric, size,
         )
+
+    def facet_auto_date_histogram(
+        self, query_text: str, docs: DataFrame, ts_col: str,
+        max_buckets: int = 20,
+    ) -> DataFrame:
+        """ES ``auto_date_histogram`` over the matching set —
+        interval auto-chosen from the calendar ladder. Semantics in
+        :func:`auto_date_histogram_hits`."""
+        hits = self._matching_scores(query_text).select("doc_id")
+        return auto_date_histogram_hits(hits, docs, ts_col, max_buckets)
 
     def facet_counts(
         self, query_text: str, docs: DataFrame, facet_col: str = "lang"

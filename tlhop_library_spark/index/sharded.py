@@ -1308,6 +1308,26 @@ class ShardedIndexReader:
             min_metric, sort_by_metric, size,
         )
 
+    def facet_auto_date_histogram(
+        self, query_text: str, docs: DataFrame, ts_col: str,
+        max_buckets: int = 20,
+    ) -> DataFrame:
+        """Federated auto_date_histogram — the ladder choice runs
+        over the UNIONED matching set (per-shard choices could
+        disagree; the merged bucket list must drive the interval)."""
+        from tlhop_library_spark.index.query import (
+            auto_date_histogram_hits,
+        )
+
+        hits = self._fed_hits(query_text)
+        if hits is None:
+            hits = self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return auto_date_histogram_hits(
+            hits, docs, ts_col, max_buckets
+        )
+
     def facet_composite(
         self, query_text: str, docs: DataFrame, field: str,
         size: int = 10, after: "str | None" = None,
