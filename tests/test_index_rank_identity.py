@@ -274,3 +274,35 @@ def test_bursty_corpus_bmw_identity(spark, tmp_path):
     for q in (vocab[60], f"coração {vocab[60]}", f"{vocab[55]} {vocab[90]}"):
         got = _rows(reader.search(q, 10, mode="bmw"))
         assert got == _rows(reader.search(q, 10, mode="exhaustive")), q
+
+
+def test_per_partition_metrics_table(spark, index_dir):
+    """The per-bucket metrics table (north-star per-partition
+    contract): one row per (segment_group, bucket); partition sums
+    must reconcile with the per-group manifest rows."""
+    from tlhop_library_spark.index import IndexReader
+
+    met = IndexReader(spark, index_dir).build_metrics()
+    rows = met.collect()
+    assert rows
+    assert all(r["postings_written"] > 0 for r in rows)
+    assert all(r["bytes_written"] > 0 for r in rows)
+    assert all(r["skew_ratio"] >= 1.0 for r in rows)
+    keys = [(r["segment_group"], r["bucket"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    man = {
+        r["segment_group"]: r
+        for r in spark.read.parquet(f"{index_dir}/manifest").collect()
+    }
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        s = sums[r["segment_group"]]
+        s[0] += r["n_chunks"]
+        s[1] += r["postings_written"]
+        s[2] += r["bytes_written"]
+    for g, (nc, pw, bw) in sums.items():
+        assert man[g]["n_chunks"] == nc
+        assert man[g]["postings_written"] == pw
+        assert man[g]["bytes_written"] == bw

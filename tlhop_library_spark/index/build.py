@@ -289,6 +289,10 @@ class IndexBuilder:
         return os.path.join(self.index_dir, "manifest")
 
     @property
+    def metrics_path(self):
+        return os.path.join(self.index_dir, "metrics")
+
+    @property
     def stored_path(self):
         return os.path.join(self.index_dir, "stored")
 
@@ -581,6 +585,44 @@ class IndexBuilder:
             }
         )
         m.coalesce(1).write.mode("append").parquet(self.manifest_path)
+        # per-PARTITION metrics table (north-star contract: postings
+        # written, bytes, skew ratio PER partition, not just per
+        # checkpoint group): one row per bucket in this group,
+        # appended to a parquet metrics table beside the manifest —
+        # the Iceberg-ready hook (TableCatalog would target an
+        # Iceberg table where the runtime jar exists; this host has
+        # none, see COVERAGE.md). The hot-bucket / skewed-term health
+        # signal lives here before it shows up as a straggler.
+        per_bucket = (
+            seg.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.countDistinct("tid").alias("n_terms"),
+                F.sum("n_postings").alias("postings_written"),
+                F.sum(
+                    F.octet_length("doc_bytes")
+                    + F.octet_length("tf_bytes")
+                    + F.octet_length("dl_bytes")
+                    + (
+                        F.octet_length("pos_bytes")
+                        if self.positions
+                        else F.lit(0)
+                    )
+                ).alias("bytes_written"),
+                (F.max("n_postings") / F.avg("n_postings")).alias(
+                    "skew_ratio"
+                ),
+            )
+            .withColumns(
+                {
+                    "segment_group": F.lit(gname),
+                    "checkpoint_ts": F.current_timestamp(),
+                }
+            )
+        )
+        per_bucket.coalesce(1).write.mode("append").parquet(
+            self.metrics_path
+        )
 
     def _completed_groups(self) -> set[str]:
         try:

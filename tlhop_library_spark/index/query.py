@@ -4687,6 +4687,17 @@ class IndexReader:
                 self._bpp = 8.0
         return self._bpp
 
+    def build_metrics(self) -> DataFrame:
+        """The per-PARTITION build metrics table: one row per
+        (segment_group, bucket) with n_chunks, n_terms,
+        postings_written, bytes_written, and the in-bucket skew ratio
+        (north-star contract; written by the builder beside the
+        per-group manifest). The hot-bucket health signal — a skewed
+        term shows up here before it shows up as a straggler."""
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "metrics")
+        )
+
     def _local_chunks(self, info, schema_fields) -> "pd.DataFrame | None":
         """Driver-side chunk fetch for a resolved term set: pyarrow
         scan pruned to the terms' (bucket, tid) sets, avgdl attached."""
